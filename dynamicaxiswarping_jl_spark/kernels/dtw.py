@@ -1,0 +1,307 @@
+"""Core DTW kernels: cost matrices, trackback, O(r)-memory banded cost.
+
+Semantics pinned to the reference (baggepinnen/DynamicAxisWarping.jl):
+
+- Cost matrix ``D`` is (m, n): rows index ``seq2``, cols index ``seq1``
+  (reference src/dtw.jl:40-49).
+- DP recurrence ``D[r,c] += min(tc*D[r-1,c], D[r-1,c-1], tc*D[r,c-1])``
+  (src/dtw.jl:61); default inner distance squared Euclidean (src/dtw.jl:40).
+- Trackback ties prefer the diagonal: compare ``D[r-1,c-1] <= D[r-1,c]``
+  then ``<= D[r,c-1]`` (src/dtw.jl:137 via src/utils.jl:1-15).
+- Warp paths are 1-based inclusive index vectors (src/dtw.jl:123-152).
+- Band limits ``i2min/i2max`` are 1-based, must satisfy ``i2min[0]==1`` and
+  ``i2max[-1]==m`` (src/dtw.jl:84-89).
+
+The DP sweeps are vectorized along anti-diagonals (every cell on diagonal k
+depends only on diagonals k-1 and k-2), so the Python-level loop is O(n+m)
+with NumPy vector ops — no per-cell Python. ``dtw_cost`` uses a min-plus
+prefix-scan to vectorize each band row.
+
+Known deviation, documented: reference ``dtw_cost`` (src/dtw.jl:213-215)
+multiplies ``transportcost`` onto the *diagonal* and the advance-``a`` move,
+leaving advance-``b`` free — inconsistent with ``dtw_cost_matrix``
+(src/dtw.jl:61, both non-diagonal moves penalized, diagonal free). No
+reference golden value pins that placement (runtests.jl:100-102 is
+insensitive: the optimal path there is zero-cost except the final cell), so
+this implementation uses the ``dtw_cost_matrix`` placement consistently;
+``dtw_cost(a,b,r=len) == dtw(a,b).cost`` then holds for every
+``transportcost``, matching the reference's own equality tests at tc=1.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .distances import get_dist
+
+__all__ = [
+    "dtw",
+    "dtw_cost_matrix",
+    "banded_dtw_cost_matrix",
+    "trackback",
+    "dtw_cost",
+    "radiuslimits",
+]
+
+_INF = np.inf
+
+
+def _lastlen(x: np.ndarray) -> int:
+    return np.asarray(x).shape[-1]
+
+
+def dtw_cost_matrix(seq1, seq2, dist=None, transportcost: float = 1.0,
+                    postprocess=None) -> np.ndarray:
+    """Full O(nm) cumulative DTW cost matrix (reference src/dtw.jl:40-71).
+
+    Returns the (m, n) matrix with m = len(seq2), n = len(seq1).
+    """
+    d = get_dist(dist)
+    seq1 = np.asarray(seq1, dtype=np.float64)
+    seq2 = np.asarray(seq2, dtype=np.float64)
+    m, n = _lastlen(seq2), _lastlen(seq1)
+    D = d.pairwise(seq2, seq1)  # (m, n): rows=seq2, cols=seq1
+    D[1:, 0] = np.cumsum(D[:, 0])[1:]
+    D[0, 1:] = np.cumsum(D[0, :])[1:]
+    tc = float(transportcost)
+    # anti-diagonal sweep: all (r, c) with r+c == k depend on diagonals k-1, k-2
+    for k in range(2, m + n - 1):
+        r0 = max(1, k - n + 1)
+        r1 = min(m - 1, k - 1)
+        if r0 > r1:
+            continue
+        r = np.arange(r0, r1 + 1)
+        c = k - r
+        up = D[r - 1, c]
+        diag = D[r - 1, c - 1]
+        left = D[r, c - 1]
+        D[r, c] += np.minimum(np.minimum(tc * up, diag), tc * left)
+    if postprocess is not None:
+        D = postprocess(D)
+    return D
+
+
+def banded_dtw_cost_matrix(seq1, seq2, dist=None, i2min=None, i2max=None,
+                           transportcost: float = 1.0) -> np.ndarray:
+    """Windowed DTW cost matrix (reference src/dtw.jl:74-111).
+
+    ``i2min``/``i2max`` are 1-based inclusive per-column row windows of
+    length n (reference convention, preserved so golden fixtures apply
+    verbatim). Cells outside the window are +inf, mirroring WindowedMatrix
+    reads (src/windowed_matrix.jl:59-66). Returns a dense (m, n) matrix.
+    """
+    d = get_dist(dist)
+    seq1 = np.asarray(seq1, dtype=np.float64)
+    seq2 = np.asarray(seq2, dtype=np.float64)
+    m, n = _lastlen(seq2), _lastlen(seq1)
+    i2min = np.asarray(i2min, dtype=np.int64)
+    i2max = np.asarray(i2max, dtype=np.int64)
+    if len(i2min) != n or len(i2max) != n:
+        raise ValueError("i2min/i2max must match length of seq1")
+    if i2min[0] != 1:
+        raise ValueError("i2min must start at 1")
+    if i2max[-1] != m:
+        raise ValueError(f"i2max must end at length(seq2), was {i2max[-1]} != {m}")
+
+    L = d.pairwise(seq2, seq1)  # local costs (m, n)
+    D = np.full((m, n), _INF)
+    # first column: cumulative within [1, i2max[0]] (src/dtw.jl:96-100)
+    top = int(i2max[0])
+    D[:top, 0] = np.cumsum(L[:top, 0])
+    tc = float(transportcost)
+    lo0 = i2min - 1  # 0-based inclusive lower rows per column
+    hi0 = i2max - 1
+    # row 0 for columns >= 1: only the left move exists (reference handles
+    # these inside its c-loop via the Inf out-of-window reads, src/dtw.jl:103-107)
+    for c in range(1, n):
+        if lo0[c] == 0:
+            D[0, c] = tc * D[0, c - 1] + L[0, c]
+    for k in range(2, m + n - 1):
+        r0 = max(1, k - n + 1)
+        r1 = min(m - 1, k - 1)
+        if r0 > r1:
+            continue
+        r = np.arange(r0, r1 + 1)
+        c = k - r
+        in_band = (r >= lo0[c]) & (r <= hi0[c])
+        if not in_band.any():
+            continue
+        r, c = r[in_band], c[in_band]
+        up = D[r - 1, c]
+        diag = D[r - 1, c - 1]
+        left = D[r, c - 1]
+        D[r, c] = np.minimum(np.minimum(tc * up, diag), tc * left) + L[r, c]
+    return D
+
+
+def trackback(D: np.ndarray):
+    """Optimal path by backtracking from D[-1,-1] (reference src/dtw.jl:123-152).
+
+    Returns ``(cost, cols, rows)`` — 1-based index arrays; ``cols`` walks
+    seq1, ``rows`` walks seq2. Tie-break order: diagonal, up, left
+    (src/utils.jl:1-15).
+    """
+    m, n = D.shape
+    r, c = m - 1, n - 1  # 0-based
+    rows = [r + 1]
+    cols = [c + 1]
+    while r > 0 and c > 0:
+        a = D[r - 1, c - 1]
+        b = D[r - 1, c]
+        cc = D[r, c - 1]
+        if a <= b:
+            if a <= cc:
+                r -= 1
+                c -= 1
+            else:
+                c -= 1
+        else:
+            if b <= cc:
+                r -= 1
+            else:
+                c -= 1
+        rows.append(r + 1)
+        cols.append(c + 1)
+    while r > 0:
+        r -= 1
+        rows.append(r + 1)
+        cols.append(1)
+    while c > 0:
+        c -= 1
+        cols.append(c + 1)
+        rows.append(1)
+    return float(D[-1, -1]), np.array(cols[::-1], dtype=np.int64), np.array(rows[::-1], dtype=np.int64)
+
+
+def dtw(seq1, seq2, dist=None, i2min=None, i2max=None,
+        transportcost: float = 1.0, postprocess=None):
+    """Full DTW: ``(cost, i1, i2)`` with 1-based warp paths
+    (reference src/dtw.jl:25-28). Banded when ``i2min/i2max`` given."""
+    if i2min is not None or i2max is not None:
+        D = banded_dtw_cost_matrix(seq1, seq2, dist, i2min, i2max,
+                                   transportcost=transportcost)
+    else:
+        D = dtw_cost_matrix(seq1, seq2, dist, transportcost=transportcost,
+                            postprocess=postprocess)
+    return trackback(D)
+
+
+def radiuslimits(r: int, n, m=None):
+    """Sakoe-Chiba band for possibly unequal lengths
+    (reference src/utils.jl:22-33). Accepts ``(r, n, m)`` ints or
+    ``(r, seq1, seq2)``. Returns 1-based ``(imin, imax)`` of length n."""
+    if m is None or not np.isscalar(n):
+        n, m = _lastlen(n), _lastlen(m)
+    n, m = int(n), int(m)
+    d = abs(m - n)
+    idx = np.arange(1, n + 1, dtype=np.int64)
+    if m >= n:
+        imin = np.maximum(idx - r, 1)
+        imax = np.minimum(idx + (r + d), m)
+    else:
+        imin = np.maximum(idx - (r + d), 1)
+        imax = np.minimum(idx + r, m)
+    return imin, imax
+
+
+def _slice_profile(d, a, i: int, b, lo: int, hi: int) -> np.ndarray:
+    """Vectorized local costs d(a[..,i], b[..,j]) for j in [lo, hi]."""
+    a = np.asarray(a)
+    b = np.asarray(b)
+    if a.ndim == 1:
+        seg = b[lo:hi + 1] - a[i]
+        nm = d.name
+        if nm == "sqeuclidean":
+            return seg * seg
+        if nm in ("euclidean", "cityblock", "chebyshev"):
+            return np.abs(seg)
+        raise TypeError(f"unsupported dist {nm}")
+    # multichannel: time last axis
+    diff = b[:, lo:hi + 1] - a[:, i][:, None]
+    nm = d.name
+    if nm == "sqeuclidean":
+        return np.einsum("cj,cj->j", diff, diff)
+    if nm == "euclidean":
+        return np.sqrt(np.einsum("cj,cj->j", diff, diff))
+    if nm == "cityblock":
+        return np.abs(diff).sum(axis=0)
+    if nm == "chebyshev":
+        return np.abs(diff).max(axis=0)
+    raise TypeError(f"unsupported dist {nm}")
+
+
+def dtw_cost(a, b, dist=None, r: int = 0, transportcost: float = 1.0,
+             best_so_far: float = _INF, cumulative_bound=None) -> float:
+    """O(r)-memory banded DTW cost with early abandon
+    (reference src/dtw.jl:176-237, UCR-suite style).
+
+    Requires equal lengths (src/dtw.jl:195). ``cumulative_bound`` is the
+    reverse-cumulative LB_Keogh bound consumed by the abandon test
+    (src/dtw.jl:227-229): when the running row minimum plus the remaining
+    bound already exceeds ``best_so_far``, that partial sum is returned (a
+    lower bound on the true cost, matching reference behavior exactly).
+
+    Each band row is vectorized: with tc == 1 the within-row recurrence
+    ``cost[j] = min(b[j], cost[j-1]) + d[j]`` is solved by a min-plus
+    prefix scan (cumsum + minimum.accumulate); with tc != 1 a short Python
+    loop over the 2r+1 band is used.
+    """
+    d = get_dist(dist)
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    m = _lastlen(a)
+    if _lastlen(b) != m:
+        raise ValueError(
+            f"a and b must have the same length, got {m} and {_lastlen(b)}; "
+            "use dtw() for different lengths")
+    r = int(r)
+    cb = np.zeros(m) if cumulative_bound is None else np.asarray(cumulative_bound, dtype=np.float64)
+    if len(cb) != m:
+        raise ValueError("cumulative_bound and a must have the same length")
+    tc = float(transportcost)
+
+    prev = None          # cost array of previous row
+    plo = phi = -1       # its 0-based band bounds
+    cost = None
+    lo = hi = 0
+    for i in range(m):
+        lo = max(0, i - r)
+        hi = min(m - 1, i + r)
+        w = hi - lo + 1
+        dloc = _slice_profile(d, a, i, b, lo, hi)
+        if i == 0:
+            # boundary row: plain cumsum, no tc (matches the full matrix's
+            # first-row initialization, src/dtw.jl:54-56)
+            cost = np.cumsum(dloc)
+        else:
+            # bvec[j] = min(tc*up, diag):  up = (i-1, j) tc'd, diag free.
+            # Boundary column j==0 mirrors the full matrix's first-column
+            # cumsum: up without tc (src/dtw.jl:51-53).
+            j_idx = np.arange(lo, hi + 1)
+            up = np.full(w, _INF)
+            diag = np.full(w, _INF)
+            sel = (j_idx >= plo) & (j_idx <= phi)
+            up[sel] = prev[j_idx[sel] - plo]
+            sel = (j_idx - 1 >= plo) & (j_idx - 1 <= phi)
+            diag[sel] = prev[j_idx[sel] - 1 - plo]
+            up_scaled = tc * up
+            if lo == 0:
+                up_scaled[0] = up[0]
+            bvec = np.minimum(up_scaled, diag)
+            if tc == 1.0:
+                S = np.cumsum(dloc)
+                g = bvec - np.concatenate(([0.0], S[:-1]))
+                cost = S + np.minimum.accumulate(g)
+            else:
+                cost = np.empty(w)
+                acc = _INF
+                for j in range(w):
+                    y = tc * acc if j > 0 else _INF  # left move (i, j-1)
+                    acc = min(y, bvec[j]) + dloc[j]
+                    cost[j] = acc
+        min_cost = cost.min()
+        # early abandon (src/dtw.jl:227-229)
+        if (i + r) < (m - 1) and min_cost + cb[i + r] >= best_so_far:
+            return float(min_cost + cb[i + r])
+        prev, plo, phi = cost, lo, hi
+    return float(cost[-1])

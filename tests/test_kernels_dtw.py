@@ -1,0 +1,238 @@
+"""Golden-value parity tests for the core DTW kernels.
+
+Every expected value below is copied from the reference test suite
+(/root/reference/test/runtests.jl), line numbers cited per case — these pin
+cost values, exact warp paths, tie-breaking, band semantics, and radius
+limits.
+"""
+
+import numpy as np
+import pytest
+
+from dynamicaxiswarping_jl_spark.kernels import (
+    dtw, dtw_cost, dtw_cost_matrix, banded_dtw_cost_matrix, trackback,
+    radiuslimits, soft_dtw_cost, SqEuclidean, Euclidean, Cityblock, Chebyshev,
+)
+
+A = np.array([1, 1, 1, 2, 4, 6, 5, 5, 5, 4, 4, 3, 1, 1, 1], dtype=float)
+B = np.array([1, 1, 2, 4, 6, 6, 6, 5, 4, 4, 4, 3, 3, 3, 1], dtype=float)
+
+
+class TestDtwGolden:
+    def test_cost_zero_with_paths(self):
+        # runtests.jl:76-88
+        cost, i1, i2 = dtw(A, B)
+        assert cost == 0
+        assert i1.tolist() == [1, 2, 3, 4, 5, 6, 6, 6, 7, 8, 9, 10, 10, 11, 12, 12, 12, 13, 14, 15]
+        assert i2.tolist() == [1, 1, 2, 3, 4, 5, 6, 7, 8, 8, 8, 9, 10, 11, 12, 13, 14, 15, 15, 15]
+
+    def test_cost_four_after_bump(self):
+        # runtests.jl:95-105
+        a = A.copy()
+        a[-1] += 2
+        cost, _, _ = dtw(a, B)
+        assert cost == 4
+        assert dtw_cost(a, B, SqEuclidean(), len(a)) == cost
+        # transportcost=1.1 leaves this cost unchanged (runtests.jl:100-102)
+        cost11, _, _ = dtw(a, B, transportcost=1.1)
+        assert cost11 == 4
+        # radius 0 reduces to the pointwise distance (runtests.jl:104-105)
+        assert dtw_cost(a, B, SqEuclidean(), 0) == pytest.approx(np.sum((a - B) ** 2))
+        assert dtw_cost(a, B, Euclidean(), 0) == pytest.approx(np.sum(np.abs(a - B)))
+
+    def test_shifted_ramp(self):
+        # runtests.jl:112-117
+        a = np.arange(1.0, 11.0)
+        b = a + 1
+        cost, _, _ = dtw(a, b)
+        assert cost == 2
+        assert dtw_cost(a, b, SqEuclidean(), len(a)) == cost
+
+    def test_zeros_vs_ones(self):
+        # runtests.jl:121-126
+        a = np.zeros(6)
+        b = np.ones(6)
+        cost, _, _ = dtw(a, b)
+        assert cost == 6
+        assert dtw_cost(a, b, SqEuclidean(), len(a)) == cost
+
+    def test_diagonal_tie_preference(self):
+        # runtests.jl:131-151
+        cost, i1, i2 = dtw(np.ones(3), np.ones(3))
+        assert cost == 0
+        assert i1.tolist() == [1, 2, 3]
+        assert i2.tolist() == [1, 2, 3]
+        cost, i1, i2 = dtw(np.array([0.0, 1, 1, 1]), np.array([0.0, 0, 1, 1]))
+        assert cost == 0
+        assert i1.tolist() == [1, 1, 2, 3, 4]
+        assert i2.tolist() == [1, 2, 3, 3, 4]
+
+    def test_inner_metrics(self):
+        # runtests.jl:153-163 — pluggable inner metrics
+        a = np.array([1.0, 2, 3, 4])
+        b = np.array([1.0, 2, 2, 4])
+        for d in (SqEuclidean(), Euclidean(), Cityblock(), Chebyshev()):
+            cost, _, _ = dtw(a, b, d)
+            assert cost >= 0
+            # identical inputs → 0
+            c0, _, _ = dtw(a, a, d)
+            assert c0 == 0
+
+    def test_multichannel(self):
+        # runtests.jl:60-74 — each column an observation; identical → 0
+        x = np.vstack([A, A])
+        y = np.vstack([B, B])
+        cost, i1, i2 = dtw(x, y)
+        assert cost == 0  # per-channel costs are 0 here
+        c1, _, _ = dtw(A, B)
+        # doubled channels double the local costs: cost(x,y) == 2*cost(A,B) == 0
+        assert cost == 2 * c1
+
+
+class TestWindowedGolden:
+    # runtests.jl:198-337 — windowed DTW golden paths
+    a = np.array([0.0, 1, 2, 3, 4, 4, 4, 4])
+    b = np.array([0.0, 0, 1, 2, 2, 2, 3, 4])
+    free_i1 = [1, 1, 2, 3, 3, 3, 4, 5, 6, 7, 8]
+    free_i2 = [1, 2, 3, 4, 5, 6, 7, 8, 8, 8, 8]
+
+    def test_unconstrained(self):
+        cost, i1, i2 = dtw(self.a, self.b)
+        assert cost == 0
+        assert i1.tolist() == self.free_i1
+        assert i2.tolist() == self.free_i2
+
+    @pytest.mark.parametrize("rmin,rmax", [
+        ([1, 1, 1, 2, 3, 4, 5, 6], [4, 6, 7, 8, 8, 8, 8, 8]),
+        ([1, 3, 4, 7, 8, 8, 8, 8], [4, 6, 7, 8, 8, 8, 8, 8]),
+        ([1, 1, 1, 2, 3, 4, 5, 6], [2, 3, 6, 7, 8, 8, 8, 8]),
+        ([1, 3, 4, 7, 8, 8, 8, 8], [2, 3, 6, 7, 8, 8, 8, 8]),
+    ])
+    def test_windows_containing_free_path(self, rmin, rmax):
+        cost, i1, i2 = dtw(self.a, self.b, i2min=rmin, i2max=rmax)
+        assert cost == 0
+        assert i1.tolist() == self.free_i1
+        assert i2.tolist() == self.free_i2
+
+    def test_cutting_window(self):
+        rmin = [1, 1, 1, 2, 3, 4, 5, 6]
+        rmax = [4, 4, 5, 6, 7, 8, 8, 8]
+        cost, i1, i2 = dtw(self.a, self.b, i2min=rmin, i2max=rmax)
+        assert cost == 2
+        assert i1.tolist() == [1, 1, 2, 3, 3, 4, 5, 6, 7, 8]
+        assert i2.tolist() == [1, 2, 3, 4, 5, 6, 7, 8, 8, 8]
+
+    def test_full_width_window_equals_unconstrained(self):
+        n = len(self.a)
+        rmin = [1] * n
+        rmax = [n] * n
+        cost_w, i1w, i2w = dtw(self.a, self.b, i2min=rmin, i2max=rmax)
+        cost_f, i1f, i2f = dtw(self.a, self.b)
+        assert cost_w == cost_f
+        assert i1w.tolist() == i1f.tolist()
+        assert i2w.tolist() == i2f.tolist()
+
+    def test_band_validation(self):
+        with pytest.raises(ValueError):
+            dtw(self.a, self.b, i2min=[2] * 8, i2max=[8] * 8)
+        with pytest.raises(ValueError):
+            dtw(self.a, self.b, i2min=[1] * 8, i2max=[7] * 8)
+
+
+class TestRadiuslimits:
+    def test_unequal_lengths(self):
+        # runtests.jl:10-27
+        imin, imax = radiuslimits(3, 10, 20)
+        assert len(imin) == 10
+        assert imin[0] == 1
+        assert imax[0] == 14
+        assert imax[-1] == 20
+        imin, imax = radiuslimits(3, 20, 10)
+        assert len(imin) == 20
+        assert imin[0] == 1
+        assert imax[0] == 4
+        assert imax[-1] == 10
+
+    def test_banded_equals_full_when_wide(self):
+        # runtests.jl:729-731 setup: banded dtw via radiuslimits
+        rng = np.random.default_rng(0)
+        a = rng.normal(size=40)
+        b = rng.normal(size=40)
+        imin, imax = radiuslimits(40, 40, 40)
+        cb, _, _ = dtw(a, b, i2min=imin, i2max=imax)
+        cf, _, _ = dtw(a, b)
+        assert cb == pytest.approx(cf)
+
+
+class TestDtwCostEquivalences:
+    def test_full_radius_equals_dtw(self):
+        rng = np.random.default_rng(1)
+        for n in (5, 17, 33):
+            a = rng.normal(size=n)
+            b = rng.normal(size=n)
+            c1, _, _ = dtw(a, b)
+            c2 = dtw_cost(a, b, SqEuclidean(), n)
+            assert c2 == pytest.approx(c1, rel=1e-12)
+
+    def test_banded_cost_matches_banded_matrix(self):
+        rng = np.random.default_rng(2)
+        n, r = 31, 4
+        a = rng.normal(size=n)
+        b = rng.normal(size=n)
+        imin, imax = radiuslimits(r, n, n)
+        cm = banded_dtw_cost_matrix(a, b, SqEuclidean(), imin, imax)
+        assert dtw_cost(a, b, SqEuclidean(), r) == pytest.approx(cm[-1, -1], rel=1e-12)
+
+    def test_transportcost_consistency(self):
+        # engine invariant: dtw_cost(r=n) == full dtw for every transportcost
+        # (see kernels/dtw.py module docstring for the documented deviation
+        # from reference src/dtw.jl:213-215)
+        rng = np.random.default_rng(3)
+        a = rng.normal(size=20)
+        b = rng.normal(size=20)
+        for tc in (1.0, 1.1, 2.0):
+            c1, _, _ = dtw(a, b, transportcost=tc)
+            c2 = dtw_cost(a, b, SqEuclidean(), 20, transportcost=tc)
+            assert c2 == pytest.approx(c1, rel=1e-12)
+
+    def test_early_abandon_returns_lower_bound(self):
+        rng = np.random.default_rng(4)
+        a = rng.normal(size=50)
+        b = rng.normal(size=50) + 10
+        exact = dtw_cost(a, b, SqEuclidean(), 5)
+        abandoned = dtw_cost(a, b, SqEuclidean(), 5, best_so_far=exact / 10)
+        assert abandoned <= exact
+        assert abandoned >= exact / 10  # abandoned at/above the threshold
+
+
+class TestSoftDtwGolden:
+    def test_gamma_to_zero_approaches_dtw(self):
+        # runtests.jl:107,118,127
+        a = A.copy()
+        a[-1] += 2
+        cost, _, _ = dtw(a, B)
+        assert soft_dtw_cost(a, B, gamma=0.001) == pytest.approx(cost, rel=1e-2)
+        a2 = np.arange(1.0, 11.0)
+        b2 = a2 + 1
+        assert soft_dtw_cost(a2, b2, gamma=0.01) == pytest.approx(2.0, rel=1e-2)
+        z = np.zeros(6)
+        o = np.ones(6)
+        assert soft_dtw_cost(z, o, gamma=0.01) == pytest.approx(6.0, rel=1e-2)
+
+    def test_banded_at_least_unbanded(self):
+        # runtests.jl:110 — unbanded soft cost <= banded
+        a = A.copy()
+        a[-1] += 2
+        assert soft_dtw_cost(a, B, gamma=0.001) <= soft_dtw_cost(a, B, gamma=0.001, radius=2)
+
+    def test_positive_lower_bound(self):
+        # runtests.jl:93
+        assert soft_dtw_cost(A, B, gamma=0.001) > -0.01
+
+    def test_scaling_identity(self):
+        # runtests.jl:88-90: doubled channels double the cost matrix
+        Dm = dtw_cost_matrix(A, B)
+        x = np.vstack([A, A])
+        y = np.vstack([B, B])
+        Dm2 = dtw_cost_matrix(x, y)
+        assert np.allclose(Dm2, 2 * Dm)

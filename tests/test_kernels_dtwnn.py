@@ -1,0 +1,162 @@
+"""dtwnn / sparse_distmat / matrix_profile parity tests.
+
+Oracle pattern copied from the reference (runtests.jl:491-659 and
+test_matrixprofile.jl:5-16): the optimized pruned search must equal a
+brute-force map of dtw_cost over every window, with and without
+normalization and pruning flags.
+"""
+
+import numpy as np
+import pytest
+
+from dynamicaxiswarping_jl_spark.kernels import (
+    dtwnn, dtw_cost, sparse_distmat, distance_profile, matrix_profile,
+    znorm, SqEuclidean, lower_upper_envs,
+)
+
+
+def brute_force(q, y, rad, normalizer=None):
+    """Reference-style naive NN: dtw_cost on every window."""
+    qn = znorm(q) if normalizer else np.asarray(q, float)
+    m = len(q)
+    nw = len(y) - m + 1
+    dists = np.empty(nw)
+    for i in range(nw):
+        w = np.asarray(y[i:i + m], float)
+        if normalizer:
+            w = znorm(w)
+        dists[i] = dtw_cost(qn, w, SqEuclidean(), rad)
+    loc = int(dists.argmin())
+    return dists[loc], loc + 1, dists
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(42)
+    y = np.sin(np.linspace(0, 20 * np.pi, 600)) + 0.1 * rng.normal(size=600)
+    q = y[137:137 + 40].copy() + 0.01 * rng.normal(size=40)
+    return q, y
+
+
+class TestDtwnnParity:
+    def test_self_distance_zero(self, data):
+        # runtests.jl:51-58: query found in itself with ~0 cost
+        _, y = data
+        q = y[:50]
+        for norm in (None, "znorm"):
+            res = dtwnn(q, y, SqEuclidean(), 3, norm)
+            assert res.cost < 1e-18
+            assert res.loc == 1
+
+    @pytest.mark.parametrize("norm", [None, "znorm"])
+    @pytest.mark.parametrize("rad", [0, 3, 7])
+    def test_matches_brute_force(self, data, norm, rad):
+        # runtests.jl:491-541
+        q, y = data
+        res = dtwnn(q, y, SqEuclidean(), rad, norm)
+        bcost, bloc, _ = brute_force(q, y, rad, norm)
+        assert res.cost == pytest.approx(bcost, rel=1e-9)
+        assert res.loc == bloc
+
+    @pytest.mark.parametrize("pe,pv", [(True, True), (True, False),
+                                       (False, True), (False, False)])
+    def test_pruning_flags_do_not_change_result(self, data, pe, pv):
+        # runtests.jl:543-559
+        q, y = data
+        ref = dtwnn(q, y, SqEuclidean(), 5, prune_endpoints=False,
+                    prune_envelope=False)
+        res = dtwnn(q, y, SqEuclidean(), 5, prune_endpoints=pe,
+                    prune_envelope=pv)
+        assert res.cost == pytest.approx(ref.cost, rel=1e-9)
+        assert res.loc == ref.loc
+
+    def test_prune_counters_positive_on_sine(self, data):
+        # runtests.jl:543-559: pruning engages on sine data
+        q, y = data
+        res = dtwnn(q, y, SqEuclidean(), 5)
+        assert res.prune_end + res.prune_env > 0
+
+    def test_saveall_profile_matches_brute_force(self, data):
+        q, y = data
+        res = dtwnn(q, y, SqEuclidean(), 4, saveall=True)
+        _, _, bdists = brute_force(q, y, 4)
+        np.testing.assert_allclose(res.dists, bdists, rtol=1e-9)
+
+    def test_znorm_window_semantics(self):
+        # runtests.jl:523-531: windows have mean≈0, uncorrected std≈1
+        rng = np.random.default_rng(7)
+        w = znorm(rng.normal(2.0, 3.0, size=100))
+        assert abs(w.mean()) < 1e-12
+        assert abs(w.std(ddof=0) - 1) < 1e-12
+
+    def test_avoid_region_excluded(self, data):
+        q, y = data
+        res_all = dtwnn(q, y, SqEuclidean(), 5)
+        res = dtwnn(q, y, SqEuclidean(), 5,
+                    avoid=(res_all.loc - 5, res_all.loc + 5))
+        assert not (res_all.loc - 5 <= res.loc <= res_all.loc + 5)
+
+    def test_bsf_multiplier_keeps_result(self, data):
+        q, y = data
+        r1 = dtwnn(q, y, SqEuclidean(), 5)
+        r2 = dtwnn(q, y, SqEuclidean(), 5, bsf_multiplier=1.5)
+        assert r2.cost == pytest.approx(r1.cost, rel=1e-9)
+        assert r2.loc == r1.loc
+        # looser pruning prunes fewer windows
+        assert r2.prune_end + r2.prune_env <= r1.prune_end + r1.prune_env
+
+    def test_envelopes(self):
+        q = np.array([0.0, 1, 2, 1, 0, -1, 0])
+        l, u = lower_upper_envs(q, 1)
+        assert u.tolist() == [1, 2, 2, 2, 1, 0, 0]
+        assert l.tolist() == [0, 0, 1, 0, -1, -1, -1]
+
+
+class TestSparseDistmat:
+    def test_matches_dense_topk(self):
+        # runtests.jl:633-644
+        rng = np.random.default_rng(11)
+        N, L, k, rad = 12, 30, 4, 5
+        ys = [np.cumsum(rng.normal(size=L)) for _ in range(N)]
+        DISTS, INDS = sparse_distmat(ys, k, SqEuclidean(), rad)
+        # dense pairwise oracle
+        D = np.full((N, N), np.inf)
+        for i in range(N):
+            for j in range(N):
+                if i != j:
+                    D[i, j] = dtw_cost(ys[i], ys[j], SqEuclidean(), rad)
+        for i in range(N):
+            order = np.argsort(D[i])[:k]
+            np.testing.assert_allclose(DISTS[i], D[i][order], rtol=1e-9)
+            assert set(INDS[i]) == set(order + 1)
+
+
+class TestProfiles:
+    def test_distance_profile_matches_direct(self):
+        # runtests.jl:651-659
+        rng = np.random.default_rng(13)
+        T = np.cumsum(rng.normal(size=120))
+        Q = T[30:50].copy()
+        prof = distance_profile(Q, T, SqEuclidean(), 4)
+        assert len(prof) == len(T) - len(Q) + 1
+        for i in (0, 17, 30, 77):
+            direct = dtw_cost(Q, T[i:i + len(Q)], SqEuclidean(), 4)
+            assert prof[i] == pytest.approx(direct, rel=1e-9)
+        assert prof[30] < 1e-18
+
+    def test_matrix_profile_matches_dense(self):
+        # test_matrixprofile.jl:5-16
+        rng = np.random.default_rng(17)
+        T = np.cumsum(rng.normal(size=60))
+        m, rad = 10, 3
+        P, I = matrix_profile(T, m, rad, SqEuclidean())
+        l = len(T) - m + 1
+        D = np.full((l, l), np.inf)
+        for i in range(l):
+            for j in range(l):
+                if abs(i - j) > rad:
+                    D[i, j] = dtw_cost(T[i:i + m], T[j:j + m],
+                                       SqEuclidean(), rad)
+        for i in range(l):
+            assert P[i] == pytest.approx(D[i].min(), rel=1e-9)
+            assert I[i] == D[i].argmin() + 1
