@@ -1,38 +1,557 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship rollup→drift pipeline on sf0.001.
+``queries()`` exposes one callable per implemented operator (SURVEY.md §2);
+``oracle_sql()`` gives the DuckDB-equivalent SQL for every SQL-expressible
+one (non-SQL DTW/DBA/LSH ops are rows-only checked by design).
+
+Conventions shared by both sides so value hashes match:
+- session timezone UTC; tumbling windows are epoch-aligned, so
+  ``window(ts, '1 minute').start == date_trunc('minute', ts)``;
+- every float aggregate is rounded to 4 decimals IN BOTH engines;
+- embedding math is cast to float64 in both (DuckDB: CAST(... AS DOUBLE[]));
+- ties in top-k are broken by an explicit deterministic key.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from dynamicaxiswarping_jl_spark.operators import (
+    rollup_turns, cascade, gapfill, assemble_series,
+    compress_chunks, decompress_chunks,
+    drift_scores, dtwnn_search, knn_topk, dba_per_group,
+    exact_dedup, minhash_dedup, simhash_signatures,
+    cosine_topk, token_stats, quality_score, language_id, fingerprint,
+)
+from dynamicaxiswarping_jl_spark.sources import transcripts_df
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _events_1m(spark, sf_dir) -> DataFrame:
+    """Per-user 1-minute rollup of the events stream (turn-rate analog)."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("user_id", F.window("ts", "1 minute").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("value").alias("vsum"))
+            .select("user_id", F.col("w.start").alias("bucket"), "n_events",
+                    F.round("vsum", 4).alias("value_sum")))
+
+
+# --------------------------------------------------------------------------
+# entry: flagship pipeline
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: events → 1m tier → gap-fill → 1h cascade → assembled
+    series → banded-DTW drift scores per user (rollup + DTW end-to-end)."""
+    sf = "/root/testdata/sf0.001"
+    ev = _t(spark, sf, "events").withColumnRenamed("user_id", "conv_id")
+    t1m = rollup_turns(ev.withColumn("conv_id", F.col("conv_id").cast("string")),
+                       "1m", ts_col="ts", tool_col="event_type")
+    t1h = gapfill(cascade(t1m, "1h"), 3600, policy="zero")
+    t1d = gapfill(cascade(t1m, "1d"), 86400, policy="zero")
+    fine = assemble_series(t1h, "turn_rate", step_s=3600)
+    coarse = assemble_series(t1d, "turn_rate", step_s=86400)
+    return drift_scores(fine, coarse, radius=5)
+
+
+# --------------------------------------------------------------------------
+# queries + oracles
+# --------------------------------------------------------------------------
+
+def q_rollup_1m(spark, sf_dir):
+    return _events_1m(spark, sf_dir)
+
+
+def q_rollup_1h_cascade(spark, sf_dir):
+    # Spark side exercises the tier cascade (1m → 1h); the oracle rolls up
+    # directly from raw — equality proves cascade re-aggregability.
+    t1m = _events_1m(spark, sf_dir)
+    return (t1m.groupBy("user_id", F.window("bucket", "1 hour").alias("w"))
+            .agg(F.sum("n_events").alias("n_events"))
+            .select("user_id", F.col("w.start").alias("bucket"), "n_events"))
+
+
+def q_rollup_1d_cascade(spark, sf_dir):
+    t1h = q_rollup_1h_cascade(spark, sf_dir)
+    return (t1h.groupBy("user_id", F.window("bucket", "1 day").alias("w"))
+            .agg(F.sum("n_events").alias("n_events"))
+            .select("user_id", F.col("w.start").alias("bucket"), "n_events"))
+
+
+def q_gapfill_zero(spark, sf_dir):
+    t1m = _events_1m(spark, sf_dir).withColumnRenamed("user_id", "conv_id")
+    gf = gapfill(t1m, 60, value_cols=("n_events",), policy="zero")
+    return gf.select(F.col("conv_id").alias("user_id"), "bucket", "n_events")
+
+
+def q_gapfill_locf(spark, sf_dir):
+    t1m = _events_1m(spark, sf_dir).withColumnRenamed("user_id", "conv_id")
+    gf = gapfill(t1m, 60, value_cols=("value_sum",), policy="locf")
+    return gf.select(F.col("conv_id").alias("user_id"), "bucket",
+                     F.round("value_sum", 4).alias("value_locf"))
+
+
+def q_sessionize(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    lagged = ev.withColumn(
+        "new_sess",
+        F.when(F.lag("ts").over(w).isNull(), 1)
+        .when(F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+              > 1800 * 1_000_000, 1).otherwise(0))
+    return (lagged.groupBy("user_id")
+            .agg(F.sum("new_sess").alias("n_sessions"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
+def q_topk_minutes(spark, sf_dir):
+    t1m = _events_1m(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("n_events").desc(), F.col("bucket").asc())
+    return (t1m.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3)
+            .select("user_id", "bucket", "n_events", "rk"))
+
+
+def q_tpch_q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-01"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum("l_quantity").alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                 F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+                 F.count(F.lit(1)).alias("count_order")))
+
+
+def q_daily_revenue(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (o.groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+
+
+def q_nation_revenue(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+
+
+def q_events_by_type(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("value"), 4).alias("avg_value"),
+                 F.round(F.min("value"), 4).alias("min_value"),
+                 F.round(F.max("value"), 4).alias("max_value")))
+
+
+def q_dedup_exact(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs).select("doc_id", "n_copies")
+
+
+def q_token_stats(spark, sf_dir):
+    return token_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_quality_score(spark, sf_dir):
+    q = quality_score(_t(spark, sf_dir, "documents"))
+    return q.select("doc_id",
+                    F.round("punct_ratio", 4).alias("punct_ratio"),
+                    F.round("alpha_ratio", 4).alias("alpha_ratio"),
+                    F.round("mean_word_len", 4).alias("mean_word_len"),
+                    F.round("quality", 4).alias("quality"))
+
+
+def q_language_id(spark, sf_dir):
+    return language_id(_t(spark, sf_dir, "documents"))
+
+
+def q_docs_by_source(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (d.groupBy("source", "lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.avg("n_chars"), 4).alias("avg_chars")))
+
+
+def q_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = (emb.filter(F.col("vec_id") < 3)
+               .select(F.col("vec_id").cast("string").alias("query_id"),
+                       F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("q")))
+    scored = cosine_topk(emb, queries, k=5)
+    # deterministic ranking: rounded sim desc, vec_id asc (both engines)
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("sim", 6).desc(), F.col("vec_id").asc())
+    return (scored.drop("rk").withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 5)
+            .select("query_id", "vec_id", F.round("sim", 4).alias("sim"), "rk"))
+
+
+def q_embedding_norms(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    norm = F.sqrt(F.expr(
+        "aggregate(embedding, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"))
+    return (emb.withColumn("nrm", norm).groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("nrm"), 4).alias("avg_norm")))
+
+
+def q_fingerprint_dupes(spark, sf_dir):
+    # order-sensitive fingerprints: count docs per distinct fingerprint size
+    fp = fingerprint(_t(spark, sf_dir, "documents"))
+    return (fp.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("n"))
+            .groupBy("n").agg(F.count(F.lit(1)).alias("n_fingerprints")))
+
+
+# ---- non-SQL-expressible (rows-only checks) ------------------------------
+
+def q_minhash_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_dedup(docs, k=64, bands=16, threshold=0.5)
+
+
+def q_simhash(spark, sf_dir):
+    return simhash_signatures(_t(spark, sf_dir, "documents"))
+
+
+def _series_from_events(spark, sf_dir):
+    ev = (_t(spark, sf_dir, "events")
+          .select(F.col("user_id").cast("string").alias("conv_id"), "ts",
+                  F.lit(None).cast("string").alias("tool")))
+    t1h = gapfill(rollup_turns(ev, "1h"), 3600, policy="zero")
+    return assemble_series(t1h, "turn_rate", step_s=3600)
+
+
+def q_drift_1h_1d(spark, sf_dir):
+    ev = (_t(spark, sf_dir, "events")
+          .select(F.col("user_id").cast("string").alias("conv_id"), "ts",
+                  F.lit(None).cast("string").alias("tool")))
+    t1m = rollup_turns(ev, "1m")
+    t1h = gapfill(cascade(t1m, "1h"), 3600, policy="zero")
+    t1d = gapfill(cascade(t1m, "1d"), 86400, policy="zero")
+    fine = assemble_series(t1h, "turn_rate", step_s=3600)
+    coarse = assemble_series(t1d, "turn_rate", step_s=86400)
+    return (drift_scores(fine, coarse, radius=5)
+            .select("conv_id", F.round("cost", 4).alias("cost"),
+                    "n_fine", "n_coarse", "pruned_lb"))
+
+
+def q_dtwnn_series(spark, sf_dir):
+    series = _series_from_events(spark, sf_dir)
+    first = series.orderBy("conv_id").first()
+    qvec = [float(v) for v in first["points"][:24]]
+    queries = spark.createDataFrame([("q0", qvec)],
+                                    "query_id string, q array<double>")
+    return (dtwnn_search(queries, series, radius=5)
+            .select("query_id", F.round("cost", 4).alias("cost"), "conv_id",
+                    "loc", "prune_end", "prune_env"))
+
+
+def q_knn_series(spark, sf_dir):
+    series = _series_from_events(spark, sf_dir).filter(F.col("conv_id").cast("long") < 40)
+    return (knn_topk(series, k=3, radius=5)
+            .select("id_a", "id_b", F.round("cost", 4).alias("cost"), "rk"))
+
+
+def q_dba_reps(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    series = emb.select(
+        F.col("label").cast("string").alias("group_id"),
+        F.col("vec_id").cast("string").alias("conv_id"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("points"))
+    reps = dba_per_group(series.filter(F.col("conv_id").cast("long") < 200), "group_id")
+    return reps.select(
+        "group_id", F.round("cost", 4).alias("cost"), "converged",
+        "iterations", "n_members",
+        F.expr("transform(center, x -> round(x, 4))").alias("center"))
+
+
+def q_gorilla_roundtrip(spark, sf_dir):
+    ev = (_t(spark, sf_dir, "events")
+          .select(F.col("user_id").cast("string").alias("conv_id"), "ts",
+                  F.lit(None).cast("string").alias("tool")))
+    t1h = gapfill(cascade(rollup_turns(ev, "1m"), "1h"), 3600, policy="zero")
+    chunks = compress_chunks(t1h, "1h", "turn_rate", chunk="7 days")
+    back = decompress_chunks(chunks, "turn_rate")
+    # verification join: every (conv, bucket, value) must round-trip exactly
+    orig = t1h.select("conv_id", F.col("bucket").cast("timestamp").alias("bucket"),
+                      F.col("turn_rate").cast("double").alias("v"))
+    dec = back.select("conv_id", "bucket",
+                      F.col("turn_rate").alias("v2"))
+    j = orig.join(dec, ["conv_id", "bucket"], "full")
+    return (j.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("v") != F.col("v2"), 1).otherwise(0)).alias("n_mismatch"),
+        F.sum(F.when(F.col("v").isNull() | F.col("v2").isNull(), 1).otherwise(0)).alias("n_missing")))
+
+
+def q_transcripts_rollup(spark, sf_dir):
+    turns = transcripts_df(spark, 50, seed=42, mean_turns=40, slices=8)
+    t1h = cascade(rollup_turns(turns, "1m"), "1h")
+    return (t1h.groupBy("conv_id")
+            .agg(F.sum("n_turns").alias("n_turns"),
+                 F.sum("tool_calls").alias("tool_calls"),
+                 F.count(F.lit(1)).alias("n_buckets")))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "rollup_1m": q_rollup_1m,
+        "rollup_1h_cascade": q_rollup_1h_cascade,
+        "rollup_1d_cascade": q_rollup_1d_cascade,
+        "gapfill_zero": q_gapfill_zero,
+        "gapfill_locf": q_gapfill_locf,
+        "sessionize": q_sessionize,
+        "topk_minutes": q_topk_minutes,
+        "tpch_q1": q_tpch_q1,
+        "daily_revenue": q_daily_revenue,
+        "nation_revenue": q_nation_revenue,
+        "events_by_type": q_events_by_type,
+        "dedup_exact": q_dedup_exact,
+        "token_stats": q_token_stats,
+        "quality_score": q_quality_score,
+        "language_id": q_language_id,
+        "docs_by_source": q_docs_by_source,
+        "cosine_topk": q_cosine_topk,
+        "embedding_norms": q_embedding_norms,
+        "fingerprint_dupes": q_fingerprint_dupes,
+        # non-SQL-expressible (rows-only):
+        "minhash_pairs": q_minhash_pairs,
+        "simhash": q_simhash,
+        "drift_1h_1d": q_drift_1h_1d,
+        "dtwnn_series": q_dtwnn_series,
+        "knn_series": q_knn_series,
+        "dba_reps": q_dba_reps,
+        "gorilla_roundtrip": q_gorilla_roundtrip,
+        "transcripts_rollup": q_transcripts_rollup,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_STOP_EN = "['the','and','of','to','in','is','that','it','was','for']"
+_STOP_DE = "['der','die','und','das','ist','nicht','ein','mit','auf','zu']"
+_STOP_FR = "['le','la','et','les','des','est','dans','que','une','pour']"
+_STOP_ES = "['el','la','de','que','los','en','una','por','con','para']"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "rollup_1m": """
+            SELECT user_id, date_trunc('minute', ts) AS bucket,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS value_sum
+            FROM events GROUP BY 1, 2
+        """,
+        "rollup_1h_cascade": """
+            SELECT user_id, date_trunc('hour', ts) AS bucket,
+                   count(*) AS n_events
+            FROM events GROUP BY 1, 2
+        """,
+        "rollup_1d_cascade": """
+            SELECT user_id, date_trunc('day', ts) AS bucket,
+                   count(*) AS n_events
+            FROM events GROUP BY 1, 2
+        """,
+        "gapfill_zero": """
+            WITH t1m AS (
+              SELECT user_id, date_trunc('minute', ts) AS bucket,
+                     count(*) AS n_events
+              FROM events GROUP BY 1, 2),
+            bounds AS (
+              SELECT user_id, min(bucket) mn, max(bucket) mx
+              FROM t1m GROUP BY user_id),
+            spine AS (
+              SELECT user_id,
+                     unnest(generate_series(mn, mx, INTERVAL 1 minute)) AS bucket
+              FROM bounds)
+            SELECT s.user_id, s.bucket,
+                   coalesce(t.n_events, 0) AS n_events
+            FROM spine s LEFT JOIN t1m t
+              ON s.user_id = t.user_id AND s.bucket = t.bucket
+        """,
+        "gapfill_locf": """
+            WITH t1m AS (
+              SELECT user_id, date_trunc('minute', ts) AS bucket,
+                     round(sum(value), 4) AS value_sum
+              FROM events GROUP BY 1, 2),
+            bounds AS (
+              SELECT user_id, min(bucket) mn, max(bucket) mx
+              FROM t1m GROUP BY user_id),
+            spine AS (
+              SELECT user_id,
+                     unnest(generate_series(mn, mx, INTERVAL 1 minute)) AS bucket
+              FROM bounds),
+            joined AS (
+              SELECT s.user_id, s.bucket, t.value_sum
+              FROM spine s LEFT JOIN t1m t
+                ON s.user_id = t.user_id AND s.bucket = t.bucket)
+            SELECT user_id, bucket,
+                   round(coalesce(last_value(value_sum IGNORE NULLS) OVER (
+                     PARTITION BY user_id ORDER BY bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0), 4)
+                   AS value_locf
+            FROM joined
+        """,
+        "sessionize": """
+            WITH lagged AS (
+              SELECT user_id,
+                CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                       THEN 1
+                     WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000000
+                       THEN 1 ELSE 0 END AS new_sess
+              FROM events)
+            SELECT user_id, sum(new_sess) AS n_sessions,
+                   count(*) AS n_events
+            FROM lagged GROUP BY user_id
+        """,
+        "topk_minutes": """
+            WITH t1m AS (
+              SELECT user_id, date_trunc('minute', ts) AS bucket,
+                     count(*) AS n_events
+              FROM events GROUP BY 1, 2),
+            ranked AS (
+              SELECT user_id, bucket, n_events,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY n_events DESC, bucket ASC) AS rk
+              FROM t1m)
+            SELECT user_id, bucket, n_events, rk FROM ranked WHERE rk <= 3
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "daily_revenue": """
+            SELECT date_trunc('day', o_orderdate) AS day,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders GROUP BY 1
+        """,
+        "nation_revenue": """
+            SELECT n_name,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "events_by_type": """
+            SELECT event_type, count(*) AS n,
+                   round(avg(value), 4) AS avg_value,
+                   round(min(value), 4) AS min_value,
+                   round(max(value), 4) AS max_value
+            FROM events GROUP BY event_type
+        """,
+        "dedup_exact": """
+            SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+            FROM documents GROUP BY text
+        """,
+        "token_stats": r"""
+            SELECT doc_id,
+                   length(text) AS n_chars_obs,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(lower(trim(text)), '\s+'))
+                   END AS n_tokens,
+                   CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens_bpe
+            FROM documents
+        """,
+        "quality_score": r"""
+            WITH feats AS (
+              SELECT doc_id,
+                CAST(length(text) AS DOUBLE) AS n,
+                (CAST(length(text) AS DOUBLE)
+                 - length(regexp_replace(text, '[^\w\s]', '', 'g')))
+                  / greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct,
+                length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                  / greatest(CAST(length(text) AS DOUBLE), 1.0) AS alpha,
+                CAST(length(text) AS DOUBLE)
+                  / greatest(CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS DOUBLE), 1.0) AS mwl
+              FROM documents)
+            SELECT doc_id,
+                   round(punct, 4) AS punct_ratio,
+                   round(alpha, 4) AS alpha_ratio,
+                   round(mwl, 4) AS mean_word_len,
+                   round((CASE WHEN n >= 20 AND n <= 20000 THEN 1.0 ELSE 0.25 END) * 0.4
+                         + (1.0 - punct) * 0.2 + alpha * 0.2
+                         + (CASE WHEN mwl >= 3 AND mwl <= 12 THEN 1.0 ELSE 0.0 END) * 0.2,
+                         4) AS quality
+            FROM feats
+        """,
+        "language_id": rf"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) AS tk
+              FROM documents),
+            hits AS (
+              SELECT doc_id,
+                     len(list_intersect(tk, {_STOP_EN})) AS hits_en,
+                     len(list_intersect(tk, {_STOP_DE})) AS hits_de,
+                     len(list_intersect(tk, {_STOP_FR})) AS hits_fr,
+                     len(list_intersect(tk, {_STOP_ES})) AS hits_es
+              FROM toks)
+            SELECT doc_id, hits_en, hits_de, hits_fr, hits_es,
+                   CASE WHEN greatest(hits_en, hits_de, hits_fr, hits_es) <= 0 THEN 'und'
+                        WHEN hits_en = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'en'
+                        WHEN hits_de = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'de'
+                        WHEN hits_fr = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'fr'
+                        ELSE 'es' END AS lang_pred
+            FROM hits
+        """,
+        "docs_by_source": """
+            SELECT source, lang, count(*) AS n_docs,
+                   round(avg(n_chars), 4) AS avg_chars
+            FROM documents GROUP BY source, lang
+        """,
+        "cosine_topk": """
+            WITH q AS (
+              SELECT CAST(vec_id AS VARCHAR) AS query_id,
+                     CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id < 3),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS sim
+              FROM embeddings e, q),
+            ranked AS (
+              SELECT query_id, vec_id, sim,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY round(sim, 6) DESC, vec_id ASC) AS rk
+              FROM scored)
+            SELECT query_id, vec_id, round(sim, 4) AS sim, rk
+            FROM ranked WHERE rk <= 5
+        """,
+        "embedding_norms": """
+            SELECT label, count(*) AS n,
+                   round(avg(sqrt(list_sum(list_transform(
+                     CAST(embedding AS DOUBLE[]), x -> x * x)))), 4) AS avg_norm
+            FROM embeddings GROUP BY label
+        """,
+        "fingerprint_dupes": """
+            WITH fp AS (SELECT text FROM documents),
+            cnt AS (SELECT text, count(*) AS n FROM fp GROUP BY text)
+            SELECT n, count(*) AS n_fingerprints FROM cnt GROUP BY n
+        """,
+    }

@@ -1,0 +1,22 @@
+"""Distributed operators of the rollup + DTW analytics engine."""
+
+from .rollup import rollup_turns, cascade, assemble_series, TIERS
+from .gapfill import gapfill
+from .compression import compress_chunks, decompress_chunks, gorilla_encode, gorilla_decode
+from .dtw_ops import dtw_pairs, drift_scores, dtwnn_search, knn_topk
+from .dba_ops import dba_per_group, dba_distributed
+from .dedup import exact_dedup, minhash_dedup, simhash_signatures, ngram_jaccard_pairs
+from .similarity import cosine_topk, lsh_cosine_topk
+from .text import token_stats, quality_score, language_id, fingerprint
+from .topk import topk_per_key
+
+__all__ = [
+    "rollup_turns", "cascade", "assemble_series", "TIERS", "gapfill",
+    "compress_chunks", "decompress_chunks", "gorilla_encode", "gorilla_decode",
+    "dtw_pairs", "drift_scores", "dtwnn_search", "knn_topk",
+    "dba_per_group", "dba_distributed",
+    "exact_dedup", "minhash_dedup", "simhash_signatures", "ngram_jaccard_pairs",
+    "cosine_topk", "lsh_cosine_topk",
+    "token_stats", "quality_score", "language_id", "fingerprint",
+    "topk_per_key",
+]

@@ -1,0 +1,246 @@
+"""Gorilla / delta-of-delta chunk compression for tier series.
+
+Implements the public Facebook Gorilla scheme (Pelkonen et al., VLDB'15):
+§4.1 timestamps as delta-of-delta with variable-width buckets
+(0 / 7 / 9 / 12 / 32 bits), §4.2 values as XOR with leading/trailing-zero
+block reuse. Engine-added operator (SURVEY.md §2.8) — the reference library
+has no storage layer.
+
+Layout per chunk row::
+
+    (conv_id, tier, chunk_start TIMESTAMP, n INT, codec STRING,
+     t0 BIGINT, v0 DOUBLE, payload BINARY, crc BIGINT)
+
+``t0``/``v0`` carry the first point; ``payload`` holds the remaining n-1
+points' bits. Gap-filled tier series have constant deltas, so timestamps
+cost ~1 bit each — the design case.
+
+Encode/decode run inside ``applyInPandas`` per (key, chunk-window) group:
+chunks are a few thousand points, so the per-point Python loop is bounded
+and amortized across the Arrow batch; the chunking itself (window + shuffle)
+is pure DataFrame.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["gorilla_encode", "gorilla_decode", "compress_chunks",
+           "decompress_chunks", "CHUNK_SCHEMA"]
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, bits: int):
+        self.acc = (self.acc << bits) | (value & ((1 << bits) - 1))
+        self.nbits += bits
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.buf.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def bytes(self) -> bytes:
+        if self.nbits:
+            return bytes(self.buf) + bytes([(self.acc << (8 - self.nbits)) & 0xFF])
+        return bytes(self.buf)
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0  # bit position
+
+    def read(self, bits: int) -> int:
+        out = 0
+        for _ in range(bits):
+            byte = self.data[self.pos >> 3]
+            out = (out << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return out
+
+
+def _zigzag(v: int) -> int:
+    return (v << 1) ^ (v >> 63)
+
+
+def _unzigzag(v: int) -> int:
+    return (v >> 1) ^ -(v & 1)
+
+
+def gorilla_encode(ts: np.ndarray, vals: np.ndarray):
+    """→ (n, t0, v0, payload). ts int64 (epoch s), vals float64."""
+    ts = np.asarray(ts, dtype=np.int64)
+    vals = np.asarray(vals, dtype=np.float64)
+    n = len(ts)
+    assert n == len(vals) and n >= 1
+    t0 = int(ts[0])
+    v0 = float(vals[0])
+    w = _BitWriter()
+    # --- timestamps: first delta 32-bit zigzag, then delta-of-delta ---
+    prev_t = t0
+    prev_delta = 0
+    for i in range(1, n):
+        delta = int(ts[i]) - prev_t
+        dod = delta - prev_delta
+        if dod == 0:
+            w.write(0, 1)
+        elif -63 <= dod <= 64:
+            w.write(0b10, 2)
+            w.write(dod + 63, 7)
+        elif -255 <= dod <= 256:
+            w.write(0b110, 3)
+            w.write(dod + 255, 9)
+        elif -2047 <= dod <= 2048:
+            w.write(0b1110, 4)
+            w.write(dod + 2047, 12)
+        else:
+            w.write(0b1111, 4)
+            w.write(_zigzag(dod) & 0xFFFFFFFFFFFFFFFF, 64)
+        prev_t = int(ts[i])
+        prev_delta = delta
+    # --- values: XOR with block reuse (§4.2) ---
+    bits = vals.view(np.uint64)
+    prev_bits = int(bits[0])
+    prev_lead, prev_mean = 65, 0  # invalid → first xor writes a new block
+    for i in range(1, n):
+        cur = int(bits[i])
+        xor = prev_bits ^ cur
+        if xor == 0:
+            w.write(0, 1)
+        else:
+            lead = min(64 - xor.bit_length(), 31)
+            trail = (xor & -xor).bit_length() - 1
+            mean = 64 - lead - trail
+            w.write(1, 1)
+            prev_trail = 64 - prev_lead - prev_mean
+            if lead >= prev_lead and trail >= prev_trail:
+                # xor fits inside the previous meaningful block → reuse it
+                w.write(0, 1)
+                w.write(xor >> prev_trail, prev_mean)
+            else:
+                w.write(1, 1)
+                w.write(lead, 5)
+                w.write(mean - 1, 6)
+                w.write(xor >> trail, mean)
+                prev_lead, prev_mean = lead, mean
+        prev_bits = cur
+    return n, t0, v0, w.bytes()
+
+
+def gorilla_decode(n: int, t0: int, v0: float, payload: bytes):
+    """Inverse of gorilla_encode → (ts int64[n], vals float64[n])."""
+    ts = np.empty(n, dtype=np.int64)
+    vals = np.empty(n, dtype=np.float64)
+    ts[0] = t0
+    vals[0] = v0
+    if n == 1:
+        return ts, vals
+    r = _BitReader(payload)
+    prev_t, prev_delta = t0, 0
+    for i in range(1, n):
+        if r.read(1) == 0:
+            dod = 0
+        elif r.read(1) == 0:
+            dod = r.read(7) - 63
+        elif r.read(1) == 0:
+            dod = r.read(9) - 255
+        elif r.read(1) == 0:
+            dod = r.read(12) - 2047
+        else:
+            dod = _unzigzag(r.read(64))
+        prev_delta += dod
+        prev_t += prev_delta
+        ts[i] = prev_t
+    prev_bits = np.float64(v0).view(np.uint64).item()
+    lead = mean = 0
+    for i in range(1, n):
+        if r.read(1) == 0:
+            vals[i] = np.uint64(prev_bits).view(np.float64)
+            continue
+        if r.read(1) == 1:
+            lead = r.read(5)
+            mean = r.read(6) + 1
+        start = 64 - lead - mean
+        xor = r.read(mean) << start
+        prev_bits ^= xor
+        vals[i] = np.uint64(prev_bits).view(np.float64)
+    return ts, vals
+
+
+CHUNK_SCHEMA = T.StructType([
+    T.StructField("conv_id", T.StringType()),
+    T.StructField("tier", T.StringType()),
+    T.StructField("chunk_start", T.TimestampType()),
+    T.StructField("n", T.IntegerType()),
+    T.StructField("codec", T.StringType()),
+    T.StructField("t0", T.LongType()),
+    T.StructField("v0", T.DoubleType()),
+    T.StructField("payload", T.BinaryType()),
+    T.StructField("crc", T.LongType()),
+])
+
+
+def compress_chunks(tier_df: DataFrame, tier: str, value_col: str = "turn_rate",
+                    key: str = "conv_id", chunk: str = "1 day") -> DataFrame:
+    """Tier rows → Gorilla chunk structs, one chunk per (key, chunk window)."""
+    src = tier_df.select(
+        F.col(key).alias("conv_id"),
+        F.window("bucket", chunk)["start"].alias("chunk_start"),
+        F.col("bucket").cast("timestamp").cast("long").alias("t"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+
+    def enc(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("t")
+        n, t0, v0, payload = gorilla_encode(pdf["t"].to_numpy(),
+                                            pdf["v"].to_numpy())
+        return pd.DataFrame([{
+            "conv_id": pdf["conv_id"].iloc[0],
+            "tier": tier,
+            "chunk_start": pdf["chunk_start"].iloc[0],
+            "n": n, "codec": "gorilla",
+            "t0": t0, "v0": v0,
+            "payload": payload,
+            "crc": zlib.crc32(payload),
+        }])
+
+    return src.groupBy("conv_id", "chunk_start").applyInPandas(enc, CHUNK_SCHEMA)
+
+
+def decompress_chunks(chunks: DataFrame, value_col: str = "turn_rate") -> DataFrame:
+    """Chunk structs → tier rows (conv_id, bucket, value). CRC-verified."""
+    out_schema = T.StructType([
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("bucket", T.TimestampType()),
+        T.StructField(value_col, T.DoubleType()),
+    ])
+
+    def dec(batches):
+        for pdf in batches:
+            frames = []
+            for row in pdf.itertuples(index=False):
+                payload = bytes(row.payload)
+                if zlib.crc32(payload) != row.crc:
+                    raise IOError(f"chunk CRC mismatch for {row.conv_id}")
+                ts, vals = gorilla_decode(row.n, row.t0, row.v0, payload)
+                frames.append(pd.DataFrame({
+                    "conv_id": row.conv_id,
+                    "bucket": pd.to_datetime(ts, unit="s"),
+                    value_col: vals,
+                }))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return chunks.mapInPandas(dec, out_schema)

@@ -1,0 +1,125 @@
+"""Distributed DBA — tier representatives per group.
+
+Two strategies (SURVEY.md §2.4):
+
+- ``dba_per_group``: whole-group DBA inside one cogrouped/grouped pandas
+  UDF — the exact reference loop (src/dba.jl:28-102) in NumPy, one task per
+  group. Preferred while a group's members fit one Arrow batch (rolled-up
+  series are short; thousands of members × hundreds of points is fine).
+  Determinism: members sorted by key before accumulation, init_center =
+  member with the smallest key (reference pins init the same way in its
+  tests, runtests.jl:479).
+- ``dba_distributed``: driver-looped variant for huge groups — each
+  iteration is one Spark job emitting per-member partial
+  ``(center_idx, sum, count)`` rows reduced by groupBy().sum(); exact
+  because + is associative (src/dba.jl:140-149's accumulation is a sum).
+  Iterations are inherently sequential (reference's own structure).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..kernels import dba, dtw
+
+__all__ = ["dba_per_group", "dba_distributed"]
+
+_REP_SCHEMA = T.StructType([
+    T.StructField("group_id", T.StringType()),
+    T.StructField("center", T.ArrayType(T.DoubleType())),
+    T.StructField("cost", T.DoubleType()),
+    T.StructField("converged", T.BooleanType()),
+    T.StructField("iterations", T.IntegerType()),
+    T.StructField("n_members", T.IntegerType()),
+])
+
+
+def dba_per_group(series: DataFrame, group_col: str, key: str = "conv_id",
+                  dist: str = "sqeuclidean", iterations: int = 100,
+                  rtol: float = 1e-5) -> DataFrame:
+    """(group_col, key, points) → one DBA representative per group."""
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(key)
+        seqs = [np.asarray(p, dtype=np.float64) for p in pdf["points"]]
+        avg, res = dba(seqs, dist, init_center=seqs[0],
+                       iterations=iterations, rtol=rtol)
+        return pd.DataFrame([{
+            "group_id": str(pdf[group_col].iloc[0]),
+            "center": avg.tolist(),
+            "cost": res.cost,
+            "converged": res.converged,
+            "iterations": res.iterations,
+            "n_members": len(seqs),
+        }])
+
+    return series.groupBy(group_col).applyInPandas(run, _REP_SCHEMA)
+
+
+def dba_distributed(spark: SparkSession, series: DataFrame,
+                    init_center: np.ndarray, dist: str = "sqeuclidean",
+                    iterations: int = 20, rtol: float = 1e-5):
+    """Driver-looped DBA over one (possibly huge) group.
+
+    Per iteration: broadcast center → per-member warp-aligned partials
+    (center_idx, psum, pcount, cost) → groupBy(center_idx).sum → new center.
+    Returns (center ndarray, total_cost, n_iterations, converged).
+    """
+    center = np.asarray(init_center, dtype=np.float64)
+    L = len(center)
+    part_schema = T.StructType([
+        T.StructField("center_idx", T.IntegerType()),
+        T.StructField("psum", T.DoubleType()),
+        T.StructField("pcount", T.LongType()),
+        T.StructField("cost", T.DoubleType()),
+    ])
+    cost_prev = np.inf
+    newcost = np.inf
+    converged = False
+    it = 0
+    while not converged and it < iterations:
+        bc = spark.sparkContext.broadcast(center)
+
+        def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            ctr = bc.value
+            for pdf in batches:
+                sums = np.zeros(len(ctr))
+                counts = np.zeros(len(ctr), dtype=np.int64)
+                total = 0.0
+                for p in pdf["points"]:
+                    seq = np.asarray(p, dtype=np.float64)
+                    c, i1, i2 = dtw(ctr, seq, dist)
+                    total += c
+                    np.add.at(counts, i1 - 1, 1)
+                    np.add.at(sums, i1 - 1, seq[i2 - 1])
+                idx = np.arange(len(ctr), dtype=np.int32)
+                out = pd.DataFrame({"center_idx": idx, "psum": sums,
+                                    "pcount": counts, "cost": 0.0})
+                out.loc[0, "cost"] = total
+                yield out
+
+        agg = (series.mapInPandas(partials, part_schema)
+               .groupBy("center_idx")
+               .agg(F.sum("psum").alias("s"), F.sum("pcount").alias("c"),
+                    F.sum("cost").alias("cost"))
+               .orderBy("center_idx").collect())
+        it += 1
+        sums = np.array([r["s"] for r in agg])
+        counts = np.array([r["c"] for r in agg])
+        newcost = float(sum(r["cost"] for r in agg))
+        newavg = sums / counts
+        delta = (cost_prev - newcost) / newcost if newcost > 0 else 0.0
+        if delta < rtol:
+            converged = True
+        else:
+            cost_prev = newcost
+            center = newavg
+        bc.destroy()
+    return newavg, newcost, it, converged

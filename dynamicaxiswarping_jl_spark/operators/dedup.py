@@ -1,0 +1,173 @@
+"""Deduplication operators for the training-data pipeline.
+
+All engine-added (no reference counterpart); first-class per the task brief:
+
+- ``exact_dedup``: hash-groupBy keep-first — one shuffle on a 64-bit
+  digest, never on the full text.
+- ``minhash_dedup``: shingle → k-permutation MinHash → banded LSH →
+  bucket self-join → exact Jaccard verify. Signatures are computed in a
+  vectorized pandas UDF (NumPy universal hashing, no per-row Python work
+  beyond tokenization); candidate generation joins only within LSH buckets
+  (linear-ish, no all-pairs).
+- ``simhash_signatures``: 64-bit SimHash over token hashes (vectorized).
+- ``ngram_jaccard_pairs``: exact character-n-gram Jaccard for candidate
+  pairs (array_intersect/array_union — JVM-side).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["exact_dedup", "minhash_dedup", "minhash_signatures",
+           "simhash_signatures", "ngram_jaccard_pairs"]
+
+_MERSENNE = (1 << 61) - 1
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest id per distinct text (digest-keyed shuffle)."""
+    return (docs
+            .withColumn("_h", F.xxhash64(F.col(text_col)))
+            .groupBy("_h")
+            .agg(F.min(id_col).alias(id_col),
+                 F.count(F.lit(1)).alias("n_copies"))
+            .drop("_h"))
+
+
+def _hash_params(k: int, seed: int):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=k, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE, size=k, dtype=np.int64)
+    return a, b
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", k: int = 64,
+                       shingle: int = 3, seed: int = 42) -> DataFrame:
+    """(id, sig ARRAY<BIGINT>[k]) — word-shingle MinHash, vectorized."""
+    a, b = _hash_params(k, seed)
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("sig", T.ArrayType(T.LongType())),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sigs = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = (text or "").lower().split()
+                if len(toks) >= shingle:
+                    sh = {" ".join(toks[i:i + shingle])
+                          for i in range(len(toks) - shingle + 1)}
+                else:
+                    sh = {" ".join(toks)} if toks else {""}
+                # stable 64-bit shingle hashes → k universal-hash mins
+                hv = np.fromiter(
+                    ((hash_bytes(s)) for s in sh), dtype=np.int64, count=len(sh))
+                m = ((np.multiply.outer(a, hv, dtype=np.int64) + b[:, None])
+                     % _MERSENNE).min(axis=1)
+                ids.append(did)
+                sigs.append(m.tolist())
+            yield pd.DataFrame({id_col: ids, "sig": sigs})
+
+    return docs.select(id_col, text_col).mapInPandas(run, schema)
+
+
+def hash_bytes(s: str) -> int:
+    """Deterministic 61-bit string hash (FNV-1a folded) — stable across
+    processes (unlike Python's salted hash())."""
+    h = 0xCBF29CE484222325
+    for ch in s.encode("utf-8", "ignore"):
+        h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h % _MERSENNE
+
+
+def minhash_dedup(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", k: int = 64, bands: int = 16,
+                  shingle: int = 3, threshold: float = 0.8,
+                  seed: int = 42) -> DataFrame:
+    """Near-duplicate pairs via banded LSH + exact-signature Jaccard verify.
+
+    Returns (id_a, id_b, sim) with id_a < id_b and sim >= threshold, where
+    sim is the MinHash estimate (fraction of agreeing signature slots).
+    """
+    rows_per_band = k // bands
+    sigs = minhash_signatures(docs, text_col, id_col, k, shingle, seed)
+    banded = sigs.select(
+        id_col, "sig",
+        F.posexplode(F.expr(
+            f"transform(sequence(0, {bands - 1}), "
+            f"b -> xxhash64(concat_ws(',', slice(sig, b*{rows_per_band}+1, {rows_per_band})), b))"
+        )).alias("band", "bucket"))
+    left = banded.select(F.col(id_col).alias("id_a"),
+                         F.col("sig").alias("sig_a"), "band", "bucket")
+    right = banded.select(F.col(id_col).alias("id_b"),
+                          F.col("sig").alias("sig_b"), "band", "bucket")
+    cands = (left.join(right, ["band", "bucket"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", "sig_a", "sig_b").distinct())
+    sim = F.expr(
+        "aggregate(zip_with(sig_a, sig_b, (x, y) -> CAST(x = y AS INT)), "
+        "0, (acc, v) -> acc + v)") / F.lit(k)
+    return (cands.withColumn("sim", sim)
+            .filter(F.col("sim") >= threshold)
+            .select("id_a", "id_b", "sim"))
+
+
+def simhash_signatures(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per doc: sign-sum of token-hash bit vectors."""
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("simhash", T.LongType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        powers = 1 << np.arange(64, dtype=np.uint64)
+        for pdf in batches:
+            ids, hs = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = (text or "").lower().split()
+                if not toks:
+                    ids.append(did)
+                    hs.append(0)
+                    continue
+                hv = np.array([hash_bytes(t) for t in toks], dtype=np.uint64)
+                bits = ((hv[:, None] & powers[None, :]) != 0).astype(np.int32)
+                acc = (2 * bits - 1).sum(axis=0)
+                sig = int(((acc > 0).astype(np.uint64) * powers).sum())
+                ids.append(did)
+                hs.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
+            yield pd.DataFrame({id_col: ids, "simhash": hs})
+
+    return docs.select(id_col, text_col).mapInPandas(run, schema)
+
+
+def ngram_jaccard_pairs(docs: DataFrame, candidate_pairs: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 3) -> DataFrame:
+    """Exact character-n-gram Jaccard for given candidate (id_a, id_b) pairs.
+
+    Shingling + set ops stay JVM-side (sequence/transform/array_distinct/
+    array_intersect) — no Python in the loop.
+    """
+    grams = docs.select(
+        F.col(id_col),
+        F.array_distinct(F.expr(
+            f"transform(sequence(1, greatest(length({text_col}) - {n - 1}, 1)), "
+            f"i -> substring({text_col}, i, {n}))")).alias("grams"))
+    a = grams.select(F.col(id_col).alias("id_a"), F.col("grams").alias("ga"))
+    b = grams.select(F.col(id_col).alias("id_b"), F.col("grams").alias("gb"))
+    inter = F.size(F.array_intersect("ga", "gb")).cast("double")
+    union = (F.size("ga") + F.size("gb") - F.size(F.array_intersect("ga", "gb"))).cast("double")
+    return (candidate_pairs.join(a, "id_a").join(b, "id_b")
+            .select("id_a", "id_b",
+                    (inter / union).alias("jaccard")))

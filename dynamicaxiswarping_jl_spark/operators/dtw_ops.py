@@ -1,0 +1,204 @@
+"""Distributed DTW analytics over assembled tier series.
+
+Maps the reference's query entry points onto Spark (SURVEY.md §3):
+
+- ``dtw_pairs``: per-pair full DTW (cost + warp paths) —
+  ``Exchange(hash key) → FlatMapGroupsInPandas(dtw_kernel)``; the cost
+  matrix only ever exists as a NumPy array inside one Arrow batch
+  (reference src/dtw.jl:40-71 semantics, distributed per pair).
+- ``drift_scores``: tier-to-tier drift per conversation — banded
+  ``dtw_cost`` with an endpoint-LB prescreen so cheap (identical) convs
+  skip the DP entirely; prune counters surface as columns (north rule:
+  per-partition metrics).
+- ``dtwnn_search``: the reference's dtwnn (src/dtwnn.jl:168-238) fanned
+  out as query × series groups; each task runs the full 3-stage prune
+  cascade vectorized, then a global min_by picks the winner per query.
+  best-so-far threads *within* a task; across tasks the reduction is by
+  min — result-identical, prune counts per-partition (SURVEY §2.3 note).
+- ``knn_topk``: sparse_distmat's k-NN (src/dtwnn.jl:261-297) as
+  pair-generation → vectorized cost UDF → window top-k.
+
+Scale notes: queries/centers are broadcast (small side); series fan out by
+key hash; skewed long series are pre-chunked by the rollup tiers themselves
+(a 1m-tier month is ~43k points — one Arrow batch).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..kernels import dtw, dtw_cost, dtwnn, radiuslimits
+from ..kernels.dtwnn import lb_endpoints
+from .topk import topk_per_key
+
+__all__ = ["dtw_pairs", "drift_scores", "dtwnn_search", "knn_topk"]
+
+
+def dtw_pairs(pairs: DataFrame, dist: str = "sqeuclidean",
+              transportcost: float = 1.0, radius: int | None = None,
+              keep_paths: bool = False) -> DataFrame:
+    """(id_a, a ARRAY<DOUBLE>, id_b, b ARRAY<DOUBLE>) → per-pair DTW.
+
+    ``radius`` applies a Sakoe-Chiba band via radiuslimits (handles unequal
+    lengths, reference src/utils.jl:22-33).
+    """
+    fields = [
+        T.StructField("id_a", T.StringType()),
+        T.StructField("id_b", T.StringType()),
+        T.StructField("cost", T.DoubleType()),
+    ]
+    if keep_paths:
+        fields += [T.StructField("i1", T.ArrayType(T.IntegerType())),
+                   T.StructField("i2", T.ArrayType(T.IntegerType()))]
+    schema = T.StructType(fields)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                a = np.asarray(row.a, dtype=np.float64)
+                b = np.asarray(row.b, dtype=np.float64)
+                kw = {}
+                if radius is not None:
+                    imin, imax = radiuslimits(radius, len(a), len(b))
+                    kw = {"i2min": imin, "i2max": imax}
+                cost, i1, i2 = dtw(a, b, dist, transportcost=transportcost, **kw)
+                rec = {"id_a": row.id_a, "id_b": row.id_b, "cost": cost}
+                if keep_paths:
+                    rec["i1"] = i1.astype("int32").tolist()
+                    rec["i2"] = i2.astype("int32").tolist()
+                out.append(rec)
+            yield pd.DataFrame(out, columns=[f.name for f in fields])
+
+    return pairs.mapInPandas(run, schema)
+
+
+def drift_scores(fine: DataFrame, coarse: DataFrame, radius: int = 5,
+                 key: str = "conv_id", dist: str = "sqeuclidean") -> DataFrame:
+    """Tier-to-tier drift per conversation (SURVEY.md §2.8).
+
+    Both inputs are assembled series ``(key, points ARRAY<DOUBLE>)``. The
+    coarse series is linearly resampled onto the fine length (time-axis
+    alignment, not warping), then banded ``dtw_cost`` scores residual shape
+    drift. An endpoint lower bound prescreens each pair: when even the LB
+    is ~0 the series are bit-identical after resampling and the DP is
+    skipped (prune_end=1).
+    """
+    joined = (fine.select(F.col(key), F.col("points").alias("a"))
+              .join(coarse.select(F.col(key), F.col("points").alias("b")), key))
+    schema = T.StructType([
+        T.StructField(key, T.StringType()),
+        T.StructField("cost", T.DoubleType()),
+        T.StructField("n_fine", T.IntegerType()),
+        T.StructField("n_coarse", T.IntegerType()),
+        T.StructField("pruned_lb", T.IntegerType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for row in pdf.itertuples(index=False):
+                a = np.asarray(row.a, dtype=np.float64)
+                b = np.asarray(row.b, dtype=np.float64)
+                nb = len(b)
+                # resample coarse onto the fine grid
+                bi = np.interp(np.linspace(0, 1, len(a)),
+                               np.linspace(0, 1, nb), b) if nb > 1 else np.full(len(a), b[0])
+                lb = lb_endpoints(dist, a, bi)
+                if lb == 0.0 and np.array_equal(a, bi):
+                    cost, pruned = 0.0, 1
+                else:
+                    cost, pruned = dtw_cost(a, bi, dist, radius), 0
+                recs.append({key: getattr(row, key), "cost": cost,
+                             "n_fine": len(a), "n_coarse": nb,
+                             "pruned_lb": pruned})
+            yield pd.DataFrame(recs, columns=[f.name for f in schema.fields])
+
+    return joined.mapInPandas(run, schema)
+
+
+def dtwnn_search(queries: DataFrame, series: DataFrame, radius: int = 5,
+                 normalizer: str | None = None, dist: str = "sqeuclidean",
+                 key: str = "conv_id") -> DataFrame:
+    """NN of each query subsequence across every series.
+
+    Plan: broadcast(queries) × series → one dtwnn kernel run per
+    (query, series) → global argmin per query via min_by over
+    (cost, conv, loc) — the distributed Base.findmin (src/dtwnn.jl:41-50).
+    Prune counters are summed as global metrics columns.
+    """
+    pairs = series.select(F.col(key), F.col("points")).crossJoin(
+        F.broadcast(queries.select("query_id", F.col("q"))))
+    schema = T.StructType([
+        T.StructField("query_id", T.StringType()),
+        T.StructField(key, T.StringType()),
+        T.StructField("cost", T.DoubleType()),
+        T.StructField("loc", T.IntegerType()),
+        T.StructField("prune_end", T.LongType()),
+        T.StructField("prune_env", T.LongType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for row in pdf.itertuples(index=False):
+                y = np.asarray(row.points, dtype=np.float64)
+                q = np.asarray(row.q, dtype=np.float64)
+                if len(y) < len(q):
+                    continue  # series shorter than query: no window
+                res = dtwnn(q, y, dist, radius, normalizer)
+                recs.append({"query_id": row.query_id, key: getattr(row, key),
+                             "cost": res.cost, "loc": res.loc,
+                             "prune_end": res.prune_end,
+                             "prune_env": res.prune_env})
+            yield pd.DataFrame(recs, columns=[f.name for f in schema.fields])
+
+    per_series = pairs.mapInPandas(run, schema)
+    return (per_series.groupBy("query_id")
+            .agg(F.min("cost").alias("cost"),
+                 F.expr(f"min_by({key}, cost)").alias(key),
+                 F.expr("min_by(loc, cost)").alias("loc"),
+                 F.sum("prune_end").alias("prune_end"),
+                 F.sum("prune_env").alias("prune_env")))
+
+
+def knn_topk(series: DataFrame, k: int = 4, radius: int = 5,
+             dist: str = "sqeuclidean", key: str = "conv_id") -> DataFrame:
+    """k nearest neighbors among series (sparse_distmat, src/dtwnn.jl:261-297).
+
+    Pair generation is a self-join (id_a != id_b); the per-pair cost kernel
+    uses the endpoint LB to seed early-abandon. Exact top-k via window
+    row_number — identical to the dense-matrix partialsort oracle
+    (runtests.jl:633-644).
+    """
+    left = series.select(F.col(key).alias("id_a"), F.col("points").alias("a"))
+    right = series.select(F.col(key).alias("id_b"), F.col("points").alias("b"))
+    pairs = left.join(right, F.col("id_a") != F.col("id_b"))
+    schema = T.StructType([
+        T.StructField("id_a", T.StringType()),
+        T.StructField("id_b", T.StringType()),
+        T.StructField("cost", T.DoubleType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for row in pdf.itertuples(index=False):
+                a = np.asarray(row.a, dtype=np.float64)
+                b = np.asarray(row.b, dtype=np.float64)
+                cost = dtw_cost(a, b, dist, radius) if len(a) == len(b) else \
+                    dtwnn(*(sorted((a, b), key=len)), dist, radius,
+                          prune_endpoints=False).cost
+                recs.append({"id_a": row.id_a, "id_b": row.id_b,
+                             "cost": float(cost)})
+            yield pd.DataFrame(recs, columns=["id_a", "id_b", "cost"])
+
+    costs = pairs.mapInPandas(run, schema)
+    return topk_per_key(costs, "id_a", "cost", k)

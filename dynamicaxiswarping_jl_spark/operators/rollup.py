@@ -1,0 +1,99 @@
+"""Continuous-aggregate rollup tiers (1m/1h/1d) over transcript turns.
+
+The relational core of the engine (SURVEY.md §2.8). All stock Spark:
+
+- ``rollup_turns``: raw turns → a tier in one shuffle
+  (``groupBy(key, window(ts, tier))``). Partial aggregation is map-side,
+  so the shuffle carries one row per (conv, bucket), not per turn — at
+  10^12 turns that is the difference between shuffling 10 TB and 10^12 rows.
+- ``cascade``: tier k+1 computed **from tier k** (sum/count are
+  re-aggregable) — the 1h tier reads ~60× less than recomputing from raw;
+  the 1d tier ~1440× less. This is the continuous-aggregate refresh path.
+- ``assemble_series``: tier rows → one dense ``ARRAY<DOUBLE>`` per key for
+  the DTW/DBA kernels, ordered by bucket via sort_array (stable
+  (conv_id, turn_idx)-derived ordering per the input_hint invariant).
+
+No UDFs anywhere in this module — everything stays in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["TIERS", "rollup_turns", "cascade", "assemble_series"]
+
+# tier name -> (window duration literal, seconds)
+TIERS = {
+    "1m": ("1 minute", 60),
+    "1h": ("1 hour", 3600),
+    "1d": ("1 day", 86400),
+}
+
+
+def rollup_turns(turns: DataFrame, tier: str = "1m", key: str = "conv_id",
+                 ts_col: str = "ts", tool_col: str = "tool") -> DataFrame:
+    """Raw turns → tier rows ``(key, bucket, n_turns, tool_calls, turn_rate)``.
+
+    turn_rate is turns/minute so the column is comparable across tiers.
+    """
+    dur, secs = TIERS[tier]
+    has_tool = tool_col in turns.columns
+    aggs = [
+        F.count(F.lit(1)).alias("n_turns"),
+        (F.count(F.when(F.col(tool_col).isNotNull(), 1)) if has_tool
+         else F.lit(0)).alias("tool_calls"),
+    ]
+    out = (
+        turns.groupBy(F.col(key), F.window(F.col(ts_col), dur).alias("w"))
+        .agg(*aggs)
+        .select(
+            F.col(key),
+            F.col("w.start").alias("bucket"),
+            "n_turns",
+            "tool_calls",
+            (F.col("n_turns") * 60.0 / secs).alias("turn_rate"),
+        )
+    )
+    return out
+
+
+def cascade(tier_df: DataFrame, to_tier: str, key: str = "conv_id") -> DataFrame:
+    """Re-aggregate a finer tier into a coarser one (sum/count re-aggregable;
+    never touches raw data — the continuous-aggregate property)."""
+    dur, secs = TIERS[to_tier]
+    return (
+        tier_df.groupBy(F.col(key), F.window(F.col("bucket"), dur).alias("w"))
+        .agg(F.sum("n_turns").alias("n_turns"),
+             F.sum("tool_calls").alias("tool_calls"))
+        .select(
+            F.col(key),
+            F.col("w.start").alias("bucket"),
+            "n_turns",
+            "tool_calls",
+            (F.col("n_turns") * 60.0 / secs).alias("turn_rate"),
+        )
+    )
+
+
+def assemble_series(tier_df: DataFrame, value_col: str = "turn_rate",
+                    key: str = "conv_id", step_s: int = 60) -> DataFrame:
+    """Tier rows → ``(key, t0, step_s, points ARRAY<DOUBLE>)``.
+
+    Ordering is enforced inside the row via array_sort on (bucket, value)
+    structs — no global sort, no window function, one shuffle.
+    """
+    return (
+        tier_df
+        .groupBy(key)
+        .agg(
+            F.min("bucket").alias("t0"),
+            F.array_sort(
+                F.collect_list(F.struct(F.col("bucket"), F.col(value_col)))
+            ).alias("pairs"),
+        )
+        .select(
+            key, "t0", F.lit(step_s).alias("step_s"),
+            F.expr(f"transform(pairs, p -> CAST(p.{value_col} AS DOUBLE))").alias("points"),
+        )
+    )

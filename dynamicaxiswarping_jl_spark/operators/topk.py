@@ -1,0 +1,31 @@
+"""Top-k per key — the engine's argmin/argmax reduction.
+
+Reference counterpart: Base.findmin over DTWSearchResults
+(src/dtwnn.jl:41-50) and sparse_distmat's per-row k-smallest
+(src/dtwnn.jl:261-297). Spark form: window row_number (exact) — AQE handles
+skewed keys; for k=1 prefer ``min_by``/``max_by`` (no sort, single agg).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["topk_per_key", "argmin_per_key"]
+
+
+def topk_per_key(df: DataFrame, key, order_col: str, k: int,
+                 ascending: bool = True, rank_col: str = "rk") -> DataFrame:
+    keys = [key] if isinstance(key, str) else list(key)
+    oc = F.col(order_col).asc() if ascending else F.col(order_col).desc()
+    w = Window.partitionBy(*keys).orderBy(oc)
+    return (df.withColumn(rank_col, F.row_number().over(w))
+            .filter(F.col(rank_col) <= k))
+
+
+def argmin_per_key(df: DataFrame, key, order_col: str, payload_cols) -> DataFrame:
+    """k=1 fast path: min_by per payload column — one hash agg, no sort."""
+    keys = [key] if isinstance(key, str) else list(key)
+    aggs = [F.min(order_col).alias(order_col)]
+    aggs += [F.expr(f"min_by({c}, {order_col})").alias(c) for c in payload_cols]
+    return df.groupBy(*keys).agg(*aggs)

@@ -1,0 +1,7 @@
+"""Physical-plan helpers: session factory, skew handling, checkpoints."""
+
+from .session import get_spark
+from .skew import salted_repartition, with_salt
+from .checkpoints import CheckpointManager
+
+__all__ = ["get_spark", "salted_repartition", "with_salt", "CheckpointManager"]

@@ -1,0 +1,88 @@
+"""Checkpoint/resume manifests with per-partition lineage + metrics.
+
+North-rule requirement: every stage checkpoint-resumable with per-partition
+lineage and rollup-point-count metrics. Design (Iceberg-degraded, works on
+plain parquet):
+
+- Each stage writes its output parquet under ``<root>/<stage>/data`` and a
+  JSON manifest ``<root>/<stage>/manifest.json`` recording: stage name,
+  input lineage (paths + row counts + upstream stage manifests' digests),
+  output row count, per-partition row counts, and free-form metrics
+  (e.g. DTW prune counters).
+- ``run_stage`` skips recomputation when a manifest exists and its lineage
+  digest matches — resume = rerun the driver; completed stages no-op.
+  At 100 TB this is the difference between a 10h rerun and a 10s one.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["CheckpointManager"]
+
+
+class CheckpointManager:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- manifest plumbing -------------------------------------------------
+    def _paths(self, stage: str):
+        d = os.path.join(self.root, stage)
+        return os.path.join(d, "data"), os.path.join(d, "manifest.json")
+
+    def manifest(self, stage: str) -> Optional[dict]:
+        _, mpath = self._paths(stage)
+        if not os.path.exists(mpath):
+            return None
+        with open(mpath) as f:
+            return json.load(f)
+
+    @staticmethod
+    def _digest(obj) -> str:
+        return hashlib.sha256(
+            json.dumps(obj, sort_keys=True, default=str).encode()).hexdigest()[:16]
+
+    # -- the stage runner --------------------------------------------------
+    def run_stage(self, stage: str, fn: Callable[[], DataFrame],
+                  lineage: dict | None = None,
+                  metrics: dict | None = None) -> DataFrame:
+        """Compute-or-resume: if a manifest for ``stage`` exists with the
+        same lineage digest, read the checkpoint instead of recomputing."""
+        data, mpath = self._paths(stage)
+        lineage = lineage or {}
+        ldigest = self._digest(lineage)
+        m = self.manifest(stage)
+        if m is not None and m.get("lineage_digest") == ldigest:
+            return self.spark.read.parquet(data)
+        t0 = time.time()
+        df = fn()
+        df.write.mode("overwrite").parquet(data)
+        out = self.spark.read.parquet(data)
+        per_part = (
+            out.groupBy(F.spark_partition_id().alias("partition_id"))
+            .count().orderBy("partition_id").collect())
+        man = {
+            "stage": stage,
+            "lineage": lineage,
+            "lineage_digest": ldigest,
+            "rows": sum(r["count"] for r in per_part),
+            "partitions": [{"partition_id": r["partition_id"],
+                            "rows": r["count"]} for r in per_part],
+            "metrics": metrics or {},
+            "wall_sec": round(time.time() - t0, 3),
+            "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(man, f, indent=1)
+        os.replace(tmp, mpath)  # atomic publish = the _SUCCESS analog
+        return out

@@ -1,0 +1,7 @@
+"""Data sources: deterministic transcript generator, storage, testdata."""
+
+from .transcripts import transcripts_df, generate_transcripts_pandas, TRANSCRIPT_SCHEMA
+from .testdata import load_table, register_all
+
+__all__ = ["transcripts_df", "generate_transcripts_pandas",
+           "TRANSCRIPT_SCHEMA", "load_table", "register_all"]

@@ -1,0 +1,73 @@
+"""Checkpoint/resume: manifests, lineage skipping, per-partition metrics."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dynamicaxiswarping_jl_spark.plans import CheckpointManager
+from dynamicaxiswarping_jl_spark.plans.skew import with_salt, salted_repartition
+from dynamicaxiswarping_jl_spark.sources import transcripts_df
+from dynamicaxiswarping_jl_spark.operators import rollup_turns
+
+
+class TestCheckpoints:
+    def test_stage_runs_once_then_resumes(self, spark, tmp_path):
+        cm = CheckpointManager(spark, str(tmp_path))
+        calls = {"n": 0}
+
+        def build():
+            calls["n"] += 1
+            return spark.range(100).withColumn("v", F.col("id") * 2)
+
+        df1 = cm.run_stage("s1", build, lineage={"input": "range100"})
+        assert df1.count() == 100
+        assert calls["n"] == 1
+        # resume: same lineage → no recompute
+        df2 = cm.run_stage("s1", build, lineage={"input": "range100"})
+        assert df2.count() == 100
+        assert calls["n"] == 1
+        # changed lineage → recompute
+        cm.run_stage("s1", build, lineage={"input": "range100", "v": 2})
+        assert calls["n"] == 2
+
+    def test_manifest_contents(self, spark, tmp_path):
+        cm = CheckpointManager(spark, str(tmp_path))
+        cm.run_stage("roll", lambda: spark.range(10),
+                     lineage={"src": "x"}, metrics={"prune_end": 5})
+        m = json.load(open(os.path.join(tmp_path, "roll", "manifest.json")))
+        assert m["rows"] == 10
+        assert m["metrics"] == {"prune_end": 5}
+        assert m["lineage"] == {"src": "x"}
+        assert sum(p["rows"] for p in m["partitions"]) == 10
+        assert all("partition_id" in p for p in m["partitions"])
+
+    def test_pipeline_resume_identical_output(self, spark, tmp_path):
+        cm = CheckpointManager(spark, str(tmp_path))
+        turns = transcripts_df(spark, 4, seed=5, mean_turns=25, slices=2)
+        lineage = {"gen": {"n_conv": 4, "seed": 5}}
+        a = cm.run_stage("t1m", lambda: rollup_turns(turns, "1m"),
+                         lineage=lineage).orderBy("conv_id", "bucket").collect()
+        b = cm.run_stage("t1m", lambda: (_ for _ in ()).throw(AssertionError),
+                         lineage=lineage).orderBy("conv_id", "bucket").collect()
+        assert a == b
+
+
+class TestSkew:
+    def test_salt_is_deterministic(self, spark):
+        df = spark.range(1000).withColumn("turn_idx", F.col("id").cast("int"))
+        s1 = with_salt(df, "turn_idx", 8).select("id", "_salt").collect()
+        s2 = with_salt(df, "turn_idx", 8).select("id", "_salt").collect()
+        assert s1 == s2
+        vals = {r["_salt"] for r in s1}
+        assert vals == set(range(8))
+
+    def test_salted_repartition_spreads_hot_key(self, spark):
+        turns = transcripts_df(spark, 2, seed=9, mean_turns=200, slices=1)
+        rep = salted_repartition(turns, "conv_id", "turn_idx", buckets=8,
+                                 num_partitions=8)
+        parts = (rep.groupBy(F.spark_partition_id().alias("p"))
+                 .count().collect())
+        # one conv can no longer occupy a single partition
+        assert len(parts) > 2

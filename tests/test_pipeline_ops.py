@@ -1,0 +1,162 @@
+"""Training-data pipeline operators: dedup, similarity search, text
+analysis, multimodal plumbing — on the driver testdata tables."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dynamicaxiswarping_jl_spark.operators import (
+    exact_dedup, minhash_dedup, simhash_signatures, ngram_jaccard_pairs,
+    cosine_topk, lsh_cosine_topk, token_stats, quality_score, language_id,
+    fingerprint)
+from dynamicaxiswarping_jl_spark.operators.multimodal import (
+    attach_media_metadata, image_features, frame_sample, MEDIA_SCHEMA)
+from dynamicaxiswarping_jl_spark.sources import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF, "embeddings").cache()
+
+
+class TestDedup:
+    def test_exact_dedup_counts(self, spark, docs):
+        base = docs.count()
+        deduped = exact_dedup(docs)
+        n = deduped.count()
+        distinct_texts = docs.select("text").distinct().count()
+        assert n == distinct_texts
+        assert deduped.agg(F.sum("n_copies")).first()[0] == base
+
+    def test_exact_dedup_keeps_min_id(self, spark):
+        df = spark.createDataFrame(
+            [(3, "same"), (1, "same"), (2, "other")], "doc_id long, text string")
+        out = {r["text" if False else "doc_id"] for r in exact_dedup(df).collect()}
+        assert out == {1, 2}
+
+    def test_minhash_finds_planted_near_dups(self, spark):
+        body = " ".join(f"tok{i}" for i in range(60))
+        rows = [(1, body), (2, body + " extra"), (3, "completely different words here entirely")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = minhash_dedup(df, k=64, bands=16, threshold=0.5).collect()
+        found = {(r.id_a, r.id_b) for r in pairs}
+        assert (1, 2) in found
+        assert all(p == (1, 2) for p in found)
+
+    def test_simhash_similar_texts_close(self, spark):
+        body = " ".join(f"tok{i}" for i in range(60))
+        rows = [(1, body), (2, body + " extra"), (3, "别的 totally unrelated zzz qqq")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        sig = {r.doc_id: r.simhash for r in simhash_signatures(df).collect()}
+        ham12 = bin((sig[1] ^ sig[2]) & (2**64 - 1)).count("1")
+        ham13 = bin((sig[1] ^ sig[3]) & (2**64 - 1)).count("1")
+        assert ham12 < ham13
+
+    def test_ngram_jaccard(self, spark):
+        df = spark.createDataFrame(
+            [(1, "hello world"), (2, "hello world"), (3, "xyzzy")],
+            "doc_id long, text string")
+        cands = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+        got = {(r.id_a, r.id_b): r.jaccard
+               for r in ngram_jaccard_pairs(df, cands).collect()}
+        assert got[(1, 2)] == pytest.approx(1.0)
+        assert got[(1, 3)] < 0.2
+
+
+class TestSimilarity:
+    def test_cosine_topk_matches_numpy(self, spark, emb):
+        pdf = emb.limit(50).toPandas()
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf.embedding])
+        q = V[0]
+        queries = spark.createDataFrame([("q0", [float(x) for x in q])],
+                                        "query_id string, q array<double>")
+        got = (cosine_topk(emb.limit(50), queries, k=5)
+               .orderBy("rk").toPandas())
+        sims = V @ q / (np.linalg.norm(V, axis=1) * np.linalg.norm(q))
+        want = np.argsort(-sims)[:5]
+        assert got["vec_id"].tolist() == pdf.vec_id.to_numpy()[want].tolist()
+        np.testing.assert_allclose(got["sim"], np.sort(sims)[::-1][:5], rtol=1e-9)
+
+    def test_lsh_recall_vs_exact(self, spark, emb):
+        sub = emb.limit(200).cache()
+        pdf = sub.toPandas()
+        q = [float(x) for x in pdf.embedding[7]]
+        queries = spark.createDataFrame([("q0", q)], "query_id string, q array<double>")
+        exact = set(cosine_topk(sub, queries, k=5).toPandas()["vec_id"])
+        approx = set(lsh_cosine_topk(sub, queries, k=5, n_planes=8,
+                                     n_tables=8).toPandas()["vec_id"])
+        # self-vector must always be recovered; decent overlap expected
+        assert pdf.vec_id[7] in approx
+        assert len(exact & approx) >= 2
+
+
+class TestText:
+    def test_token_stats(self, spark):
+        df = spark.createDataFrame([(1, "a b  c"), (2, ""), (3, "single")],
+                                   "doc_id long, text string")
+        got = {r.doc_id: r.n_tokens for r in token_stats(df).collect()}
+        assert got == {1: 3, 2: 0, 3: 1}
+
+    def test_quality_score_ranges(self, docs):
+        q = quality_score(docs).toPandas()
+        assert ((q["quality"] >= 0) & (q["quality"] <= 1)).all()
+        assert ((q["punct_ratio"] >= 0) & (q["punct_ratio"] <= 1)).all()
+
+    def test_language_id(self, spark):
+        df = spark.createDataFrame([
+            (1, "the cat and the dog in that house is for it"),
+            (2, "der hund und die katze ist nicht mit auf zu"),
+            (3, "le chat et la maison est dans les que pour"),
+            (4, "zzz qqq xxx")],
+            "doc_id long, text string")
+        got = {r.doc_id: r.lang_pred for r in language_id(df).collect()}
+        assert got[1] == "en" and got[2] == "de" and got[3] == "fr"
+        assert got[4] == "und"
+
+    def test_fingerprint_order_sensitive(self, spark):
+        df = spark.createDataFrame([(1, "a b c"), (2, "c b a"), (3, "a b c")],
+                                   "doc_id long, text string")
+        got = {r.doc_id: r.fingerprint for r in fingerprint(df).collect()}
+        assert got[1] == got[3]
+        assert got[1] != got[2]
+
+
+class TestMultimodal:
+    @pytest.fixture(scope="class")
+    def media(self, spark):
+        rows = [(i, "image", "image/jpeg",
+                 bytes([0xFF, 0xD8, 0xFF]) + bytes(f"payload{i}", "ascii"),
+                 {"width": 8, "height": 8, "duration_ms": 3000})
+                for i in range(4)]
+        return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    def test_metadata_sniffing(self, media):
+        got = attach_media_metadata(media).toPandas()
+        assert (got["mime_sniffed"] == "image/jpeg").all()
+        assert (got["n_bytes"] > 3).all()
+
+    def test_image_features_deterministic(self, media):
+        f1 = image_features(media).orderBy("media_id").toPandas()
+        f2 = image_features(media).orderBy("media_id").toPandas()
+        assert len(f1) == 4
+        assert all(len(f) == 6 for f in f1["features"])
+        for a, b in zip(f1["features"], f2["features"]):
+            np.testing.assert_allclose(list(a), list(b))
+
+    def test_frame_sample_shape(self, media):
+        got = frame_sample(media, every_ms=1000).toPandas()
+        # 3000 ms / 1000 ms → 3 frames per video
+        assert (got.groupby("media_id").size() == 3).all()
+        assert set(got.columns) == {"media_id", "frame_idx", "t_ms", "features"}
+
+    def test_real_decode_is_stubbed(self, media):
+        with pytest.raises(Exception, match="NotImplemented|decode"):
+            image_features(media, fake=False).collect()

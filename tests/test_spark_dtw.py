@@ -1,0 +1,134 @@
+"""DTW analytics through Spark: bit-identical to the local NumPy kernels
+(SURVEY.md §5 test plan item b)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dynamicaxiswarping_jl_spark.kernels import (
+    dtw, dtw_cost, dtwnn, dba, SqEuclidean)
+from dynamicaxiswarping_jl_spark.operators import (
+    dtw_pairs, drift_scores, dtwnn_search, knn_topk, dba_per_group,
+    rollup_turns, cascade, gapfill, assemble_series)
+from dynamicaxiswarping_jl_spark.operators.dba_ops import dba_distributed
+from dynamicaxiswarping_jl_spark.sources import transcripts_df
+
+SERIES_SCHEMA = T.StructType([
+    T.StructField("conv_id", T.StringType()),
+    T.StructField("points", T.ArrayType(T.DoubleType())),
+])
+
+
+@pytest.fixture(scope="module")
+def series(spark):
+    rng = np.random.default_rng(21)
+    rows = [("s%02d" % i, np.cumsum(rng.normal(size=40)).tolist())
+            for i in range(10)]
+    return spark.createDataFrame(rows, SERIES_SCHEMA).cache()
+
+
+class TestDtwPairs:
+    def test_matches_kernel(self, spark, series):
+        pdf = series.toPandas()
+        pairs = spark.createDataFrame(
+            [(pdf.conv_id[i], [float(v) for v in pdf.points[i]], pdf.conv_id[j], [float(v) for v in pdf.points[j]])
+             for i in range(4) for j in range(4) if i != j],
+            "id_a string, a array<double>, id_b string, b array<double>")
+        got = dtw_pairs(pairs, keep_paths=True).toPandas().set_index(["id_a", "id_b"])
+        for i in range(4):
+            for j in range(4):
+                if i == j:
+                    continue
+                cost, i1, i2 = dtw(np.array(pdf.points[i]), np.array(pdf.points[j]))
+                row = got.loc[(pdf.conv_id[i], pdf.conv_id[j])]
+                assert row["cost"] == pytest.approx(cost, rel=1e-12)
+                assert list(row["i1"]) == i1.tolist()
+                assert list(row["i2"]) == i2.tolist()
+
+    def test_banded_radius(self, spark, series):
+        pdf = series.toPandas()
+        pairs = spark.createDataFrame(
+            [(pdf.conv_id[0], [float(v) for v in pdf.points[0]], pdf.conv_id[1], [float(v) for v in pdf.points[1]])],
+            "id_a string, a array<double>, id_b string, b array<double>")
+        got = dtw_pairs(pairs, radius=5).first()["cost"]
+        from dynamicaxiswarping_jl_spark.kernels import radiuslimits
+        imin, imax = radiuslimits(5, 40, 40)
+        want, _, _ = dtw(np.array(pdf.points[0]), np.array(pdf.points[1]),
+                         i2min=imin, i2max=imax)
+        assert got == pytest.approx(want, rel=1e-12)
+
+
+class TestDtwnnSearch:
+    def test_matches_kernel_global_min(self, spark, series):
+        pdf = series.toPandas()
+        q = np.array(pdf.points[3][10:25])
+        queries = spark.createDataFrame([("q0", q.tolist())],
+                                        "query_id string, q array<double>")
+        got = dtwnn_search(queries, series, radius=3).first()
+        # oracle: kernel dtwnn per series, global argmin (ties → min conv_id
+        # is not guaranteed by min_by; assert on cost and that loc matches)
+        best = None
+        for row in pdf.itertuples(index=False):
+            res = dtwnn(q, np.array(row.points), SqEuclidean(), 3)
+            if best is None or res.cost < best[0]:
+                best = (res.cost, row.conv_id, res.loc)
+        assert got["cost"] == pytest.approx(best[0], rel=1e-9)
+        assert got["conv_id"] == best[1]
+        assert got["loc"] == best[2]
+        assert got["prune_end"] + got["prune_env"] >= 0
+
+
+class TestKnn:
+    def test_matches_dense_topk(self, spark, series):
+        pdf = series.toPandas()
+        got = knn_topk(series, k=3, radius=5).toPandas()
+        pts = {r.conv_id: np.array(r.points) for r in pdf.itertuples(index=False)}
+        ids = sorted(pts)
+        for cid in ids:
+            want = sorted(
+                (dtw_cost(pts[cid], pts[o], SqEuclidean(), 5), o)
+                for o in ids if o != cid)[:3]
+            sub = got[got.id_a == cid].sort_values("rk")
+            np.testing.assert_allclose(sub["cost"], [w[0] for w in want],
+                                       rtol=1e-9)
+
+
+class TestDriftScores:
+    def test_pipeline_drift(self, spark):
+        turns = transcripts_df(spark, 5, seed=3, mean_turns=60, slices=2)
+        t1m = gapfill(rollup_turns(turns, "1m"), 60, policy="zero")
+        t1h = gapfill(cascade(t1m, "1h"), 3600, policy="zero")
+        fine = assemble_series(t1m, "turn_rate", step_s=60)
+        coarse = assemble_series(t1h, "turn_rate", step_s=3600)
+        d = drift_scores(fine, coarse, radius=3).toPandas()
+        assert len(d) == 5
+        assert (d["cost"] >= 0).all()
+        assert set(d.columns) >= {"cost", "n_fine", "n_coarse", "pruned_lb"}
+
+
+class TestDBASpark:
+    def test_golden_through_spark(self, spark):
+        # the runtests.jl:473-481 golden value via applyInPandas:
+        # members sorted by conv_id → init_center must be the first (= z)
+        rows = [("a_z", [1.0, 2.0, 2.0, 4.0], "g"),   # sorts first → init = z
+                ("b_x", [1.0, 2.0, 2.0, 3.0, 3.0, 4.0], "g"),
+                ("c_y", [1.0, 3.0, 4.0], "g")]
+        df = spark.createDataFrame(rows, "conv_id string, points array<double>, group_id string")
+        got = dba_per_group(df, "group_id").first()
+        np.testing.assert_allclose(got["center"], [1.0, 1.75, 2.75, 4.0])
+        assert got["converged"]
+        assert got["n_members"] == 3
+
+    def test_distributed_matches_local(self, spark, series):
+        pdf = series.toPandas()
+        seqs = [np.array(p) for p in pdf.points]
+        init = seqs[0]
+        want_avg, want_res = dba(seqs, SqEuclidean(), init_center=init,
+                                 iterations=5, rtol=1e-9)
+        got_avg, got_cost, got_it, _ = dba_distributed(
+            spark, series, init, iterations=5, rtol=1e-9)
+        np.testing.assert_allclose(got_avg, want_avg, rtol=1e-9)
+        assert got_it == want_res.iterations
+        assert got_cost == pytest.approx(want_res.cost, rel=1e-9)
