@@ -25,10 +25,25 @@ from dynamicaxiswarping_jl_spark.operators import (
     rollup_turns, cascade, gapfill, assemble_series,
     compress_chunks, decompress_chunks,
     drift_scores, dtwnn_search, knn_topk, dba_per_group,
-    exact_dedup, minhash_dedup, simhash_signatures,
-    cosine_topk, token_stats, quality_score, language_id, fingerprint,
+    dtw_pairs, distance_profile_op, matrix_profile_op, align_to_master,
+    exact_dedup, minhash_dedup, simhash_signatures, ngram_jaccard_pairs,
+    cosine_topk, lsh_cosine_topk, token_stats, quality_score, language_id,
+    fingerprint,
 )
 from dynamicaxiswarping_jl_spark.sources import transcripts_df
+
+
+
+def _r(col, d: int = 4):
+    """DuckDB-compatible rounding: round(x, d) in DuckDB is
+    std::round(x * 10^d) / 10^d (half away from zero on the scaled double),
+    which differs from Spark's BigDecimal HALF_UP at knife-edge binary
+    values (e.g. 27.10375). Emulate the scaled form so both engines round
+    the same double to the same value."""
+    if isinstance(col, str):
+        col = F.col(col)
+    f = float(10 ** d)
+    return F.signum(col) * F.floor(F.abs(col) * f + F.lit(0.5)) / f
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -42,7 +57,7 @@ def _events_1m(spark, sf_dir) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.sum("value").alias("vsum"))
             .select("user_id", F.col("w.start").alias("bucket"), "n_events",
-                    F.round("vsum", 4).alias("value_sum")))
+                    _r("vsum", 4).alias("value_sum")))
 
 
 # --------------------------------------------------------------------------
@@ -97,7 +112,7 @@ def q_gapfill_locf(spark, sf_dir):
     t1m = _events_1m(spark, sf_dir).withColumnRenamed("user_id", "conv_id")
     gf = gapfill(t1m, 60, value_cols=("value_sum",), policy="locf")
     return gf.select(F.col("conv_id").alias("user_id"), "bucket",
-                     F.round("value_sum", 4).alias("value_locf"))
+                     _r("value_sum", 4).alias("value_locf"))
 
 
 def q_sessionize(spark, sf_dir):
@@ -127,10 +142,10 @@ def q_tpch_q1(spark, sf_dir):
     return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-01"))
             .groupBy("l_returnflag", "l_linestatus")
             .agg(F.sum("l_quantity").alias("sum_qty"),
-                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
-                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-                 F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+                 _r(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 _r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+                 _r(F.avg("l_quantity"), 4).alias("avg_qty"),
+                 _r(F.avg("l_discount"), 4).alias("avg_disc"),
                  F.count(F.lit(1)).alias("count_order")))
 
 
@@ -138,7 +153,7 @@ def q_daily_revenue(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     return (o.groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
             .agg(F.count(F.lit(1)).alias("n_orders"),
-                 F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+                 _r(F.sum("o_totalprice"), 2).alias("revenue")))
 
 
 def q_nation_revenue(spark, sf_dir):
@@ -149,16 +164,16 @@ def q_nation_revenue(spark, sf_dir):
             .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
             .groupBy("n_name")
             .agg(F.count(F.lit(1)).alias("n_orders"),
-                 F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+                 _r(F.sum("o_totalprice"), 2).alias("revenue")))
 
 
 def q_events_by_type(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return (ev.groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n"),
-                 F.round(F.avg("value"), 4).alias("avg_value"),
-                 F.round(F.min("value"), 4).alias("min_value"),
-                 F.round(F.max("value"), 4).alias("max_value")))
+                 _r(F.avg("value"), 4).alias("avg_value"),
+                 _r(F.min("value"), 4).alias("min_value"),
+                 _r(F.max("value"), 4).alias("max_value")))
 
 
 def q_dedup_exact(spark, sf_dir):
@@ -173,10 +188,10 @@ def q_token_stats(spark, sf_dir):
 def q_quality_score(spark, sf_dir):
     q = quality_score(_t(spark, sf_dir, "documents"))
     return q.select("doc_id",
-                    F.round("punct_ratio", 4).alias("punct_ratio"),
-                    F.round("alpha_ratio", 4).alias("alpha_ratio"),
-                    F.round("mean_word_len", 4).alias("mean_word_len"),
-                    F.round("quality", 4).alias("quality"))
+                    _r("punct_ratio", 4).alias("punct_ratio"),
+                    _r("alpha_ratio", 4).alias("alpha_ratio"),
+                    _r("mean_word_len", 4).alias("mean_word_len"),
+                    _r("quality", 4).alias("quality"))
 
 
 def q_language_id(spark, sf_dir):
@@ -187,7 +202,7 @@ def q_docs_by_source(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return (d.groupBy("source", "lang")
             .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.round(F.avg("n_chars"), 4).alias("avg_chars")))
+                 _r(F.avg("n_chars"), 4).alias("avg_chars")))
 
 
 def q_cosine_topk(spark, sf_dir):
@@ -198,10 +213,10 @@ def q_cosine_topk(spark, sf_dir):
     scored = cosine_topk(emb, queries, k=5)
     # deterministic ranking: rounded sim desc, vec_id asc (both engines)
     w = Window.partitionBy("query_id").orderBy(
-        F.round("sim", 6).desc(), F.col("vec_id").asc())
+        _r("sim", 6).desc(), F.col("vec_id").asc())
     return (scored.drop("rk").withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= 5)
-            .select("query_id", "vec_id", F.round("sim", 4).alias("sim"), "rk"))
+            .select("query_id", "vec_id", _r("sim", 4).alias("sim"), "rk"))
 
 
 def q_embedding_norms(spark, sf_dir):
@@ -210,7 +225,7 @@ def q_embedding_norms(spark, sf_dir):
         "aggregate(embedding, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"))
     return (emb.withColumn("nrm", norm).groupBy("label")
             .agg(F.count(F.lit(1)).alias("n"),
-                 F.round(F.avg("nrm"), 4).alias("avg_norm")))
+                 _r(F.avg("nrm"), 4).alias("avg_norm")))
 
 
 def q_fingerprint_dupes(spark, sf_dir):
@@ -249,7 +264,7 @@ def q_drift_1h_1d(spark, sf_dir):
     fine = assemble_series(t1h, "turn_rate", step_s=3600)
     coarse = assemble_series(t1d, "turn_rate", step_s=86400)
     return (drift_scores(fine, coarse, radius=5)
-            .select("conv_id", F.round("cost", 4).alias("cost"),
+            .select("conv_id", _r("cost", 4).alias("cost"),
                     "n_fine", "n_coarse", "pruned_lb"))
 
 
@@ -260,14 +275,14 @@ def q_dtwnn_series(spark, sf_dir):
     queries = spark.createDataFrame([("q0", qvec)],
                                     "query_id string, q array<double>")
     return (dtwnn_search(queries, series, radius=5)
-            .select("query_id", F.round("cost", 4).alias("cost"), "conv_id",
+            .select("query_id", _r("cost", 4).alias("cost"), "conv_id",
                     "loc", "prune_end", "prune_env"))
 
 
 def q_knn_series(spark, sf_dir):
     series = _series_from_events(spark, sf_dir).filter(F.col("conv_id").cast("long") < 40)
     return (knn_topk(series, k=3, radius=5)
-            .select("id_a", "id_b", F.round("cost", 4).alias("cost"), "rk"))
+            .select("id_a", "id_b", _r("cost", 4).alias("cost"), "rk"))
 
 
 def q_dba_reps(spark, sf_dir):
@@ -278,7 +293,7 @@ def q_dba_reps(spark, sf_dir):
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("points"))
     reps = dba_per_group(series.filter(F.col("conv_id").cast("long") < 200), "group_id")
     return reps.select(
-        "group_id", F.round("cost", 4).alias("cost"), "converged",
+        "group_id", _r("cost", 4).alias("cost"), "converged",
         "iterations", "n_members",
         F.expr("transform(center, x -> round(x, 4))").alias("center"))
 
@@ -287,7 +302,8 @@ def q_gorilla_roundtrip(spark, sf_dir):
     ev = (_t(spark, sf_dir, "events")
           .select(F.col("user_id").cast("string").alias("conv_id"), "ts",
                   F.lit(None).cast("string").alias("tool")))
-    t1h = gapfill(cascade(rollup_turns(ev, "1m"), "1h"), 3600, policy="zero")
+    t1h = gapfill(cascade(rollup_turns(ev, "1m"), "1h"), 3600,
+                  policy="zero").cache()  # read twice: chunk path + verify side
     chunks = compress_chunks(t1h, "1h", "turn_rate", chunk="7 days")
     back = decompress_chunks(chunks, "turn_rate")
     # verification join: every (conv, bucket, value) must round-trip exactly
@@ -311,6 +327,79 @@ def q_transcripts_rollup(spark, sf_dir):
                  F.count(F.lit(1)).alias("n_buckets")))
 
 
+def q_gapfill_interp(spark, sf_dir):
+    t1m = _events_1m(spark, sf_dir).withColumnRenamed("user_id", "conv_id")
+    gf = gapfill(t1m, 60, value_cols=("value_sum",), policy="interp")
+    return gf.select(F.col("conv_id").alias("user_id"), "bucket",
+                     _r("value_sum", 4).alias("value_interp"))
+
+
+def q_softdtw_pairs(spark, sf_dir):
+    series = _series_from_events(spark, sf_dir).filter(
+        F.col("conv_id").cast("long") < 12)
+    left = series.select(F.col("conv_id").alias("id_a"),
+                         F.col("points").alias("a"))
+    right = series.select(F.col("conv_id").alias("id_b"),
+                          F.col("points").alias("b"))
+    pairs = left.join(right, F.col("id_a") < F.col("id_b"))
+    return (dtw_pairs(pairs, method="softdtw", gamma=0.1)
+            .select("id_a", "id_b", _r("cost", 4).alias("cost")))
+
+
+def q_fastdtw_pairs(spark, sf_dir):
+    series = _series_from_events(spark, sf_dir).filter(
+        F.col("conv_id").cast("long") < 12)
+    left = series.select(F.col("conv_id").alias("id_a"),
+                         F.col("points").alias("a"))
+    right = series.select(F.col("conv_id").alias("id_b"),
+                          F.col("points").alias("b"))
+    pairs = left.join(right, F.col("id_a") < F.col("id_b"))
+    return (dtw_pairs(pairs, method="fastdtw", radius=10)
+            .select("id_a", "id_b", _r("cost", 4).alias("cost")))
+
+
+def q_matrix_profile(spark, sf_dir):
+    series = _series_from_events(spark, sf_dir).filter(
+        F.col("conv_id").cast("long") < 10)
+    return matrix_profile_op(series, m=24, radius=5)
+
+
+def q_distance_profile(spark, sf_dir):
+    series = _series_from_events(spark, sf_dir).filter(
+        F.col("conv_id").cast("long") < 10)
+    first = series.orderBy("conv_id").first()
+    qvec = [float(v) for v in first["points"][:24]]
+    queries = spark.createDataFrame([("q0", qvec)],
+                                    "query_id string, q array<double>")
+    return (distance_profile_op(queries, series, radius=5)
+            .select("query_id", "conv_id", "loc",
+                    _r("dist", 4).alias("dist")))
+
+
+def q_align_delays(spark, sf_dir):
+    series = _series_from_events(spark, sf_dir)
+    master = series.orderBy("conv_id").first()["points"]
+    return align_to_master(series, [float(v) for v in master])
+
+
+def q_lsh_ann_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = (emb.filter(F.col("vec_id") < 3)
+               .select(F.col("vec_id").cast("string").alias("query_id"),
+                       F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("q")))
+    return (lsh_cosine_topk(emb, queries, k=5, n_planes=8, n_tables=8)
+            .select("query_id", "vec_id", _r("sim", 4).alias("sim"), "rk"))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    a = docs.select(F.col("doc_id").alias("id_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"))
+    cands = a.join(b, F.col("id_a") < F.col("id_b"))
+    res = ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), cands, n=3)
+    return res.select("id_a", "id_b", _r("jaccard", 4).alias("jaccard"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m": q_rollup_1m,
@@ -318,6 +407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1d_cascade": q_rollup_1d_cascade,
         "gapfill_zero": q_gapfill_zero,
         "gapfill_locf": q_gapfill_locf,
+        "gapfill_interp": q_gapfill_interp,
         "sessionize": q_sessionize,
         "topk_minutes": q_topk_minutes,
         "tpch_q1": q_tpch_q1,
@@ -341,6 +431,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dba_reps": q_dba_reps,
         "gorilla_roundtrip": q_gorilla_roundtrip,
         "transcripts_rollup": q_transcripts_rollup,
+        "softdtw_pairs": q_softdtw_pairs,
+        "fastdtw_pairs": q_fastdtw_pairs,
+        "matrix_profile": q_matrix_profile,
+        "distance_profile": q_distance_profile,
+        "align_delays": q_align_delays,
+        "lsh_ann_topk": q_lsh_ann_topk,
+        "ngram_jaccard": q_ngram_jaccard,
     }
 
 
@@ -408,6 +505,45 @@ def oracle_sql() -> dict[str, str]:
                    AS value_locf
             FROM joined
         """,
+        "gapfill_interp": """
+            WITH t1m AS (
+              SELECT user_id, date_trunc('minute', ts) AS bucket,
+                     round(sum(value), 4) AS value_sum
+              FROM events GROUP BY 1, 2),
+            bounds AS (
+              SELECT user_id, min(bucket) mn, max(bucket) mx
+              FROM t1m GROUP BY user_id),
+            spine AS (
+              SELECT user_id,
+                     unnest(generate_series(mn, mx, INTERVAL 1 minute)) AS bucket
+              FROM bounds),
+            joined AS (
+              SELECT s.user_id, s.bucket, t.value_sum
+              FROM spine s LEFT JOIN t1m t
+                ON s.user_id = t.user_id AND s.bucket = t.bucket),
+            ctx AS (
+              SELECT user_id, bucket, value_sum,
+                CASE WHEN value_sum IS NOT NULL THEN epoch(bucket) END AS obs_t,
+                last_value(value_sum IGNORE NULLS) OVER w_b AS v0,
+                first_value(value_sum IGNORE NULLS) OVER w_f AS v1,
+                last_value(CASE WHEN value_sum IS NOT NULL THEN epoch(bucket) END IGNORE NULLS) OVER w_b AS t0,
+                first_value(CASE WHEN value_sum IS NOT NULL THEN epoch(bucket) END IGNORE NULLS) OVER w_f AS t1
+              FROM joined
+              WINDOW
+                w_b AS (PARTITION BY user_id ORDER BY bucket
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                w_f AS (PARTITION BY user_id ORDER BY bucket
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+            SELECT user_id, bucket,
+              round(CASE
+                WHEN value_sum IS NOT NULL THEN value_sum
+                WHEN t0 IS NULL THEN v1
+                WHEN t1 IS NULL THEN v0
+                WHEN t1 = t0 THEN v0
+                ELSE v0 + (v1 - v0) * (epoch(bucket) - t0) / (t1 - t0)
+              END, 4) AS value_interp
+            FROM ctx
+        """,
         "sessionize": """
             WITH lagged AS (
               SELECT user_id,
@@ -465,6 +601,25 @@ def oracle_sql() -> dict[str, str]:
                    round(min(value), 4) AS min_value,
                    round(max(value), 4) AS max_value
             FROM events GROUP BY event_type
+        """,
+        "ngram_jaccard": """
+            WITH grams AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(length(text) - 2, 1)),
+                       i -> substring(text, i, 3))) AS g
+              FROM documents),
+            cands AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM documents a, documents b
+              WHERE a.doc_id < 20 AND b.doc_id < 20 AND a.doc_id < b.doc_id)
+            SELECT c.id_a, c.id_b,
+                   round(CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+                     / (len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g))),
+                     4) AS jaccard
+            FROM cands c
+            JOIN grams ga ON ga.doc_id = c.id_a
+            JOIN grams gb ON gb.doc_id = c.id_b
         """,
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies

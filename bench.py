@@ -8,10 +8,13 @@ Default: run the headline queries at $SPARK_GRAFT_SF_DIR (default
 Extra keys: rollup_turns_per_sec (north-star rollup throughput),
 dtwnn_queries_per_sec (north-star NN throughput).
 
-``--scaling``: additionally run the scaling probe — the same rollup+drift
-job at local[8] and local[32] on identical input — and report per-core
-scaling efficiency (sandbox proxy for the N→4N executor rule; see
-BASELINE.md).
+``--scaling``: additionally run the scaling probe — the north-star NN-search
+job at N and 4N cores on identical input — and report per-core scaling
+efficiency (sandbox proxy for the N→4N executor rule). Default N=2→8: this
+VM's own multiprocessing throughput ceiling is ~0.55-0.6 efficiency from
+8→32 processes (measured with a pure-NumPy burn, no Spark — see
+BASELINE.md), so 2→8 is the region where core scaling reflects the engine
+rather than host contention; the 8→32 numbers are also reported.
 """
 
 from __future__ import annotations
@@ -49,6 +52,11 @@ def run_headline(spark: SparkSession, sf_dir: str):
     import __spark_entry__ as E
 
     qs = E.queries()
+    # warm the JVM + parquet footers so the first timed query isn't
+    # paying session fixed costs
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    for tbl in ("events", "lineitem", "documents", "embeddings"):
+        spark.read.parquet(os.path.join(sf_dir, f"{tbl}.parquet")).count()
     headline = [
         "rollup_1m", "rollup_1h_cascade", "gapfill_zero", "sessionize",
         "topk_minutes", "tpch_q1", "nation_revenue", "dedup_exact",
@@ -91,24 +99,55 @@ def run_headline(spark: SparkSession, sf_dir: str):
     return timings, thr
 
 
-def run_scaling(sf_dir: str, low: int = 8, high: int = 32):
-    """Same job, same input, two parallelism levels → per-core efficiency."""
-    import __spark_entry__ as E
+def run_scaling(sf_dir: str, low: int = 8, high: int = 32, n_queries: int = 96):
+    """Same job, same input, two parallelism levels → per-core efficiency.
+
+    The probe is the north-star NN-search job (BASELINE.json: "DTW-pruned NN
+    queries/sec ... ≥0.8 scaling efficiency N→4N"): n_queries patterns
+    searched across every per-user series — minutes of parallel kernel CPU,
+    the regime the efficiency rule is about. Each session is warmed (JVM +
+    Python workers + parquet footers) before the timed run so fixed startup
+    cost doesn't masquerade as poor scaling.
+    """
+    from pyspark.sql import functions as F
 
     results = {}
+    per_sec = {}
     for cpus in (low, high):
         spark = build_session(cpus)
         try:
+            from dynamicaxiswarping_jl_spark.operators import (
+                rollup_turns, gapfill, cascade, assemble_series, dtwnn_search)
+            ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+            evs = ev.select(F.col("user_id").cast("string").alias("conv_id"),
+                            "ts", F.lit(None).cast("string").alias("tool"))
+            series = assemble_series(
+                gapfill(cascade(rollup_turns(evs, "1m"), "1h"), 3600,
+                        policy="zero"),
+                "turn_rate", step_s=3600).cache()
+            series.count()
+            sample = series.orderBy("conv_id").limit(n_queries).collect()
+            queries = spark.createDataFrame(
+                [(f"q{i}", [float(v) for v in row["points"][i % 4:i % 4 + 24]])
+                 for i, row in enumerate(sample)
+                 if len(row["points"]) >= 28],
+                "query_id string, q array<double>")
+            nq = queries.count()
+            # warm python workers with a no-op pass over the series
+            series.mapInPandas(lambda it: it, series.schema).count()
             t0 = time.time()
-            E.queries()["drift_1h_1d"](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            E.queries()["rollup_1m"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dtwnn_search(queries, series, radius=5).write.format(
+                "noop").mode("overwrite").save()
             results[cpus] = time.time() - t0
+            per_sec[cpus] = nq / results[cpus]
         finally:
             spark.stop()
     speedup = results[low] / results[high]
     efficiency = speedup / (high / low)
     return {f"wall_sec_local{low}": round(results[low], 3),
             f"wall_sec_local{high}": round(results[high], 3),
+            f"nn_qps_local{low}": round(per_sec[low], 3),
+            f"nn_qps_local{high}": round(per_sec[high], 3),
             "speedup": round(speedup, 3),
             "scaling_efficiency": round(efficiency, 3)}
 
@@ -131,7 +170,8 @@ def main():
                              if k != "dtwnn_batch"), 3)
     out.update(thr)
     if scaling:
-        out["scaling"] = run_scaling(SF_DIR)
+        out["scaling"] = run_scaling(SF_DIR, low=2, high=8, n_queries=32)
+        out["scaling_8_32"] = run_scaling(SF_DIR, low=8, high=32, n_queries=32)
     print(json.dumps(out))
 
 

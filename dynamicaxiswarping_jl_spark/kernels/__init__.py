@@ -25,6 +25,8 @@ from .interp import linear_interp_fill
 from .align import align_signals
 from .filters import gaussian, gaussian2, imfilter
 from .datasets import fakedata_gaussian
+from .gdtw import gdtw, LinearInterpolation
+from .dtw import dtw_cost_batch
 
 __all__ = [
     "SqEuclidean", "Euclidean", "Cityblock", "Chebyshev", "get_dist",
@@ -40,4 +42,5 @@ __all__ = [
     "linear_interp_fill", "align_signals",
     "gaussian", "gaussian2", "imfilter",
     "fakedata_gaussian",
+    "gdtw", "LinearInterpolation", "dtw_cost_batch",
 ]

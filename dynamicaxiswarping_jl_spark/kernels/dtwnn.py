@@ -183,31 +183,73 @@ def dtwnn(q, y, dist=None, rad: int = 5, normalizer: Optional[str] = None, *,
 
     mask = _avoid_mask(avoid, nw)
     X = np.lib.stride_tricks.sliding_window_view(y, m) if onedim else None
+    dists = np.full(nw, _INF)
 
+    # ---- exact stage ----
+    # Batched strategy (result-identical to the reference's sequential scan,
+    # SURVEY §2.3): sort candidate windows by their lower bound ascending,
+    # compute exact banded costs in vectorized chunks (dtw_cost_batch
+    # amortizes the DP across windows — the batch analog of the reference's
+    # workspace reuse), stop when the next chunk's smallest LB already
+    # exceeds bsf_multiplier * best-so-far. Prune counters are evaluated
+    # against the final threshold: same metrics role as the reference's
+    # (src/dtwnn.jl:191-193), deterministic instead of scan-order-dependent.
+    if onedim:
+        from .dtw import dtw_cost_batch
+
+        lbe = lb_end if lb_end is not None else np.zeros(nw)
+        lbv = lb_env if lb_env is not None else np.zeros(nw)
+        lb = np.maximum(lbe, lbv)
+        cand = np.arange(nw) if mask is None else np.flatnonzero(~mask)
+        order = cand[np.argsort(lb[cand], kind="stable")]
+        best_so_far = _INF
+        CH = 512
+        pos = 0
+        while pos < len(order):
+            chunk = order[pos:pos + CH]
+            if not saveall:
+                thresh = bsf_multiplier * best_so_far
+                chunk = chunk[lb[chunk] <= thresh]
+                if len(chunk) == 0:
+                    break
+            W = X[chunk]
+            if use_znorm:
+                W = (W - mu[chunk, None]) / sd[chunk, None]
+            costs = dtw_cost_batch(qn, W, rad, transportcost=transportcost)
+            dists[chunk] = costs
+            cmin = costs.min()
+            if cmin < best_so_far:
+                best_so_far = cmin
+            pos += CH
+        computed = np.isfinite(dists)
+        if computed.any():
+            best_so_far = dists[computed].min()
+            best_loc = int(np.flatnonzero(dists == best_so_far)[0]) + 1
+        else:
+            best_so_far, best_loc = _INF, 1
+        thresh = bsf_multiplier * best_so_far
+        pruned = ~computed
+        if mask is not None:
+            pruned &= ~mask
+        prune_end = int((pruned & (lbe > thresh)).sum()) if lb_end is not None else 0
+        if lb_env is not None:
+            env_only = pruned & (lbv > thresh)
+            if lb_end is not None:
+                env_only &= ~(lbe > thresh)
+            prune_env = int(env_only.sum())
+        else:
+            prune_env = 0
+        return DTWSearchResult(float(best_so_far), best_loc, prune_end,
+                               prune_env, dists)
+
+    # ---- fallback: sequential scan (saveall or multichannel) ----
     best_so_far = _INF
     best_loc = 1
-    prune_end = 0
-    prune_env = 0
-    dists = np.full(nw, _INF)
     zeros_cb = np.zeros(m)
-
     for it in range(nw):
         if mask is not None and mask[it]:
             continue
         bsf = bsf_multiplier * best_so_far
-        if lb_end is not None and lb_end[it] > bsf:
-            prune_end += 1
-            continue
-        cb = zeros_cb
-        if lb_env is not None:
-            if lb_env[it] > bsf:
-                prune_env += 1
-                continue
-            w = X[it]
-            if use_znorm:
-                w = (w - mu[it]) / sd[it]
-            cbv = _lb_env_window(d.name, w, l_env, u_env)
-            cb = cbv[::-1].cumsum()[::-1]  # rev_cumsum (src/dtwnn.jl:139-143)
         if onedim:
             w = X[it]
             if use_znorm:
@@ -217,12 +259,12 @@ def dtwnn(q, y, dist=None, rad: int = 5, normalizer: Optional[str] = None, *,
         newdist = dtw_cost(qn, w, d, rad,
                            transportcost=transportcost,
                            best_so_far=_INF if saveall else bsf,
-                           cumulative_bound=cb)
+                           cumulative_bound=zeros_cb)
         dists[it] = newdist
         if newdist < best_so_far:
             best_so_far = newdist
             best_loc = it + 1
-    return DTWSearchResult(float(best_so_far), best_loc, prune_end, prune_env, dists)
+    return DTWSearchResult(float(best_so_far), best_loc, 0, 0, dists)
 
 
 def lb_endpoints(dist, q, buf, best_so_far: float = _INF) -> float:

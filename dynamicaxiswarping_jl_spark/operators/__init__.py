@@ -3,8 +3,9 @@
 from .rollup import rollup_turns, cascade, assemble_series, TIERS
 from .gapfill import gapfill
 from .compression import compress_chunks, decompress_chunks, gorilla_encode, gorilla_decode
-from .dtw_ops import dtw_pairs, drift_scores, dtwnn_search, knn_topk
-from .dba_ops import dba_per_group, dba_distributed
+from .dtw_ops import (dtw_pairs, drift_scores, dtwnn_search, knn_topk,
+                      distance_profile_op, matrix_profile_op, align_to_master)
+from .dba_ops import dba_per_group, dba_distributed, dbaclust_distributed
 from .dedup import exact_dedup, minhash_dedup, simhash_signatures, ngram_jaccard_pairs
 from .similarity import cosine_topk, lsh_cosine_topk
 from .text import token_stats, quality_score, language_id, fingerprint
@@ -14,7 +15,8 @@ __all__ = [
     "rollup_turns", "cascade", "assemble_series", "TIERS", "gapfill",
     "compress_chunks", "decompress_chunks", "gorilla_encode", "gorilla_decode",
     "dtw_pairs", "drift_scores", "dtwnn_search", "knn_topk",
-    "dba_per_group", "dba_distributed",
+    "distance_profile_op", "matrix_profile_op", "align_to_master",
+    "dba_per_group", "dba_distributed", "dbaclust_distributed",
     "exact_dedup", "minhash_dedup", "simhash_signatures", "ngram_jaccard_pairs",
     "cosine_topk", "lsh_cosine_topk",
     "token_stats", "quality_score", "language_id", "fingerprint",

@@ -51,6 +51,20 @@ class _BitWriter:
             self.buf.append((self.acc >> self.nbits) & 0xFF)
         self.acc &= (1 << self.nbits) - 1
 
+    def write_zeros(self, k: int):
+        """Append k zero bits — bulk byte extension for long runs (the
+        gap-filled regular-grid fast path)."""
+        if self.nbits:
+            take = min(k, 8 - self.nbits)
+            self.write(0, take)
+            k -= take
+        nbytes = k >> 3
+        if nbytes:
+            self.buf.extend(b"\x00" * nbytes)
+            k -= nbytes << 3
+        if k:
+            self.write(0, k)
+
     def bytes(self) -> bytes:
         if self.nbits:
             return bytes(self.buf) + bytes([(self.acc << (8 - self.nbits)) & 0xFF])
@@ -88,15 +102,19 @@ def gorilla_encode(ts: np.ndarray, vals: np.ndarray):
     t0 = int(ts[0])
     v0 = float(vals[0])
     w = _BitWriter()
-    # --- timestamps: first delta 32-bit zigzag, then delta-of-delta ---
-    prev_t = t0
-    prev_delta = 0
-    for i in range(1, n):
-        delta = int(ts[i]) - prev_t
-        dod = delta - prev_delta
-        if dod == 0:
-            w.write(0, 1)
-        elif -63 <= dod <= 64:
+    # --- timestamps: delta-of-delta, zero runs written in bulk ---
+    deltas = np.diff(ts)
+    dods = np.empty(n - 1, dtype=np.int64) if n > 1 else np.empty(0, dtype=np.int64)
+    if n > 1:
+        dods[0] = deltas[0]
+        dods[1:] = np.diff(deltas)
+    nz = np.flatnonzero(dods)
+    prev_end = 0
+    for idx in nz:
+        if idx > prev_end:
+            w.write_zeros(int(idx - prev_end))
+        dod = int(dods[idx])
+        if -63 <= dod <= 64:
             w.write(0b10, 2)
             w.write(dod + 63, 7)
         elif -255 <= dod <= 256:
@@ -108,74 +126,125 @@ def gorilla_encode(ts: np.ndarray, vals: np.ndarray):
         else:
             w.write(0b1111, 4)
             w.write(_zigzag(dod) & 0xFFFFFFFFFFFFFFFF, 64)
-        prev_t = int(ts[i])
-        prev_delta = delta
-    # --- values: XOR with block reuse (§4.2) ---
+        prev_end = idx + 1
+    if n - 1 > prev_end:
+        w.write_zeros(int(n - 1 - prev_end))
+    # --- values: XOR with block reuse (§4.2), zero runs in bulk ---
     bits = vals.view(np.uint64)
-    prev_bits = int(bits[0])
+    xors = (bits[1:] ^ bits[:-1]) if n > 1 else np.empty(0, dtype=np.uint64)
+    nzv = np.flatnonzero(xors)
     prev_lead, prev_mean = 65, 0  # invalid → first xor writes a new block
-    for i in range(1, n):
-        cur = int(bits[i])
-        xor = prev_bits ^ cur
-        if xor == 0:
+    prev_end = 0
+    for idx in nzv:
+        if idx > prev_end:
+            w.write_zeros(int(idx - prev_end))
+        prev_end = idx + 1
+        xor = int(xors[idx])
+        lead = min(64 - xor.bit_length(), 31)
+        trail = (xor & -xor).bit_length() - 1
+        mean = 64 - lead - trail
+        w.write(1, 1)
+        prev_trail = 64 - prev_lead - prev_mean
+        if lead >= prev_lead and trail >= prev_trail:
+            # xor fits inside the previous meaningful block → reuse it
             w.write(0, 1)
+            w.write(xor >> prev_trail, prev_mean)
         else:
-            lead = min(64 - xor.bit_length(), 31)
-            trail = (xor & -xor).bit_length() - 1
-            mean = 64 - lead - trail
             w.write(1, 1)
-            prev_trail = 64 - prev_lead - prev_mean
-            if lead >= prev_lead and trail >= prev_trail:
-                # xor fits inside the previous meaningful block → reuse it
-                w.write(0, 1)
-                w.write(xor >> prev_trail, prev_mean)
-            else:
-                w.write(1, 1)
-                w.write(lead, 5)
-                w.write(mean - 1, 6)
-                w.write(xor >> trail, mean)
-                prev_lead, prev_mean = lead, mean
-        prev_bits = cur
+            w.write(lead, 5)
+            w.write(mean - 1, 6)
+            w.write(xor >> trail, mean)
+            prev_lead, prev_mean = lead, mean
+    if n - 1 > prev_end:
+        w.write_zeros(int(n - 1 - prev_end))
     return n, t0, v0, w.bytes()
 
 
 def gorilla_decode(n: int, t0: int, v0: float, payload: bytes):
-    """Inverse of gorilla_encode → (ts int64[n], vals float64[n])."""
+    """Inverse of gorilla_encode → (ts int64[n], vals float64[n]).
+
+    Decoding walks an unpacked bit array; runs of '0' control bits (the
+    regular-grid / repeated-value fast path) are skipped in bulk via a
+    precomputed set-bit index, and the per-record deltas/xors are folded
+    with vectorized cumsum / bitwise_xor.accumulate.
+    """
     ts = np.empty(n, dtype=np.int64)
     vals = np.empty(n, dtype=np.float64)
     ts[0] = t0
     vals[0] = v0
     if n == 1:
         return ts, vals
-    r = _BitReader(payload)
-    prev_t, prev_delta = t0, 0
-    for i in range(1, n):
-        if r.read(1) == 0:
-            dod = 0
-        elif r.read(1) == 0:
-            dod = r.read(7) - 63
-        elif r.read(1) == 0:
-            dod = r.read(9) - 255
-        elif r.read(1) == 0:
-            dod = r.read(12) - 2047
+    bits = np.unpackbits(np.frombuffer(payload, dtype=np.uint8))
+    blist = bits.tolist()
+    set_pos = np.flatnonzero(bits)
+    nbits_total = len(blist)
+    state = {"pos": 0}
+
+    def next_set(p: int) -> int:
+        i = np.searchsorted(set_pos, p)
+        return int(set_pos[i]) if i < len(set_pos) else nbits_total
+
+    def read(k: int) -> int:
+        p = state["pos"]
+        v = 0
+        for b in blist[p:p + k]:
+            v = (v << 1) | b
+        state["pos"] = p + k
+        return v
+
+    # --- timestamps ---
+    dods = np.zeros(n - 1, dtype=np.int64)
+    i = 0
+    while i < n - 1:
+        run = min(next_set(state["pos"]) - state["pos"], n - 1 - i)
+        state["pos"] += run
+        i += run
+        if i >= n - 1:
+            break
+        state["pos"] += 1  # leading '1'
+        p = state["pos"]
+        if blist[p] == 0:
+            state["pos"] = p + 1
+            dod = read(7) - 63
+        elif blist[p + 1] == 0:
+            state["pos"] = p + 2
+            dod = read(9) - 255
+        elif blist[p + 2] == 0:
+            state["pos"] = p + 3
+            dod = read(12) - 2047
         else:
-            dod = _unzigzag(r.read(64))
-        prev_delta += dod
-        prev_t += prev_delta
-        ts[i] = prev_t
-    prev_bits = np.float64(v0).view(np.uint64).item()
+            state["pos"] = p + 3
+            dod = _unzigzag(read(64))
+        dods[i] = dod
+        i += 1
+    deltas = np.cumsum(dods)
+    ts[1:] = t0 + np.cumsum(deltas)
+
+    # --- values ---
+    xors = np.zeros(n - 1, dtype=np.uint64)
     lead = mean = 0
-    for i in range(1, n):
-        if r.read(1) == 0:
-            vals[i] = np.uint64(prev_bits).view(np.float64)
-            continue
-        if r.read(1) == 1:
-            lead = r.read(5)
-            mean = r.read(6) + 1
+    i = 0
+    while i < n - 1:
+        run = min(next_set(state["pos"]) - state["pos"], n - 1 - i)
+        state["pos"] += run
+        i += run
+        if i >= n - 1:
+            break
+        state["pos"] += 1  # leading '1'
+        if blist[state["pos"]] == 1:
+            state["pos"] += 1
+            lead = read(5)
+            mean = read(6) + 1
+        else:
+            state["pos"] += 1
         start = 64 - lead - mean
-        xor = r.read(mean) << start
-        prev_bits ^= xor
-        vals[i] = np.uint64(prev_bits).view(np.float64)
+        xors[i] = read(mean) << start
+        i += 1
+    acc = np.empty(n, dtype=np.uint64)
+    acc[0] = np.float64(v0).view(np.uint64)
+    acc[1:] = xors
+    np.bitwise_xor.accumulate(acc, out=acc)
+    vals[:] = acc.view(np.float64)
     return ts, vals
 
 
@@ -243,4 +312,6 @@ def decompress_chunks(chunks: DataFrame, value_col: str = "turn_rate") -> DataFr
             if frames:
                 yield pd.concat(frames, ignore_index=True)
 
-    return chunks.mapInPandas(dec, out_schema)
+    sc = chunks.sparkSession.sparkContext
+    # chunks are tiny in bytes but costly to decode — fan out for CPU
+    return chunks.repartition(sc.defaultParallelism * 2).mapInPandas(dec, out_schema)

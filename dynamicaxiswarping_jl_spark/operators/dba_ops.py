@@ -29,7 +29,7 @@ from pyspark.sql import types as T
 
 from ..kernels import dba, dtw
 
-__all__ = ["dba_per_group", "dba_distributed"]
+__all__ = ["dba_per_group", "dba_distributed", "dbaclust_distributed"]
 
 _REP_SCHEMA = T.StructType([
     T.StructField("group_id", T.StringType()),
@@ -123,3 +123,111 @@ def dba_distributed(spark: SparkSession, series: DataFrame,
             center = newavg
         bc.destroy()
     return newavg, newcost, it, converged
+
+
+def dbaclust_distributed(spark: SparkSession, series: DataFrame,
+                         nclust: int, dist: str = "sqeuclidean",
+                         iterations: int = 10, inner_iterations: int = 5,
+                         rtol: float = 1e-4, key: str = "conv_id",
+                         seed: int = 0):
+    """Distributed DBA k-means (reference src/dbaclust.jl:123-357 restructured
+    Spark-first, SURVEY §3.3):
+
+    - assignment: centers broadcast in the UDF closure; one pass over the
+      series computes argmin-DTW-cost cluster per series (mapInPandas);
+    - empty-cluster reseed from the worst-assigned series (driver, needs a
+      global argmax — one tiny collect);
+    - update: per-cluster DBA refinement via grouped applyInPandas with the
+      current center as init.
+
+    Returns ``(assign_df, centers list, total_cost, n_iter, converged)``.
+    Init centers: the nclust lexicographically-smallest keys (deterministic;
+    kmeans++ seeding stays available in the local kernel).
+    """
+    import pandas as pd
+    from ..kernels.dba import dba_iteration as _dba_iter
+
+    init_rows = (series.orderBy(key).limit(nclust).collect())
+    centers = [np.asarray(r["points"], dtype=np.float64) for r in init_rows]
+    assign_schema = T.StructType([
+        T.StructField(key, T.StringType()),
+        T.StructField("cluster_id", T.IntegerType()),
+        T.StructField("cost", T.DoubleType()),
+    ])
+    total_cost = np.inf
+    converged = False
+    it = 0
+    assign = None
+    while not converged and it < iterations:
+        it += 1
+        bc = spark.sparkContext.broadcast(centers)
+
+        def assign_fn(batches):
+            ctrs = bc.value
+            for pdf in batches:
+                recs = []
+                for row in pdf.itertuples(index=False):
+                    y = np.asarray(row.points, dtype=np.float64)
+                    costs = [dtw(c, y, dist)[0] for c in ctrs]
+                    cid = int(np.argmin(costs))
+                    recs.append({key: getattr(row, key), "cluster_id": cid,
+                                 "cost": float(costs[cid])})
+                yield pd.DataFrame(recs, columns=[key, "cluster_id", "cost"])
+
+        assign = series.select(key, "points").mapInPandas(
+            assign_fn, assign_schema).cache()
+        counts = {r["cluster_id"]: r["count"]
+                  for r in assign.groupBy("cluster_id").count().collect()}
+        # reseed empty clusters from the worst-assigned series (sequential,
+        # reference src/dbaclust.jl:260-284)
+        empties = [c for c in range(nclust) if counts.get(c, 0) == 0]
+        if empties:
+            worst = (assign.orderBy(F.col("cost").desc(), key)
+                     .limit(len(empties)).collect())
+            reseed_keys = {w[key]: c for w, c in zip(worst, empties)}
+            pts = {r[key]: np.asarray(r["points"], dtype=np.float64)
+                   for r in series.filter(
+                       F.col(key).isin(list(reseed_keys))).collect()}
+            for kk, c in reseed_keys.items():
+                centers[c] = pts[kk]
+            assign.unpersist()
+            bc.destroy()
+            continue  # re-assign with reseeded centers
+        # per-cluster DBA update
+        joined = series.join(assign.select(key, "cluster_id"), key)
+        ctr_map = {i: c for i, c in enumerate(centers)}
+        bc2 = spark.sparkContext.broadcast(ctr_map)
+        upd_schema = T.StructType([
+            T.StructField("cluster_id", T.IntegerType()),
+            T.StructField("center", T.ArrayType(T.DoubleType())),
+            T.StructField("cost", T.DoubleType()),
+        ])
+
+        def update_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            cid = int(pdf["cluster_id"].iloc[0])
+            ctr = bc2.value[cid]
+            pdf = pdf.sort_values(key)
+            seqs = [np.asarray(p, dtype=np.float64) for p in pdf["points"]]
+            ccost = np.inf
+            for _ in range(inner_iterations):
+                newctr, icost = _dba_iter(ctr, seqs, dist)
+                delta = (ccost - icost) / icost if icost > 0 else 0.0
+                ctr = newctr
+                if delta < rtol:
+                    break
+                ccost = icost
+            return pd.DataFrame([{"cluster_id": cid, "center": ctr.tolist(),
+                                  "cost": float(icost)}])
+
+        upd = joined.groupBy("cluster_id").applyInPandas(
+            update_fn, upd_schema).collect()
+        newcost = sum(r["cost"] for r in upd)
+        for r in upd:
+            centers[r["cluster_id"]] = np.asarray(r["center"], dtype=np.float64)
+        delta = (total_cost - newcost) / newcost if newcost > 0 else 0.0
+        if delta < rtol:
+            converged = True
+        total_cost = newcost
+        bc.destroy()
+        bc2.destroy()
+    return assign, centers, float(total_cost), it, converged

@@ -38,16 +38,33 @@ from ..kernels import dtw, dtw_cost, dtwnn, radiuslimits
 from ..kernels.dtwnn import lb_endpoints
 from .topk import topk_per_key
 
-__all__ = ["dtw_pairs", "drift_scores", "dtwnn_search", "knn_topk"]
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition before a CPU-heavy pandas UDF.
+
+    AQE coalesces shuffle outputs by *bytes*; assembled-series frames are
+    tiny in bytes but expensive per row in the DTW kernels, so without this
+    the kernel stage can collapse onto one task. Explicit fan-out restores
+    CPU parallelism (round-robin keeps it deterministic enough — kernel
+    outputs are per-row, order-independent).
+    """
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism * 2)
+
+
+__all__ = ["dtw_pairs", "drift_scores", "dtwnn_search", "knn_topk",
+           "distance_profile_op", "matrix_profile_op", "align_to_master"]
 
 
 def dtw_pairs(pairs: DataFrame, dist: str = "sqeuclidean",
               transportcost: float = 1.0, radius: int | None = None,
-              keep_paths: bool = False) -> DataFrame:
-    """(id_a, a ARRAY<DOUBLE>, id_b, b ARRAY<DOUBLE>) → per-pair DTW.
+              keep_paths: bool = False, method: str = "dtw",
+              gamma: float = 1.0) -> DataFrame:
+    """(id_a, a ARRAY<DOUBLE>, id_b, b ARRAY<DOUBLE>) → per-pair warping.
 
-    ``radius`` applies a Sakoe-Chiba band via radiuslimits (handles unequal
-    lengths, reference src/utils.jl:22-33).
+    ``method``: 'dtw' (exact, optionally banded via radiuslimits —
+    src/utils.jl:22-33), 'fastdtw' (coarse-to-fine, src/fastdtw.jl:12-36),
+    or 'softdtw' (γ-smoothed cost, no path — src/dtw.jl:245-308).
     """
     fields = [
         T.StructField("id_a", T.StringType()),
@@ -60,16 +77,28 @@ def dtw_pairs(pairs: DataFrame, dist: str = "sqeuclidean",
     schema = T.StructType(fields)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernels import fastdtw, soft_dtw_cost
+
         for pdf in batches:
             out = []
             for row in pdf.itertuples(index=False):
                 a = np.asarray(row.a, dtype=np.float64)
                 b = np.asarray(row.b, dtype=np.float64)
-                kw = {}
-                if radius is not None:
-                    imin, imax = radiuslimits(radius, len(a), len(b))
-                    kw = {"i2min": imin, "i2max": imax}
-                cost, i1, i2 = dtw(a, b, dist, transportcost=transportcost, **kw)
+                if method == "softdtw":
+                    cost = soft_dtw_cost(a, b, dist, gamma=gamma,
+                                         transportcost=transportcost,
+                                         radius=radius)
+                    i1 = i2 = np.zeros(0, dtype=np.int64)
+                elif method == "fastdtw":
+                    cost, i1, i2 = fastdtw(a, b, dist, radius or 1,
+                                           transportcost=transportcost)
+                else:
+                    kw = {}
+                    if radius is not None:
+                        imin, imax = radiuslimits(radius, len(a), len(b))
+                        kw = {"i2min": imin, "i2max": imax}
+                    cost, i1, i2 = dtw(a, b, dist,
+                                       transportcost=transportcost, **kw)
                 rec = {"id_a": row.id_a, "id_b": row.id_b, "cost": cost}
                 if keep_paths:
                     rec["i1"] = i1.astype("int32").tolist()
@@ -77,7 +106,102 @@ def dtw_pairs(pairs: DataFrame, dist: str = "sqeuclidean",
                 out.append(rec)
             yield pd.DataFrame(out, columns=[f.name for f in fields])
 
-    return pairs.mapInPandas(run, schema)
+    return _spread(pairs).mapInPandas(run, schema)
+
+
+def distance_profile_op(queries: DataFrame, series: DataFrame,
+                        radius: int = 5, dist: str = "sqeuclidean",
+                        key: str = "conv_id") -> DataFrame:
+    """Dense DTW distance profile of each query against every window of
+    each series (reference src/distance_interface.jl:103-110), exploded to
+    (query_id, key, loc, dist) rows — loc 1-based."""
+    qlist = [(r["query_id"], np.asarray(r["q"], dtype=np.float64))
+             for r in queries.select("query_id", "q").collect()]
+    schema = T.StructType([
+        T.StructField("query_id", T.StringType()),
+        T.StructField(key, T.StringType()),
+        T.StructField("loc", T.IntegerType()),
+        T.StructField("dist", T.DoubleType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernels import distance_profile
+
+        for pdf in batches:
+            frames = []
+            for row in pdf.itertuples(index=False):
+                y = np.asarray(row.points, dtype=np.float64)
+                for qid, q in qlist:
+                    if len(y) < len(q):
+                        continue
+                    prof = distance_profile(q, y, dist, radius)
+                    frames.append(pd.DataFrame({
+                        "query_id": qid, key: getattr(row, key),
+                        "loc": np.arange(1, len(prof) + 1, dtype=np.int32),
+                        "dist": prof}))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return _spread(series.select(key, "points")).mapInPandas(run, schema)
+
+
+def matrix_profile_op(series: DataFrame, m: int, radius: int = 5,
+                      dist: str = "sqeuclidean",
+                      key: str = "conv_id") -> DataFrame:
+    """Per-series DTW matrix profile (reference src/matrix_profile.jl:2-19):
+    (key, loc, nn_dist, nn_loc), trivial band |i-j|<=radius excluded."""
+    schema = T.StructType([
+        T.StructField(key, T.StringType()),
+        T.StructField("loc", T.IntegerType()),
+        T.StructField("nn_dist", T.DoubleType()),
+        T.StructField("nn_loc", T.IntegerType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernels import matrix_profile
+
+        for pdf in batches:
+            frames = []
+            for row in pdf.itertuples(index=False):
+                y = np.asarray(row.points, dtype=np.float64)
+                if len(y) < m + radius + 1:
+                    continue
+                P, I = matrix_profile(y, m, radius, dist)
+                frames.append(pd.DataFrame({
+                    key: getattr(row, key),
+                    "loc": np.arange(1, len(P) + 1, dtype=np.int32),
+                    "nn_dist": P, "nn_loc": I.astype(np.int32)}))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return _spread(series.select(key, "points")).mapInPandas(run, schema)
+
+
+def align_to_master(series: DataFrame, master_points, dist: str = "sqeuclidean",
+                    key: str = "conv_id") -> DataFrame:
+    """Align every series to a broadcast master (reference src/utils.jl:46-80
+    per-series step): per-series DTW delay = round(median(i2 - i1)).
+    Returns (key, delay, n). The global trim window is two cheap aggs on
+    the result (driver-side min/max), matching the reference's lp/rp."""
+    master = np.asarray(master_points, dtype=np.float64)
+    schema = T.StructType([
+        T.StructField(key, T.StringType()),
+        T.StructField("delay", T.IntegerType()),
+        T.StructField("n", T.IntegerType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for row in pdf.itertuples(index=False):
+                y = np.asarray(row.points, dtype=np.float64)
+                _, i1, i2 = dtw(y, master, dist)
+                recs.append({key: getattr(row, key),
+                             "delay": int(np.round(np.median(i2 - i1))),
+                             "n": len(y)})
+            yield pd.DataFrame(recs, columns=[key, "delay", "n"])
+
+    return _spread(series.select(key, "points")).mapInPandas(run, schema)
 
 
 def drift_scores(fine: DataFrame, coarse: DataFrame, radius: int = 5,
@@ -121,7 +245,7 @@ def drift_scores(fine: DataFrame, coarse: DataFrame, radius: int = 5,
                              "pruned_lb": pruned})
             yield pd.DataFrame(recs, columns=[f.name for f in schema.fields])
 
-    return joined.mapInPandas(run, schema)
+    return _spread(joined).mapInPandas(run, schema)
 
 
 def dtwnn_search(queries: DataFrame, series: DataFrame, radius: int = 5,
@@ -129,13 +253,15 @@ def dtwnn_search(queries: DataFrame, series: DataFrame, radius: int = 5,
                  key: str = "conv_id") -> DataFrame:
     """NN of each query subsequence across every series.
 
-    Plan: broadcast(queries) × series → one dtwnn kernel run per
-    (query, series) → global argmin per query via min_by over
-    (cost, conv, loc) — the distributed Base.findmin (src/dtwnn.jl:41-50).
+    Plan: queries are collected (small by construction — the short
+    patterns) and shipped in the UDF closure, so each series crosses the
+    Arrow boundary exactly once and every task runs all queries against its
+    series — no crossJoin, no 8x data duplication. Global argmin per query
+    via min_by — the distributed Base.findmin (src/dtwnn.jl:41-50).
     Prune counters are summed as global metrics columns.
     """
-    pairs = series.select(F.col(key), F.col("points")).crossJoin(
-        F.broadcast(queries.select("query_id", F.col("q"))))
+    qlist = [(r["query_id"], np.asarray(r["q"], dtype=np.float64))
+             for r in queries.select("query_id", "q").collect()]
     schema = T.StructType([
         T.StructField("query_id", T.StringType()),
         T.StructField(key, T.StringType()),
@@ -150,17 +276,17 @@ def dtwnn_search(queries: DataFrame, series: DataFrame, radius: int = 5,
             recs = []
             for row in pdf.itertuples(index=False):
                 y = np.asarray(row.points, dtype=np.float64)
-                q = np.asarray(row.q, dtype=np.float64)
-                if len(y) < len(q):
-                    continue  # series shorter than query: no window
-                res = dtwnn(q, y, dist, radius, normalizer)
-                recs.append({"query_id": row.query_id, key: getattr(row, key),
-                             "cost": res.cost, "loc": res.loc,
-                             "prune_end": res.prune_end,
-                             "prune_env": res.prune_env})
+                for qid, q in qlist:
+                    if len(y) < len(q):
+                        continue  # series shorter than query: no window
+                    res = dtwnn(q, y, dist, radius, normalizer)
+                    recs.append({"query_id": qid, key: getattr(row, key),
+                                 "cost": res.cost, "loc": res.loc,
+                                 "prune_end": res.prune_end,
+                                 "prune_env": res.prune_env})
             yield pd.DataFrame(recs, columns=[f.name for f in schema.fields])
 
-    per_series = pairs.mapInPandas(run, schema)
+    per_series = _spread(series.select(F.col(key), F.col("points"))).mapInPandas(run, schema)
     return (per_series.groupBy("query_id")
             .agg(F.min("cost").alias("cost"),
                  F.expr(f"min_by({key}, cost)").alias(key),
@@ -188,17 +314,33 @@ def knn_topk(series: DataFrame, k: int = 4, radius: int = 5,
     ])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            recs = []
-            for row in pdf.itertuples(index=False):
-                a = np.asarray(row.a, dtype=np.float64)
-                b = np.asarray(row.b, dtype=np.float64)
-                cost = dtw_cost(a, b, dist, radius) if len(a) == len(b) else \
-                    dtwnn(*(sorted((a, b), key=len)), dist, radius,
-                          prune_endpoints=False).cost
-                recs.append({"id_a": row.id_a, "id_b": row.id_b,
-                             "cost": float(cost)})
-            yield pd.DataFrame(recs, columns=["id_a", "id_b", "cost"])
+        from ..kernels import dtw_cost_batch
 
-    costs = pairs.mapInPandas(run, schema)
+        for pdf in batches:
+            lens_a = pdf["a"].map(len).to_numpy()
+            lens_b = pdf["b"].map(len).to_numpy()
+            costs = np.empty(len(pdf))
+            # equal-length pairs batch through the vectorized pairwise DP,
+            # grouped by length (amortizes the python DP rows across pairs)
+            eq = lens_a == lens_b
+            if (dist in ("sqeuclidean", None)) and eq.any():
+                for L in np.unique(lens_a[eq]):
+                    sel = np.flatnonzero(eq & (lens_a == L))
+                    A = np.stack([np.asarray(pdf["a"].iloc[i]) for i in sel])
+                    B = np.stack([np.asarray(pdf["b"].iloc[i]) for i in sel])
+                    costs[sel] = dtw_cost_batch(A, B, radius)
+                rest = np.flatnonzero(~eq)
+            else:
+                rest = np.arange(len(pdf))
+            for i in rest:
+                a = np.asarray(pdf["a"].iloc[i], dtype=np.float64)
+                b = np.asarray(pdf["b"].iloc[i], dtype=np.float64)
+                costs[i] = dtw_cost(a, b, dist, radius) if len(a) == len(b) \
+                    else dtwnn(*(sorted((a, b), key=len)), dist, radius,
+                               prune_endpoints=False).cost
+            yield pd.DataFrame({"id_a": pdf["id_a"].to_numpy(),
+                                "id_b": pdf["id_b"].to_numpy(),
+                                "cost": costs})
+
+    costs = _spread(pairs).mapInPandas(run, schema)
     return topk_per_key(costs, "id_a", "cost", k)

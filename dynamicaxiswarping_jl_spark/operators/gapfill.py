@@ -52,18 +52,21 @@ def gapfill(tier_df: DataFrame, step_s: int = 60, key: str = "conv_id",
                          F.lit(0)).alias(c) for c in value_cols])
 
     if policy == "interp":
-        wb = (Window.partitionBy(key).orderBy("bucket")
+        # both directions as RUNNING frames: Spark executes an
+        # unboundedFollowing frame O(n^2) per partition, so the "next
+        # observation" is a last() over a DESCENDING running frame instead
+        wb = (Window.partitionBy(key).orderBy(F.col("bucket").asc())
               .rowsBetween(Window.unboundedPreceding, 0))
-        wf = (Window.partitionBy(key).orderBy("bucket")
-              .rowsBetween(0, Window.unboundedFollowing))
+        wf = (Window.partitionBy(key).orderBy(F.col("bucket").desc())
+              .rowsBetween(Window.unboundedPreceding, 0))
         t = F.col("bucket").cast("timestamp").cast("long")
         obs_t = F.when(F.col(value_cols[0]).isNotNull(), t)
         t0 = F.last(obs_t, ignorenulls=True).over(wb)
-        t1 = F.first(obs_t, ignorenulls=True).over(wf)
+        t1 = F.last(obs_t, ignorenulls=True).over(wf)
         cols = [key, "bucket"]
         for c in value_cols:
             v0 = F.last(c, ignorenulls=True).over(wb)
-            v1 = F.first(c, ignorenulls=True).over(wf)
+            v1 = F.last(c, ignorenulls=True).over(wf)
             interp = F.when(F.col(c).isNotNull(), F.col(c)).otherwise(
                 F.when(t0.isNull(), v1)           # leading edge: hold next
                 .when(t1.isNull(), v0)            # trailing edge: hold prev

@@ -1,0 +1,80 @@
+"""GDTW property tests — mirrors reference test/test_gdtw.jl:38-83."""
+
+import numpy as np
+import pytest
+
+from dynamicaxiswarping_jl_spark.kernels.gdtw import gdtw, LinearInterpolation
+
+
+def make_signals():
+    # smooth test signals like the reference's sin-based fixtures
+    ts = np.linspace(0, 1, 128)
+    x = np.sin(2 * np.pi * ts) + 0.5 * np.sin(6 * np.pi * ts)
+    # y is x warped by a smooth monotone warp w(s) = s + 0.1 sin(pi s)
+    w = ts + 0.08 * np.sin(np.pi * ts)
+    xi = LinearInterpolation(x)
+    y = xi(w)
+    return x, y, w
+
+
+class TestGDTW:
+    def test_symmetry_cost(self):
+        # test_gdtw.jl:74-83: cost(x,y) ≈ cost(y,x)
+        x, y, _ = make_signals()
+        c1, phi1, psi1 = gdtw(x, y, M=60, N=80)
+        c2, phi2, psi2 = gdtw(y, x, M=60, N=80)
+        assert c1 == pytest.approx(c2, rel=1e-6)
+        # ϕ of (x,y) ≈ ψ of (y,x)
+        s = np.linspace(0, 1, 50)
+        np.testing.assert_allclose(phi1(s), psi2(s), atol=1e-6)
+
+    def test_refinement_monotonically_reduces_cost(self):
+        # test_gdtw.jl:38-45
+        x, y, _ = make_signals()
+        costs = [gdtw(x, y, M=50, N=60, max_iters=k)[0] for k in (1, 2, 3, 4)]
+        for a, b in zip(costs, costs[1:]):
+            assert b <= a + 1e-12
+
+    def test_warping_never_hurts(self):
+        # test_gdtw.jl:47-55: warped residual ≤ unwarped residual
+        x, y, _ = make_signals()
+        cost, phi, psi = gdtw(x, y, M=60, N=80)
+        s = np.linspace(0, 1, 200)
+        xi, yi = LinearInterpolation(x), LinearInterpolation(y)
+        warped = np.abs(xi(phi(s)) - yi(psi(s))).mean()
+        unwarped = np.abs(xi(s) - yi(s)).mean()
+        assert warped <= unwarped + 1e-9
+
+    def test_identity_when_equal(self):
+        x, _, _ = make_signals()
+        cost, phi, psi = gdtw(x, x, M=50, N=60)
+        s = np.linspace(0, 1, 100)
+        # identical signals → ϕ ≈ identity, tiny cost
+        assert np.abs(phi(s) - s).max() < 0.05
+        assert cost < 0.01
+
+    def test_recovers_planted_warp(self):
+        x, y, w = make_signals()
+        _, phi, _ = gdtw(x, y, M=80, N=100, symmetric=False,
+                         lambda_cum=1e-4, lambda_inst=1e-4)
+        ts = np.linspace(0.1, 0.9, 40)
+        # ϕ should approximate the planted warp in the interior
+        assert np.abs(phi(ts) - np.interp(ts, np.linspace(0, 1, 128), w)).mean() < 0.05
+
+    def test_endpoints_pinned(self):
+        x, y, _ = make_signals()
+        _, phi, _ = gdtw(x, y, M=40, N=50)
+        assert phi(0.0) == pytest.approx(0.0, abs=1e-9)
+        assert phi(1.0) == pytest.approx(1.0, abs=1e-9)
+
+    def test_m_validation(self):
+        with pytest.raises(ValueError):
+            gdtw([1.0, 2.0], [1.0, 2.0], M=1)
+
+    def test_linear_interpolation_semantics(self):
+        li = LinearInterpolation([1.0, 3.0, 5.0])
+        assert li(0.0) == 1.0
+        assert li(0.5) == 3.0
+        assert li(0.75) == 4.0
+        assert li(1.0) == 5.0
+        assert li(-0.1) == 0.0 and li(1.1) == 0.0

@@ -1,0 +1,73 @@
+"""Physical-plan quality gates: pushdown, pruning, codegen, broadcast.
+
+These assert the *plan*, not the result — the properties that decide whether
+the same query survives a 100× scale-up (SURVEY.md §4.2).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as E
+from dynamicaxiswarping_jl_spark.operators import rollup_turns
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+class TestPlanQuality:
+    def test_rollup_prunes_columns(self, spark):
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        evs = ev.select(F.col("user_id").cast("string").alias("conv_id"), "ts",
+                        F.lit(None).cast("string").alias("tool"))
+        plan = plan_of(rollup_turns(evs, "1m"))
+        # scan must read only ts + user_id — not value/props/event_type
+        assert "ReadSchema" in plan
+        read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+        assert "props" not in read_schema
+        assert "value" not in read_schema
+        assert "event_type" not in read_schema
+
+    def test_filter_pushdown_reaches_scan(self, spark):
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        q = li.filter(F.col("l_shipdate") <= F.lit("1998-09-01")) \
+              .select("l_returnflag")
+        plan = plan_of(q)
+        assert "PushedFilters" in plan
+        pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+        assert "l_shipdate" in pushed
+
+    def test_rollup_single_shuffle(self, spark):
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        evs = ev.select(F.col("user_id").cast("string").alias("conv_id"), "ts",
+                        F.lit(None).cast("string").alias("tool"))
+        plan = plan_of(rollup_turns(evs, "1m"))
+        # partial agg before the single exchange (map-side combine);
+        # (AQE's pre-execution formatted plan hides codegen spans, so assert
+        # the aggregate structure instead)
+        import re
+        n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+        assert n_exchanges == 1
+        assert "partial_count" in plan
+
+    def test_nation_revenue_broadcasts_dims(self, spark):
+        plan = plan_of(E.queries()["nation_revenue"](spark, SF))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_text_ops_stay_jvm_side(self, spark):
+        # token/quality/lang/fingerprint must not contain python UDF nodes
+        for name in ("token_stats", "quality_score", "language_id",
+                     "fingerprint_dupes"):
+            plan = plan_of(E.queries()[name](spark, SF))
+            assert "BatchEvalPython" not in plan, name
+            assert "ArrowEvalPython" not in plan, name
+
+    def test_cosine_scoring_jvm_side(self, spark):
+        plan = plan_of(E.queries()["cosine_topk"](spark, SF))
+        # dot products are higher-order aggregate expressions, not UDFs
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
