@@ -27,6 +27,7 @@ from .filters import gaussian, gaussian2, imfilter
 from .datasets import fakedata_gaussian
 from .gdtw import gdtw, LinearInterpolation
 from .dtw import dtw_cost_batch
+from .evaluate import dtw_dist
 
 __all__ = [
     "SqEuclidean", "Euclidean", "Cityblock", "Chebyshev", "get_dist",
@@ -42,5 +43,5 @@ __all__ = [
     "linear_interp_fill", "align_signals",
     "gaussian", "gaussian2", "imfilter",
     "fakedata_gaussian",
-    "gdtw", "LinearInterpolation", "dtw_cost_batch",
+    "gdtw", "LinearInterpolation", "dtw_cost_batch", "dtw_dist",
 ]

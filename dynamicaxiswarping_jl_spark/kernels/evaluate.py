@@ -1,0 +1,45 @@
+"""DTW distance-object dispatch (reference src/distance_interface.jl:67-85).
+
+``dtw_dist(x, y)`` mirrors ``Distances.evaluate(d::DTW, x, y)``:
+- equal lengths → (normalized) banded ``dtw_cost``;
+- unequal → the shorter becomes the query and ``dtwnn`` runs with
+  ``prune_endpoints=False`` (so the symmetric-swap equality
+  ``DTW(r)(a,b) == DTW(r)(b,a)`` of runtests.jl:509-510 holds).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .dtw import dtw_cost
+from .dtwnn import dtwnn
+from .normalizers import znorm
+
+__all__ = ["dtw_dist"]
+
+
+def _normalize(normalizer, x):
+    if normalizer in (None, "none"):
+        return np.asarray(x, dtype=np.float64)
+    if normalizer in ("znorm", "z", "ZNormalizer"):
+        return znorm(x)
+    if normalizer in ("norm", "NormNormalizer"):
+        x = np.asarray(x, dtype=np.float64)
+        n = np.linalg.norm(x)
+        return x / n if n else x
+    raise ValueError(f"unsupported normalizer {normalizer!r}")
+
+
+def dtw_dist(x, y, radius: int = 5, dist=None, transportcost: float = 1.0,
+             normalizer=None) -> float:
+    """The reference's DTW distance-object call, as a function."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    if x.shape[-1] == y.shape[-1]:
+        return dtw_cost(_normalize(normalizer, x), _normalize(normalizer, y),
+                        dist, radius, transportcost=transportcost)
+    if x.shape[-1] > y.shape[-1]:
+        x, y = y, x
+    nrm = normalizer if normalizer in ("znorm", "z", "ZNormalizer") else None
+    return dtwnn(x, y, dist, radius, nrm, prune_endpoints=False,
+                 transportcost=transportcost).cost

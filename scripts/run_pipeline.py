@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""End-to-end rollup pipeline job — the spark-submit entry point.
+
+North-rule execution form::
+
+    scripts/package.sh   # builds dist/engine.zip
+    spark-submit --master local[32] --py-files dist/engine.zip \
+        scripts/run_pipeline.py --input <transcripts parquet> \
+        --workdir /tmp/pipeline --n-conv 200
+
+Stages (each checkpoint-resumable with a lineage manifest; rerunning the
+same command skips completed stages):
+
+    ingest → 1m tier → gap-fill → 1h tier → 1d tier → gorilla chunks →
+    assembled series → tier drift scores → DBA representatives
+
+With ``--input`` absent, a deterministic synthetic transcript table is
+generated (sources/transcripts.py) — no external data.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", default=None,
+                   help="parquet dir of transcripts (conv_id, turn_idx, role, text, tool, ts)")
+    p.add_argument("--workdir", required=True)
+    p.add_argument("--n-conv", type=int, default=100,
+                   help="synthetic conversations when --input is absent")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--radius", type=int, default=5)
+    p.add_argument("--cpus", type=int, default=None,
+                   help="only used when not running under spark-submit")
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        spark = active
+    else:
+        builder = SparkSession.builder.appName("spark-ts-warp-pipeline")
+        if args.cpus:
+            builder = builder.master(f"local[{args.cpus}]")
+        spark = (builder
+                 .config("spark.sql.session.timeZone", "UTC")
+                 .config("spark.sql.adaptive.enabled", "true")
+                 .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+                 .getOrCreate())
+
+    from dynamicaxiswarping_jl_spark.operators import (
+        rollup_turns, cascade, gapfill, assemble_series, compress_chunks,
+        drift_scores, dba_per_group)
+    from dynamicaxiswarping_jl_spark.plans import CheckpointManager
+    from dynamicaxiswarping_jl_spark.sources import transcripts_df
+
+    cm = CheckpointManager(spark, args.workdir)
+    if args.input:
+        turns = spark.read.parquet(args.input)
+        lineage = {"input": args.input}
+    else:
+        turns = transcripts_df(spark, args.n_conv, seed=args.seed)
+        lineage = {"generator": {"n_conv": args.n_conv, "seed": args.seed}}
+
+    t1m = cm.run_stage("tier_1m", lambda: rollup_turns(turns, "1m"),
+                       lineage={**lineage, "stage": "tier_1m"})
+    t1m_gf = cm.run_stage(
+        "tier_1m_gapfilled", lambda: gapfill(t1m, 60, policy="zero"),
+        lineage={**lineage, "stage": "gf"})
+    t1h = cm.run_stage("tier_1h", lambda: gapfill(cascade(t1m, "1h"), 3600,
+                                                  policy="zero"),
+                       lineage={**lineage, "stage": "tier_1h"})
+    t1d = cm.run_stage("tier_1d", lambda: gapfill(cascade(t1h, "1d"), 86400,
+                                                  policy="zero"),
+                       lineage={**lineage, "stage": "tier_1d"})
+    chunks = cm.run_stage(
+        "chunks_1h", lambda: compress_chunks(t1h, "1h", "turn_rate",
+                                             chunk="7 days"),
+        lineage={**lineage, "stage": "chunks"})
+    fine = cm.run_stage(
+        "series_1h", lambda: assemble_series(t1h, "turn_rate", step_s=3600),
+        lineage={**lineage, "stage": "series_1h"})
+    coarse = cm.run_stage(
+        "series_1d", lambda: assemble_series(t1d, "turn_rate", step_s=86400),
+        lineage={**lineage, "stage": "series_1d"})
+    drift = cm.run_stage(
+        "drift", lambda: drift_scores(fine, coarse, radius=args.radius),
+        lineage={**lineage, "stage": "drift", "radius": args.radius})
+    reps = cm.run_stage(
+        "dba_reps",
+        lambda: dba_per_group(
+            fine.withColumn("group_id",
+                            F.pmod(F.xxhash64("conv_id"), F.lit(8)).cast("string")),
+            "group_id"),
+        lineage={**lineage, "stage": "dba_reps"})
+
+    summary = {
+        "turns": turns.count(),
+        "tier_1m_rows": t1m.count(),
+        "tier_1m_gapfilled_rows": t1m_gf.count(),
+        "tier_1h_rows": t1h.count(),
+        "tier_1d_rows": t1d.count(),
+        "chunks": chunks.count(),
+        "series": fine.count(),
+        "drift_rows": drift.count(),
+        "dba_groups": reps.count(),
+        "mean_drift_cost": float(drift.agg(F.avg("cost")).first()[0]),
+    }
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -160,3 +160,27 @@ class TestProfiles:
         for i in range(l):
             assert P[i] == pytest.approx(D[i].min(), rel=1e-9)
             assert I[i] == D[i].argmin() + 1
+
+
+class TestDtwDistDispatch:
+    def test_symmetric_swap_equality(self):
+        # runtests.jl:509-510: DTW(radius=7)(a,b) == DTW(radius=7)(b,a)
+        from dynamicaxiswarping_jl_spark.kernels import dtw_dist
+        rng = np.random.default_rng(5)
+        a = np.cumsum(rng.normal(size=40))
+        b = np.cumsum(rng.normal(size=55))
+        assert dtw_dist(a, b, radius=7) == pytest.approx(
+            dtw_dist(b, a, radius=7), rel=1e-12)
+
+    def test_equal_lengths_uses_dtw_cost(self):
+        from dynamicaxiswarping_jl_spark.kernels import dtw_dist
+        rng = np.random.default_rng(6)
+        a = rng.normal(size=30)
+        b = rng.normal(size=30)
+        assert dtw_dist(a, b, radius=4) == pytest.approx(
+            dtw_cost(a, b, SqEuclidean(), 4), rel=1e-12)
+
+    def test_norm_normalizer(self):
+        from dynamicaxiswarping_jl_spark.kernels import dtw_dist
+        a = np.array([1.0, 2.0, 3.0])
+        assert dtw_dist(a, 5 * a, radius=3, normalizer="norm") == pytest.approx(0.0, abs=1e-18)
