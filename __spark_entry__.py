@@ -400,6 +400,26 @@ def q_ngram_jaccard(spark, sf_dir):
     return res.select("id_a", "id_b", _r("jaccard", 4).alias("jaccard"))
 
 
+def q_session_windows(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("user_id",
+                       F.session_window(F.col("ts").cast("timestamp"),
+                                        "30 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("user_id", F.col("w.start").alias("session_start"),
+                    "n_events"))
+
+
+def q_retention_1m(spark, sf_dir):
+    from dynamicaxiswarping_jl_spark.operators import apply_retention
+    t1m = _events_1m(spark, sf_dir).withColumnRenamed("user_id", "conv_id")
+    kept = apply_retention(t1m, "2024-01-15 00:00:00")
+    return (kept.groupBy(F.col("conv_id").alias("user_id"))
+            .agg(F.count(F.lit(1)).alias("n_buckets"),
+                 F.sum("n_events").alias("n_events"),
+                 F.min("bucket").alias("first_bucket")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m": q_rollup_1m,
@@ -409,6 +429,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_locf": q_gapfill_locf,
         "gapfill_interp": q_gapfill_interp,
         "sessionize": q_sessionize,
+        "session_windows": q_session_windows,
+        "retention_1m": q_retention_1m,
         "topk_minutes": q_topk_minutes,
         "tpch_q1": q_tpch_q1,
         "daily_revenue": q_daily_revenue,
@@ -555,6 +577,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, sum(new_sess) AS n_sessions,
                    count(*) AS n_events
             FROM lagged GROUP BY user_id
+        """,
+        "session_windows": """
+            WITH lagged AS (
+              SELECT user_id, ts,
+                CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                       THEN 1
+                     WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000000
+                       THEN 1 ELSE 0 END AS new_sess
+              FROM events),
+            islands AS (
+              SELECT user_id, ts,
+                sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              FROM lagged)
+            SELECT user_id, min(ts) AS session_start,
+                   count(*) AS n_events
+            FROM islands GROUP BY user_id, sid
+        """,
+        "retention_1m": """
+            WITH t1m AS (
+              SELECT user_id, date_trunc('minute', ts) AS bucket,
+                     count(*) AS n_events
+              FROM events GROUP BY 1, 2)
+            SELECT user_id, count(*) AS n_buckets,
+                   sum(n_events) AS n_events,
+                   min(bucket) AS first_bucket
+            FROM t1m WHERE bucket >= TIMESTAMP '2024-01-15 00:00:00'
+            GROUP BY user_id
         """,
         "topk_minutes": """
             WITH t1m AS (

@@ -1,6 +1,6 @@
 """Distributed operators of the rollup + DTW analytics engine."""
 
-from .rollup import rollup_turns, cascade, assemble_series, TIERS
+from .rollup import rollup_turns, cascade, assemble_series, TIERS, apply_retention
 from .gapfill import gapfill
 from .compression import compress_chunks, decompress_chunks, gorilla_encode, gorilla_decode
 from .dtw_ops import (dtw_pairs, drift_scores, dtwnn_search, knn_topk,
@@ -13,6 +13,7 @@ from .topk import topk_per_key
 
 __all__ = [
     "rollup_turns", "cascade", "assemble_series", "TIERS", "gapfill",
+    "apply_retention",
     "compress_chunks", "decompress_chunks", "gorilla_encode", "gorilla_decode",
     "dtw_pairs", "drift_scores", "dtwnn_search", "knn_topk",
     "distance_profile_op", "matrix_profile_op", "align_to_master",

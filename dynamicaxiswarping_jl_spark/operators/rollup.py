@@ -21,7 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["TIERS", "rollup_turns", "cascade", "assemble_series"]
+__all__ = ["TIERS", "rollup_turns", "cascade", "assemble_series",
+           "apply_retention"]
 
 # tier name -> (window duration literal, seconds)
 TIERS = {
@@ -97,3 +98,16 @@ def assemble_series(tier_df: DataFrame, value_col: str = "turn_rate",
             F.expr(f"transform(pairs, p -> CAST(p.{value_col} AS DOUBLE))").alias("points"),
         )
     )
+
+
+def apply_retention(tier_df: DataFrame, keep_after, bucket_col: str = "bucket") -> DataFrame:
+    """Retention: drop tier rows older than ``keep_after`` (timestamp or
+    ISO string). The retention triad of the north star is: raw turns expire
+    first, 1m next, 1h/1d kept longest — each tier gets its own cutoff and
+    coarser tiers are never recomputed from expired finer data (cascade
+    ran *before* expiry; manifests record the snapshot lineage).
+
+    Pure predicate → on Iceberg/parquet this prunes whole partitions
+    (bucket-date partitioning); no shuffle.
+    """
+    return tier_df.filter(F.col(bucket_col) >= F.lit(keep_after).cast("timestamp"))
