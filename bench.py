@@ -99,6 +99,49 @@ def run_headline(spark: SparkSession, sf_dir: str):
     return timings, thr
 
 
+def run_kernel_bench():
+    """Single-thread kernel microbenchmarks on the reference's own shapes
+    (BASELINE.md reference numbers: README.md:150-156, runtests.jl:720-731).
+    Float64 here; the reference's 853 ms dtwnn figure is Float32, which it
+    documents as ~2x faster than Float64 (README.md:148)."""
+    import numpy as np
+    from dynamicaxiswarping_jl_spark.kernels import (
+        dtwnn, dtw, dtw_cost, dtw_cost_matrix, radiuslimits, dtw_cost_batch)
+
+    rng = np.random.default_rng(42)
+    out = {}
+    y = np.cumsum(rng.normal(size=1_000_000))
+    q = y[500_000:500_100].copy()
+    t0 = time.time()
+    dtwnn(q, y, "sqeuclidean", 5, "znorm")
+    out["dtwnn_100_in_1e6_znorm_ms"] = round((time.time() - t0) * 1000, 1)
+    y5, q5 = y[:100_000], y[50_000:50_100].copy()
+    t0 = time.time()
+    dtwnn(q5, y5, "sqeuclidean", 5)
+    out["dtwnn_100_in_1e5_ms"] = round((time.time() - t0) * 1000, 1)
+    a = rng.normal(size=1000)
+    b = rng.normal(size=1000)
+    t0 = time.time()
+    for _ in range(10):
+        dtw_cost_matrix(a, b)
+    out["dtw_full_1000_ms"] = round((time.time() - t0) * 100, 2)
+    imin, imax = radiuslimits(10, 1000, 1000)
+    t0 = time.time()
+    for _ in range(10):
+        dtw(a, b, i2min=imin, i2max=imax)
+    out["dtw_banded_r10_1000_with_path_ms"] = round((time.time() - t0) * 100, 2)
+    t0 = time.time()
+    for _ in range(20):
+        dtw_cost(a, b, "sqeuclidean", 10)
+    out["dtw_cost_r10_1000_ms"] = round((time.time() - t0) * 50, 2)
+    W = np.lib.stride_tricks.sliding_window_view(y[:5000], 100)[:512].copy()
+    t0 = time.time()
+    for _ in range(5):
+        dtw_cost_batch(q, W, 5)
+    out["dtw_cost_batch_us_per_pair"] = round((time.time() - t0) / 5 / 512 * 1e6, 1)
+    return out
+
+
 def run_scaling(sf_dir: str, low: int = 8, high: int = 32, n_queries: int = 96):
     """Same job, same input, two parallelism levels → per-core efficiency.
 
@@ -169,6 +212,7 @@ def main():
     out["value"] = round(sum(v for k, v in timings.items()
                              if k != "dtwnn_batch"), 3)
     out.update(thr)
+    out["kernel_bench"] = run_kernel_bench()
     if scaling:
         out["scaling"] = run_scaling(SF_DIR, low=2, high=8, n_queries=32)
         out["scaling_8_32"] = run_scaling(SF_DIR, low=8, high=32, n_queries=32)

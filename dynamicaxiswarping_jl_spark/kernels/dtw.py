@@ -64,18 +64,45 @@ def dtw_cost_matrix(seq1, seq2, dist=None, transportcost: float = 1.0,
     D[1:, 0] = np.cumsum(D[:, 0])[1:]
     D[0, 1:] = np.cumsum(D[0, :])[1:]
     tc = float(transportcost)
-    # anti-diagonal sweep: all (r, c) with r+c == k depend on diagonals k-1, k-2
-    for k in range(2, m + n - 1):
-        r0 = max(1, k - n + 1)
-        r1 = min(m - 1, k - 1)
-        if r0 > r1:
-            continue
-        r = np.arange(r0, r1 + 1)
-        c = k - r
-        up = D[r - 1, c]
-        diag = D[r - 1, c - 1]
-        left = D[r, c - 1]
-        D[r, c] += np.minimum(np.minimum(tc * up, diag), tc * left)
+    if tc == 1.0:
+        # Row-major min-plus scan: within a row,
+        #   D[r,c] = L[c] + min(b[c], D[r,c-1]),  b[c] = min(D[r-1,c], D[r-1,c-1])
+        # unrolls to a cumsum + running-min (same trick as dtw_cost rows) —
+        # contiguous memory, a handful of vector ops per row, no per-cell
+        # Python and no strided gathers.
+        nm1 = n - 1
+        b = np.empty(nm1)
+        g = np.empty(n)
+        T = np.empty(nm1)
+        for r in range(1, m):
+            prev = D[r - 1]
+            row = D[r]
+            np.minimum(prev[1:], prev[:-1], out=b)
+            np.cumsum(row[1:], out=T)
+            g[0] = row[0]           # column-0 boundary (already cumulative)
+            g[1:] = b
+            g[2:] -= T[:-1]         # g[c] = b[c] - T[c-1]  (T[0] = 0)
+            np.minimum.accumulate(g, out=g)
+            np.add(T, g[1:], out=row[1:])
+    else:
+        # transportcost breaks the scan (affine recurrence) → anti-diagonal
+        # sweep over zero-copy strided views (an anti-diagonal of a
+        # C-contiguous matrix is a constant-stride walk).
+        sr, sc = D.strides
+        step = sr - sc
+        base = np.lib.stride_tricks.as_strided
+        for k in range(2, m + n - 1):
+            r0 = max(1, k - n + 1)
+            r1 = min(m - 1, k - 1)
+            if r0 > r1:
+                continue
+            ln = r1 - r0 + 1
+            c0 = k - r0
+            cur = base(D[r0:, c0:], shape=(ln,), strides=(step,))
+            up = base(D[r0 - 1:, c0:], shape=(ln,), strides=(step,))
+            left = base(D[r0:, c0 - 1:], shape=(ln,), strides=(step,))
+            dg = base(D[r0 - 1:, c0 - 1:], shape=(ln,), strides=(step,))
+            cur += np.minimum(np.minimum(tc * up, dg), tc * left)
     if postprocess is not None:
         D = postprocess(D)
     return D
@@ -103,14 +130,65 @@ def banded_dtw_cost_matrix(seq1, seq2, dist=None, i2min=None, i2max=None,
     if i2max[-1] != m:
         raise ValueError(f"i2max must end at length(seq2), was {i2max[-1]} != {m}")
 
-    L = d.pairwise(seq2, seq1)  # local costs (m, n)
     D = np.full((m, n), _INF)
-    # first column: cumulative within [1, i2max[0]] (src/dtw.jl:96-100)
     top = int(i2max[0])
-    D[:top, 0] = np.cumsum(L[:top, 0])
     tc = float(transportcost)
     lo0 = i2min - 1  # 0-based inclusive lower rows per column
     hi0 = i2max - 1
+    widths = i2max - i2min + 1
+    if seq1.ndim == 1 and widths.max() <= 64:
+        # Narrow band: scalar DP over per-column band segments only — a
+        # 1000-col band of width 21 is ~21k python float ops, far cheaper
+        # than thousands of numpy dispatches. One numpy write per column
+        # scatters the segment into the dense output.
+        sq = d.name == "sqeuclidean"
+        al = seq1.tolist()
+        bl = seq2.tolist()
+        inf = _INF
+        lo_l = lo0.tolist()
+        hi_l = hi0.tolist()
+        # first column: cumulative within [1, i2max[0]] (src/dtw.jl:96-100)
+        a0 = al[0]
+        acc = 0.0
+        prev_seg = []
+        for rr in range(top):
+            dv = a0 - bl[rr]
+            acc += dv * dv if sq else abs(dv)
+            prev_seg.append(acc)
+        D[:top, 0] = prev_seg
+        plo = 0
+        phi = top - 1
+        for c in range(1, n):
+            lo = lo_l[c]
+            hi = hi_l[c]
+            ac = al[c]
+            cur = []
+            up = inf
+            for rr in range(lo, hi + 1):
+                dv = ac - bl[rr]
+                dv = dv * dv if sq else abs(dv)
+                j = rr - 1 - plo
+                dg = prev_seg[j] if 0 <= j <= phi - plo else inf
+                lf = prev_seg[j + 1] if 0 <= j + 1 <= phi - plo else inf
+                best = dg
+                if tc == 1.0:
+                    if lf < best:
+                        best = lf
+                    if up < best:
+                        best = up
+                else:
+                    if tc * lf < best:
+                        best = tc * lf
+                    if tc * up < best:
+                        best = tc * up
+                up = best + dv
+                cur.append(up)
+            D[lo:hi + 1, c] = cur
+            prev_seg, plo, phi = cur, lo, hi
+        return D
+    # wide/irregular windows: anti-diagonal fancy-index sweep
+    L = d.pairwise(seq2, seq1)  # local costs (m, n)
+    D[:top, 0] = np.cumsum(L[:top, 0])
     # row 0 for columns >= 1: only the left move exists (reference handles
     # these inside its c-loop via the Inf out-of-window reads, src/dtw.jl:103-107)
     for c in range(1, n):

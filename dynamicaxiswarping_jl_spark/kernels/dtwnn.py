@@ -105,21 +105,47 @@ def _lb_env_window(dist_name: str, x: np.ndarray, l: np.ndarray, u: np.ndarray) 
 def _lb_env_all(dist_name: str, y: np.ndarray, m: int, l: np.ndarray,
                 u: np.ndarray, mu: Optional[np.ndarray],
                 sd: Optional[np.ndarray]) -> np.ndarray:
-    """LB_Keogh totals for all windows, chunked sliding-window vectorization."""
+    """LB_Keogh totals for all windows, chunked sliding-window vectorization.
+
+    The per-step excess is ``e = max(x-u, 0) + max(l-x, 0)`` (at most one
+    term non-zero), so the bound is Σe² (sqeuclidean) or Σe — two clips and
+    a reduction instead of masks+where. With z-normalization the comparison
+    is done in RAW space against per-window scaled envelopes
+    (x_norm > u ⟺ x > u·sd + mu), then rescaled — avoids materializing the
+    normalized window block.
+    """
     n = len(y)
     nw = n - m + 1
-    out = np.empty(nw)
-    X = np.lib.stride_tricks.sliding_window_view(y, m)
-    for s in range(0, nw, _CHUNK):
-        e = min(s + _CHUNK, nw)
-        blk = X[s:e]
+    out = np.zeros(nw)
+    # Sum per query-offset j over the CONTIGUOUS slice y[j : j+nw] instead
+    # of materializing the (nw, m) strided window matrix — same flops,
+    # cache-friendly streams, m vector passes total.
+    t1 = np.empty(nw)
+    t2 = np.empty(nw)
+    inv_sd = None if sd is None else 1.0 / sd
+    for j in range(m):
+        seg = y[j:j + nw]
         if mu is not None:
-            blk = (blk - mu[s:e, None]) / sd[s:e, None]
-        above = blk > u[None, :]
-        below = blk < l[None, :]
-        du = _elem_dist(dist_name, blk, u[None, :])
-        dl = _elem_dist(dist_name, blk, l[None, :])
-        out[s:e] = np.where(above, du, np.where(below, dl, 0.0)).sum(axis=1)
+            # x_norm > u[j]  ⟺  x > u[j]*sd + mu   (work in raw space)
+            np.multiply(sd, u[j], out=t1)
+            t1 += mu
+            np.subtract(seg, t1, out=t1)          # x - u_raw
+            np.maximum(t1, 0.0, out=t1)
+            np.multiply(sd, l[j], out=t2)
+            t2 += mu
+            np.subtract(t2, seg, out=t2)          # l_raw - x
+            np.maximum(t2, 0.0, out=t2)
+            t1 += t2
+            t1 *= inv_sd
+        else:
+            np.subtract(seg, u[j], out=t1)
+            np.maximum(t1, 0.0, out=t1)
+            np.subtract(l[j], seg, out=t2)
+            np.maximum(t2, 0.0, out=t2)
+            t1 += t2
+        if dist_name == "sqeuclidean":
+            t1 *= t1
+        out += t1
     return out
 
 

@@ -45,17 +45,24 @@ def soft_dtw_cost_matrix(seq1, seq2, dist=None, gamma: float = 1.0,
     D[0, 1:] = np.cumsum(D[0, :])[1:]
     tc = float(transportcost)
     inv_g = 1.0 / float(gamma)
+    sr, sc = D.strides
+    step = sr - sc
+    strided = np.lib.stride_tricks.as_strided
     for k in range(2, m + n - 1):
         r0 = max(1, k - n + 1)
         r1 = min(m - 1, k - 1)
         if r0 > r1:
             continue
-        r = np.arange(r0, r1 + 1)
-        c = k - r
+        ln = r1 - r0 + 1
+        c0 = k - r0
+        cur = strided(D[r0:, c0:], shape=(ln,), strides=(step,))
+        up = strided(D[r0 - 1:, c0:], shape=(ln,), strides=(step,))
+        left = strided(D[r0:, c0 - 1:], shape=(ln,), strides=(step,))
+        dg = strided(D[r0 - 1:, c0 - 1:], shape=(ln,), strides=(step,))
         if radius is not None:
-            D[r, c] += np.where(np.abs(c - r) > radius, inv_g, 0.0)
-        D[r, c] += softmin(tc * D[r - 1, c], D[r - 1, c - 1], tc * D[r, c - 1],
-                           float(gamma))
+            r = np.arange(r0, r1 + 1)
+            cur += np.where(np.abs((k - r) - r) > radius, inv_g, 0.0)
+        cur += softmin(tc * up, dg, tc * left, float(gamma))
     return D
 
 
