@@ -27,8 +27,10 @@ from dynamicaxiswarping_jl_spark.operators import (
     drift_scores, dtwnn_search, knn_topk, dba_per_group,
     dtw_pairs, distance_profile_op, matrix_profile_op, align_to_master,
     exact_dedup, minhash_dedup, simhash_signatures, ngram_jaccard_pairs,
-    cosine_topk, lsh_cosine_topk, token_stats, quality_score, language_id,
-    fingerprint,
+    embedding_neardup,
+    cosine_topk, lsh_cosine_topk, ivf_cosine_topk,
+    token_stats, quality_score, language_id,
+    fingerprint, attach_media_metadata, image_features,
 )
 from dynamicaxiswarping_jl_spark.sources import transcripts_df
 
@@ -235,7 +237,56 @@ def q_fingerprint_dupes(spark, sf_dir):
             .groupBy("n").agg(F.count(F.lit(1)).alias("n_fingerprints")))
 
 
+def q_embedding_neardup(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    nd = embedding_neardup(emb, threshold=0.4, mode="exact")
+    return nd.select("id_a", "id_b", _r("sim", 4).alias("sim"))
+
+
+def _media_from_docs(spark, sf_dir):
+    """Documents reinterpreted as an opaque-binary media table (the
+    container has no image/audio libs; payload bytes stand in)."""
+    return (_t(spark, sf_dir, "documents")
+            .select(F.col("doc_id").alias("media_id"),
+                    F.encode("text", "UTF-8").alias("payload")))
+
+
+def q_media_metadata(spark, sf_dir):
+    media = _media_from_docs(spark, sf_dir)
+    return (attach_media_metadata(media)
+            .select("media_id", F.col("n_bytes").cast("long").alias("n_bytes"),
+                    "mime_sniffed"))
+
+
 # ---- non-SQL-expressible (rows-only checks) ------------------------------
+
+def q_media_features(spark, sf_dir):
+    media = _media_from_docs(spark, sf_dir)
+    feats = image_features(media, fake=True)
+    return feats.select(
+        "media_id",
+        F.expr("transform(features, x -> round(x, 4))").alias("features"))
+
+
+def q_ivf_ann_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = (emb.filter(F.col("vec_id") < 3)
+               .select(F.col("vec_id").cast("string").alias("query_id"),
+                       F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("q")))
+    return (ivf_cosine_topk(emb, queries, k=5, n_centroids=16, nprobe=8)
+            .select("query_id", "vec_id", _r("sim", 4).alias("sim"), "rk"))
+
+
+def q_gdtw_pairs(spark, sf_dir):
+    series = _series_from_events(spark, sf_dir).filter(
+        F.col("conv_id").cast("long") < 8)
+    left = series.select(F.col("conv_id").alias("id_a"),
+                         F.col("points").alias("a"))
+    right = series.select(F.col("conv_id").alias("id_b"),
+                          F.col("points").alias("b"))
+    pairs = left.join(right, F.col("id_a") < F.col("id_b"))
+    return (dtw_pairs(pairs, method="gdtw")
+            .select("id_a", "id_b", _r("cost", 4).alias("cost")))
 
 def q_minhash_pairs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
@@ -460,6 +511,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "align_delays": q_align_delays,
         "lsh_ann_topk": q_lsh_ann_topk,
         "ngram_jaccard": q_ngram_jaccard,
+        "embedding_neardup": q_embedding_neardup,
+        "media_metadata": q_media_metadata,
+        "media_features": q_media_features,
+        "ivf_ann_topk": q_ivf_ann_topk,
+        "gdtw_pairs": q_gdtw_pairs,
     }
 
 
@@ -758,5 +814,20 @@ def oracle_sql() -> dict[str, str]:
             WITH fp AS (SELECT text FROM documents),
             cnt AS (SELECT text, count(*) AS n FROM fp GROUP BY text)
             SELECT n, count(*) AS n_fingerprints FROM cnt GROUP BY n
+        """,
+        "embedding_neardup": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.v, b.v), 4) AS sim
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+        """,
+        "media_metadata": """
+            SELECT doc_id AS media_id,
+                   octet_length(encode(text)) AS n_bytes,
+                   CASE WHEN substr(text, 2, 3) = 'PNG' THEN 'image/png'
+                        ELSE 'application/octet-stream' END AS mime_sniffed
+            FROM documents
         """,
     }

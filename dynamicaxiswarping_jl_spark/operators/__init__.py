@@ -6,10 +6,13 @@ from .compression import compress_chunks, decompress_chunks, gorilla_encode, gor
 from .dtw_ops import (dtw_pairs, drift_scores, dtwnn_search, knn_topk,
                       distance_profile_op, matrix_profile_op, align_to_master)
 from .dba_ops import dba_per_group, dba_distributed, dbaclust_distributed
-from .dedup import exact_dedup, minhash_dedup, simhash_signatures, ngram_jaccard_pairs
-from .similarity import cosine_topk, lsh_cosine_topk
+from .dedup import (exact_dedup, minhash_dedup, simhash_signatures,
+                    ngram_jaccard_pairs, embedding_neardup)
+from .similarity import cosine_topk, lsh_cosine_topk, ivf_cosine_topk
 from .text import token_stats, quality_score, language_id, fingerprint
 from .topk import topk_per_key
+from .multimodal import (attach_media_metadata, image_features, frame_sample,
+                         MEDIA_SCHEMA)
 
 __all__ = [
     "rollup_turns", "cascade", "assemble_series", "TIERS", "gapfill",
@@ -19,7 +22,9 @@ __all__ = [
     "distance_profile_op", "matrix_profile_op", "align_to_master",
     "dba_per_group", "dba_distributed", "dbaclust_distributed",
     "exact_dedup", "minhash_dedup", "simhash_signatures", "ngram_jaccard_pairs",
-    "cosine_topk", "lsh_cosine_topk",
+    "embedding_neardup",
+    "cosine_topk", "lsh_cosine_topk", "ivf_cosine_topk",
     "token_stats", "quality_score", "language_id", "fingerprint",
     "topk_per_key",
+    "attach_media_metadata", "image_features", "frame_sample", "MEDIA_SCHEMA",
 ]

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 __all__ = ["exact_dedup", "minhash_dedup", "minhash_signatures",
-           "simhash_signatures", "ngram_jaccard_pairs"]
+           "simhash_signatures", "ngram_jaccard_pairs", "embedding_neardup"]
 
 _MERSENNE = (1 << 61) - 1
 
@@ -149,6 +149,46 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text",
             yield pd.DataFrame({id_col: ids, "simhash": hs})
 
     return docs.select(id_col, text_col).mapInPandas(run, schema)
+
+
+def embedding_neardup(embeddings: DataFrame, threshold: float = 0.9,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      mode: str = "exact", n_planes: int = 8,
+                      n_tables: int = 8, seed: int = 42) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, sim) with
+    id_a < id_b and cosine(a, b) >= threshold.
+
+    ``mode='exact'``: self-join with JVM-side aggregate/zip_with cosine —
+    O(n²) pairwise, the oracle-matched baseline. ``mode='lsh'``: the scale
+    path — sign-LSH bucket join (random hyperplanes, union over
+    ``n_tables`` tables) generates candidates, then the same exact JVM
+    cosine reranks and thresholds; the crossJoin disappears, recall < 1 by
+    construction (raise n_tables / lower n_planes to recover it).
+    """
+    from .similarity import _dot, _norm, _sign_lsh_signatures
+
+    base = embeddings.select(
+        F.col(id_col), F.col(vec_col),
+        _norm(vec_col).alias("_nrm"))
+    a = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"),
+                    F.col("_nrm").alias("_na"))
+    b = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"),
+                    F.col("_nrm").alias("_nb"))
+    if mode == "exact":
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:
+        sig = _sign_lsh_signatures(
+            embeddings.select(F.col(id_col).alias("_id"), vec_col),
+            vec_col, n_planes=n_planes, n_tables=n_tables, seed=seed)
+        cands = (sig.select(F.col("_id").alias("id_a"), "table", "sig")
+                 .join(sig.select(F.col("_id").alias("id_b"), "table", "sig"),
+                       ["table", "sig"])
+                 .filter(F.col("id_a") < F.col("id_b"))
+                 .select("id_a", "id_b").distinct())
+        pairs = cands.join(a, "id_a").join(b, "id_b")
+    sim = (_dot("_va", "_vb") / (F.col("_na") * F.col("_nb"))).alias("sim")
+    return (pairs.select("id_a", "id_b", sim)
+            .filter(F.col("sim") >= threshold))
 
 
 def ngram_jaccard_pairs(docs: DataFrame, candidate_pairs: DataFrame,

@@ -64,7 +64,8 @@ def dtw_pairs(pairs: DataFrame, dist: str = "sqeuclidean",
 
     ``method``: 'dtw' (exact, optionally banded via radiuslimits —
     src/utils.jl:22-33), 'fastdtw' (coarse-to-fine, src/fastdtw.jl:12-36),
-    or 'softdtw' (γ-smoothed cost, no path — src/dtw.jl:245-308).
+    'softdtw' (γ-smoothed cost, no path — src/dtw.jl:245-308), or 'gdtw'
+    (continuous-time regularized warping, cost only — src/gdtw.jl:147-151).
     """
     fields = [
         T.StructField("id_a", T.StringType()),
@@ -78,6 +79,7 @@ def dtw_pairs(pairs: DataFrame, dist: str = "sqeuclidean",
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..kernels import fastdtw, soft_dtw_cost
+        from ..kernels.gdtw import gdtw as gdtw_kernel
 
         for pdf in batches:
             out = []
@@ -88,6 +90,9 @@ def dtw_pairs(pairs: DataFrame, dist: str = "sqeuclidean",
                     cost = soft_dtw_cost(a, b, dist, gamma=gamma,
                                          transportcost=transportcost,
                                          radius=radius)
+                    i1 = i2 = np.zeros(0, dtype=np.int64)
+                elif method == "gdtw":
+                    cost, _phi, _psi = gdtw_kernel(a, b)
                     i1 = i2 = np.zeros(0, dtype=np.int64)
                 elif method == "fastdtw":
                     cost, i1, i2 = fastdtw(a, b, dist, radius or 1,

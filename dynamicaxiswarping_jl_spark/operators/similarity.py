@@ -22,7 +22,7 @@ from pyspark.sql import types as T
 
 from .topk import topk_per_key
 
-__all__ = ["cosine_topk", "lsh_cosine_topk"]
+__all__ = ["cosine_topk", "lsh_cosine_topk", "ivf_cosine_topk"]
 
 
 def _dot(a: str, b: str):
@@ -48,6 +48,42 @@ def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
            (_norm(vec_col) * _norm(qvec_col))).alias("sim")
     scored = joined.select(qid_col, id_col, sim)
     return topk_per_key(scored, qid_col, "sim", k, ascending=False)
+
+
+def _sign_lsh_signatures(df: DataFrame, vec_col: str, n_planes: int,
+                         n_tables: int, seed: int) -> DataFrame:
+    """(_id, vec) → (_id, table, sig): random-hyperplane sign-bit
+    signatures, one row per hash table. Vectorized per Arrow batch
+    (one matmul per table)."""
+    planes = None  # lazily sized from the first batch's dim (same seed
+    # on every task → identical planes across partitions)
+
+    sig_schema = T.StructType([
+        T.StructField("_id", df.schema["_id"].dataType),
+        T.StructField("table", T.IntegerType()),
+        T.StructField("sig", T.LongType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        nonlocal planes
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf[vec_col]])
+            if planes is None:
+                planes = np.random.default_rng(seed).normal(
+                    size=(n_tables, n_planes, V.shape[1]))
+            ids = pdf["_id"].to_numpy()
+            outs = []
+            for t in range(n_tables):
+                proj = V @ planes[t].T > 0
+                sig = (proj * (1 << np.arange(n_planes))).sum(axis=1)
+                outs.append(pd.DataFrame({
+                    "_id": ids, "table": t, "sig": sig.astype(np.int64)}))
+            yield pd.concat(outs, ignore_index=True)
+
+    return df.mapInPandas(run, sig_schema)
 
 
 def lsh_cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
@@ -106,3 +142,91 @@ def lsh_cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
            (_norm(vec_col) * _norm(qvec_col))).alias("sim")
     scored = joined.select(qid_col, id_col, sim)
     return topk_per_key(scored, qid_col, "sim", k, ascending=False)
+
+
+def ivf_cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+                    n_centroids: int = 16, nprobe: int = 4,
+                    train_sample: int = 2048, kmeans_iters: int = 10,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    qid_col: str = "query_id", qvec_col: str = "q",
+                    seed: int = 42) -> DataFrame:
+    """Approximate cosine top-k via an IVF (inverted-file) index.
+
+    Scale path for ANN when the corpus doesn't fit a crossJoin:
+
+    1. *Train* (driver): seeded k-means on a bounded sample
+       (``train_sample`` rows via deterministic hash order) over
+       L2-normalized vectors — centroids are tiny and broadcast.
+    2. *Assign* (executors): every vector → nearest centroid, one matmul
+       per Arrow batch; the assignment is the partition key of the
+       inverted lists, so the candidate join shuffles corpus-side data
+       once and only nprobe/n_centroids of it per query.
+    3. *Probe*: each query scores only vectors in its ``nprobe`` nearest
+       centroid lists; exact JVM-side cosine reranks candidates.
+
+    Recall < 1 by construction (a true neighbor can live in an unprobed
+    list); raise ``nprobe`` toward n_centroids to converge on exact.
+    """
+    sample = (embeddings
+              .select(id_col, vec_col)
+              .orderBy(F.xxhash64(F.col(id_col)))
+              .limit(train_sample)
+              .collect())
+    X = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    n_centroids = min(n_centroids, len(X))
+    C = X[rng.choice(len(X), size=n_centroids, replace=False)].copy()
+    for _ in range(kmeans_iters):
+        assign = (X @ C.T).argmax(axis=1)  # cosine == dot on unit vectors
+        for c in range(n_centroids):
+            m = assign == c
+            if m.any():
+                v = X[m].mean(axis=0)
+                C[c] = v / max(np.linalg.norm(v), 1e-12)
+
+    spark = embeddings.sparkSession
+    bc = spark.sparkContext.broadcast(C)
+
+    def assigner(colname):
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            Cb = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                V = np.stack([np.asarray(v, dtype=np.float64)
+                              for v in pdf[colname]])
+                Vn = V / np.maximum(
+                    np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+                pdf = pdf[["_id"]].copy()
+                pdf["centroid"] = (Vn @ Cb.T).argmax(axis=1).astype(np.int32)
+                yield pdf
+        return run
+
+    emb = embeddings.select(F.col(id_col).alias("_id"), vec_col)
+    e_assign = emb.mapInPandas(
+        assigner(vec_col),
+        T.StructType([T.StructField("_id", emb.schema["_id"].dataType),
+                      T.StructField("centroid", T.IntegerType())]))
+
+    # query → its nprobe nearest centroid ids (queries are small: driver-side)
+    qrows = queries.select(qid_col, qvec_col).collect()
+    probe_rows = []
+    for r in qrows:
+        qv = np.asarray(r[qvec_col], dtype=np.float64)
+        qv = qv / max(np.linalg.norm(qv), 1e-12)
+        order = np.argsort(-(C @ qv))[:nprobe]
+        probe_rows += [(r[qid_col], int(c)) for c in order]
+    probes = spark.createDataFrame(
+        probe_rows, f"{qid_col} string, centroid int")
+
+    cands = (F.broadcast(probes)
+             .join(e_assign.withColumnRenamed("_id", id_col), "centroid")
+             .select(qid_col, id_col))
+    joined = (cands
+              .join(embeddings.select(id_col, vec_col), id_col)
+              .join(F.broadcast(queries.select(qid_col, qvec_col)), qid_col))
+    sim = (_dot(vec_col, qvec_col) /
+           (_norm(vec_col) * _norm(qvec_col))).alias("sim")
+    return topk_per_key(joined.select(qid_col, id_col, sim),
+                        qid_col, "sim", k, ascending=False)

@@ -160,3 +160,87 @@ class TestMultimodal:
     def test_real_decode_is_stubbed(self, media):
         with pytest.raises(Exception, match="NotImplemented|decode"):
             image_features(media, fake=False).collect()
+
+
+class TestIvfAndNearDup:
+    def test_ivf_full_probe_equals_exact(self, spark, emb):
+        """nprobe == n_centroids probes every inverted list → identical
+        top-k ids to the brute-force baseline."""
+        from dynamicaxiswarping_jl_spark.operators import (
+            ivf_cosine_topk, cosine_topk)
+        sub = emb.limit(200).cache()
+        pdf = sub.toPandas()
+        q = [float(x) for x in pdf.embedding[3]]
+        queries = spark.createDataFrame([("q0", q)],
+                                        "query_id string, q array<double>")
+        exact = cosine_topk(sub, queries, k=5).orderBy("rk").toPandas()
+        full = ivf_cosine_topk(sub, queries, k=5, n_centroids=8,
+                               nprobe=8).orderBy("rk").toPandas()
+        assert set(full.vec_id) == set(exact.vec_id)
+        np.testing.assert_allclose(np.sort(full.sim), np.sort(exact.sim),
+                                   rtol=1e-9)
+
+    def test_ivf_partial_probe_recall(self, spark, emb):
+        from dynamicaxiswarping_jl_spark.operators import (
+            ivf_cosine_topk, cosine_topk)
+        sub = emb.limit(200).cache()
+        pdf = sub.toPandas()
+        q = [float(x) for x in pdf.embedding[3]]
+        queries = spark.createDataFrame([("q0", q)],
+                                        "query_id string, q array<double>")
+        exact = set(cosine_topk(sub, queries, k=5).toPandas()["vec_id"])
+        approx = ivf_cosine_topk(sub, queries, k=5, n_centroids=8,
+                                 nprobe=2).toPandas()
+        # the query's own vector lives in the probed home list
+        assert pdf.vec_id[3] in set(approx.vec_id)
+        assert len(exact & set(approx.vec_id)) >= 2
+
+    def test_embedding_neardup_exact_matches_numpy(self, spark, emb):
+        from dynamicaxiswarping_jl_spark.operators import embedding_neardup
+        sub = emb.limit(80).cache()
+        pdf = sub.toPandas()
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf.embedding])
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        S = Vn @ Vn.T
+        ids = pdf.vec_id.to_numpy()
+        want = {(int(ids[i]), int(ids[j]))
+                for i in range(len(ids)) for j in range(len(ids))
+                if ids[i] < ids[j] and S[i, j] >= 0.35}
+        got = embedding_neardup(sub, threshold=0.35, mode="exact").collect()
+        assert {(r.id_a, r.id_b) for r in got} == want
+        for r in got:
+            i = np.where(ids == r.id_a)[0][0]
+            j = np.where(ids == r.id_b)[0][0]
+            assert r.sim == pytest.approx(S[i, j], rel=1e-9)
+
+    def test_embedding_neardup_lsh_is_subset_with_exact_sims(self, spark, emb):
+        from dynamicaxiswarping_jl_spark.operators import embedding_neardup
+        sub = emb.limit(80).cache()
+        exact = {(r.id_a, r.id_b): r.sim
+                 for r in embedding_neardup(sub, threshold=0.3,
+                                            mode="exact").collect()}
+        # cos 0.3 → per-plane collision p ≈ 0.6, so recall ≈
+        # 1-(1-p^n_planes)^n_tables ≈ 0.89 at (4, 16)
+        lsh = {(r.id_a, r.id_b): r.sim
+               for r in embedding_neardup(sub, threshold=0.3, mode="lsh",
+                                          n_planes=4, n_tables=16).collect()}
+        assert set(lsh) <= set(exact)   # rerank is exact → no false positives
+        for k, v in lsh.items():
+            assert v == pytest.approx(exact[k], rel=1e-9)
+        assert len(lsh) >= len(exact) // 2  # decent recall at these knobs
+
+
+class TestGdtwPairs:
+    def test_gdtw_pairs_matches_local_kernel(self, spark):
+        from dynamicaxiswarping_jl_spark.operators import dtw_pairs
+        from dynamicaxiswarping_jl_spark.kernels.gdtw import gdtw
+        rng = np.random.default_rng(0)
+        t = np.linspace(0, 1, 60)
+        a = np.sin(2 * np.pi * t) + 0.05 * rng.normal(size=60)
+        b = np.sin(2 * np.pi * (t ** 1.15))
+        pairs = spark.createDataFrame(
+            [("a", [float(x) for x in a], "b", [float(x) for x in b])],
+            "id_a string, a array<double>, id_b string, b array<double>")
+        got = dtw_pairs(pairs, method="gdtw").collect()[0]
+        want, _, _ = gdtw(a, b)
+        assert got.cost == pytest.approx(want, rel=1e-12)
