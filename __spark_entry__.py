@@ -302,7 +302,10 @@ def _series_from_events(spark, sf_dir):
           .select(F.col("user_id").cast("string").alias("conv_id"), "ts",
                   F.lit(None).cast("string").alias("tool")))
     t1h = gapfill(rollup_turns(ev, "1h"), 3600, policy="zero")
-    return assemble_series(t1h, "turn_rate", step_s=3600)
+    # materialized like a real continuous aggregate: several queries (and
+    # the .first() query-vector probe inside one query) reuse the tier —
+    # identical plan → Spark's cache manager dedups across calls
+    return assemble_series(t1h, "turn_rate", step_s=3600).cache()
 
 
 def q_drift_1h_1d(spark, sf_dir):

@@ -170,9 +170,17 @@ def _avoid_mask(avoid, nw: int) -> Optional[np.ndarray]:
 def dtwnn(q, y, dist=None, rad: int = 5, normalizer: Optional[str] = None, *,
           prune_endpoints: bool = True, prune_envelope: bool = True,
           saveall: bool = False, bsf_multiplier: float = 1.0,
-          transportcost: float = 1.0, avoid=None) -> DTWSearchResult:
+          transportcost: float = 1.0, avoid=None,
+          initial_bsf: float = _INF) -> DTWSearchResult:
     """Nearest neighbor to ``q`` among all length-|q| windows of ``y``
-    (reference src/dtwnn.jl:162-238)."""
+    (reference src/dtwnn.jl:162-238).
+
+    ``initial_bsf`` seeds the best-so-far threshold (default Inf = the
+    reference's cold start). Callers searching *many* series for one query
+    thread the running global minimum through it, so later series prune
+    against a real bound; if every window's LB exceeds the seed, the
+    result cost is Inf (no window computed — caller keeps its prior best).
+    """
     if bsf_multiplier < 1:
         raise ValueError("bsf_multiplier must be >= 1")
     d = get_dist(dist)
@@ -228,7 +236,7 @@ def dtwnn(q, y, dist=None, rad: int = 5, normalizer: Optional[str] = None, *,
         lb = np.maximum(lbe, lbv)
         cand = np.arange(nw) if mask is None else np.flatnonzero(~mask)
         order = cand[np.argsort(lb[cand], kind="stable")]
-        best_so_far = _INF
+        best_so_far = float(initial_bsf) if not saveall else _INF
         CH = 512
         pos = 0
         while pos < len(order):
@@ -269,7 +277,8 @@ def dtwnn(q, y, dist=None, rad: int = 5, normalizer: Optional[str] = None, *,
                                prune_env, dists)
 
     # ---- fallback: sequential scan (saveall or multichannel) ----
-    best_so_far = _INF
+    best_so_far = float(initial_bsf) if not saveall else _INF
+    best = _INF  # best within THIS series (seed only tightens pruning)
     best_loc = 1
     zeros_cb = np.zeros(m)
     for it in range(nw):
@@ -289,8 +298,10 @@ def dtwnn(q, y, dist=None, rad: int = 5, normalizer: Optional[str] = None, *,
         dists[it] = newdist
         if newdist < best_so_far:
             best_so_far = newdist
+        if newdist < best:
+            best = newdist
             best_loc = it + 1
-    return DTWSearchResult(float(best_so_far), best_loc, 0, 0, dists)
+    return DTWSearchResult(float(best), best_loc, 0, 0, dists)
 
 
 def lb_endpoints(dist, q, buf, best_so_far: float = _INF) -> float:

@@ -15,10 +15,11 @@ Layout per chunk row::
 points' bits. Gap-filled tier series have constant deltas, so timestamps
 cost ~1 bit each — the design case.
 
-Encode/decode run inside ``applyInPandas`` per (key, chunk-window) group:
-chunks are a few thousand points, so the per-point Python loop is bounded
-and amortized across the Arrow batch; the chunking itself (window + shuffle)
-is pure DataFrame.
+Encode/decode run inside ``mapInPandas`` over one array-row per (key,
+chunk-window): the grouping, time sort, and point-level explode stay
+JVM-side (collect_list/sort_array on encode, explode(arrays_zip) on
+decode) so the Arrow boundary carries chunk rows, not point rows —
+point-level Arrow transfer costs more than the codec itself.
 """
 
 from __future__ import annotations
@@ -263,55 +264,80 @@ CHUNK_SCHEMA = T.StructType([
 
 def compress_chunks(tier_df: DataFrame, tier: str, value_col: str = "turn_rate",
                     key: str = "conv_id", chunk: str = "1 day") -> DataFrame:
-    """Tier rows → Gorilla chunk structs, one chunk per (key, chunk window)."""
-    src = tier_df.select(
+    """Tier rows → Gorilla chunk structs, one chunk per (key, chunk window).
+
+    The per-chunk grouping + time sort happen JVM-side
+    (``sort_array(collect_list(struct(t, v)))``) so only one array-row per
+    chunk crosses the Arrow boundary — the point-level Arrow transfer
+    would otherwise dominate the encode by ~3x (a chunk is ~10²-10³
+    points but encodes in ~0.3 ms). The explicit hash repartition pins
+    the Python fan-out: AQE coalesces this byte-tiny shuffle and would
+    serialize the encoder onto a couple of tasks.
+    """
+    sc = tier_df.sparkSession.sparkContext
+    src = (tier_df.select(
         F.col(key).alias("conv_id"),
         F.window("bucket", chunk)["start"].alias("chunk_start"),
         F.col("bucket").cast("timestamp").cast("long").alias("t"),
-        F.col(value_col).cast("double").alias("v"),
-    )
+        F.col(value_col).cast("double").alias("v"))
+        .groupBy("conv_id", "chunk_start")
+        .agg(F.sort_array(F.collect_list(F.struct("t", "v"))).alias("pts"))
+        .select("conv_id", "chunk_start",
+                F.expr("transform(pts, x -> x.t)").alias("ts"),
+                F.expr("transform(pts, x -> x.v)").alias("vs"))
+        .repartition(sc.defaultParallelism * 2))
 
-    def enc(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("t")
-        n, t0, v0, payload = gorilla_encode(pdf["t"].to_numpy(),
-                                            pdf["v"].to_numpy())
-        return pd.DataFrame([{
-            "conv_id": pdf["conv_id"].iloc[0],
-            "tier": tier,
-            "chunk_start": pdf["chunk_start"].iloc[0],
-            "n": n, "codec": "gorilla",
-            "t0": t0, "v0": v0,
-            "payload": payload,
-            "crc": zlib.crc32(payload),
-        }])
+    def enc(batches):
+        for pdf in batches:
+            recs = []
+            for row in pdf.itertuples(index=False):
+                n, t0, v0, payload = gorilla_encode(
+                    np.asarray(row.ts, dtype=np.int64),
+                    np.asarray(row.vs, dtype=np.float64))
+                recs.append({
+                    "conv_id": row.conv_id, "tier": tier,
+                    "chunk_start": row.chunk_start,
+                    "n": n, "codec": "gorilla", "t0": t0, "v0": v0,
+                    "payload": payload, "crc": zlib.crc32(payload),
+                })
+            if recs:
+                yield pd.DataFrame(recs,
+                                   columns=[f.name for f in CHUNK_SCHEMA.fields])
 
-    return src.groupBy("conv_id", "chunk_start").applyInPandas(enc, CHUNK_SCHEMA)
+    return src.mapInPandas(enc, CHUNK_SCHEMA)
 
 
 def decompress_chunks(chunks: DataFrame, value_col: str = "turn_rate") -> DataFrame:
-    """Chunk structs → tier rows (conv_id, bucket, value). CRC-verified."""
-    out_schema = T.StructType([
+    """Chunk structs → tier rows (conv_id, bucket, value). CRC-verified.
+
+    The decoder emits one array-row per chunk; the point-level explode is
+    JVM-side (``explode(arrays_zip(...))``) for the same Arrow-floor
+    reason as the encoder."""
+    arr_schema = T.StructType([
         T.StructField("conv_id", T.StringType()),
-        T.StructField("bucket", T.TimestampType()),
-        T.StructField(value_col, T.DoubleType()),
+        T.StructField("ts", T.ArrayType(T.LongType())),
+        T.StructField("vs", T.ArrayType(T.DoubleType())),
     ])
 
     def dec(batches):
         for pdf in batches:
-            frames = []
+            recs = []
             for row in pdf.itertuples(index=False):
                 payload = bytes(row.payload)
                 if zlib.crc32(payload) != row.crc:
                     raise IOError(f"chunk CRC mismatch for {row.conv_id}")
                 ts, vals = gorilla_decode(row.n, row.t0, row.v0, payload)
-                frames.append(pd.DataFrame({
-                    "conv_id": row.conv_id,
-                    "bucket": pd.to_datetime(ts, unit="s"),
-                    value_col: vals,
-                }))
-            if frames:
-                yield pd.concat(frames, ignore_index=True)
+                recs.append({"conv_id": row.conv_id, "ts": ts.tolist(),
+                             "vs": vals.tolist()})
+            if recs:
+                yield pd.DataFrame(recs, columns=["conv_id", "ts", "vs"])
 
     sc = chunks.sparkSession.sparkContext
     # chunks are tiny in bytes but costly to decode — fan out for CPU
-    return chunks.repartition(sc.defaultParallelism * 2).mapInPandas(dec, out_schema)
+    arrs = (chunks.repartition(sc.defaultParallelism * 2)
+            .mapInPandas(dec, arr_schema))
+    return (arrs.select("conv_id",
+                        F.explode(F.arrays_zip("ts", "vs")).alias("p"))
+            .select("conv_id",
+                    F.col("p.ts").cast("timestamp").alias("bucket"),
+                    F.col("p.vs").alias(value_col)))

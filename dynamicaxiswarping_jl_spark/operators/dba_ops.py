@@ -60,6 +60,10 @@ def dba_per_group(series: DataFrame, group_col: str, key: str = "conv_id",
             "n_members": len(seqs),
         }])
 
+    # Pin the group fan-out: AQE would coalesce this byte-tiny shuffle to
+    # one task and run every group's DBA loop serially.
+    sc = series.sparkSession.sparkContext
+    series = series.repartition(sc.defaultParallelism, group_col)
     return series.groupBy(group_col).applyInPandas(run, _REP_SCHEMA)
 
 
@@ -219,8 +223,10 @@ def dbaclust_distributed(spark: SparkSession, series: DataFrame,
             return pd.DataFrame([{"cluster_id": cid, "center": ctr.tolist(),
                                   "cost": float(icost)}])
 
-        upd = joined.groupBy("cluster_id").applyInPandas(
-            update_fn, upd_schema).collect()
+        sc = joined.sparkSession.sparkContext
+        upd = (joined.repartition(sc.defaultParallelism, "cluster_id")
+               .groupBy("cluster_id").applyInPandas(
+                   update_fn, upd_schema).collect())
         newcost = sum(r["cost"] for r in upd)
         for r in upd:
             centers[r["cluster_id"]] = np.asarray(r["center"], dtype=np.float64)

@@ -277,6 +277,13 @@ def dtwnn_search(queries: DataFrame, series: DataFrame, radius: int = 5,
     ])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Per-query best-so-far threads ACROSS series within this task
+        # (the distributed analog of the reference's sequential bsf,
+        # src/dtwnn.jl:231-234): later series prune against the running
+        # minimum instead of cold-starting at Inf. Result-identical — a
+        # series whose windows all prune can't hold the global argmin,
+        # and its Inf row is dropped rather than shuffled.
+        task_bsf: dict = {}
         for pdf in batches:
             recs = []
             for row in pdf.itertuples(index=False):
@@ -284,11 +291,15 @@ def dtwnn_search(queries: DataFrame, series: DataFrame, radius: int = 5,
                 for qid, q in qlist:
                     if len(y) < len(q):
                         continue  # series shorter than query: no window
-                    res = dtwnn(q, y, dist, radius, normalizer)
-                    recs.append({"query_id": qid, key: getattr(row, key),
-                                 "cost": res.cost, "loc": res.loc,
-                                 "prune_end": res.prune_end,
-                                 "prune_env": res.prune_env})
+                    res = dtwnn(q, y, dist, radius, normalizer,
+                                initial_bsf=task_bsf.get(qid, np.inf))
+                    if np.isfinite(res.cost):
+                        task_bsf[qid] = min(task_bsf.get(qid, np.inf),
+                                            res.cost)
+                        recs.append({"query_id": qid, key: getattr(row, key),
+                                     "cost": res.cost, "loc": res.loc,
+                                     "prune_end": res.prune_end,
+                                     "prune_env": res.prune_env})
             yield pd.DataFrame(recs, columns=[f.name for f in schema.fields])
 
     per_series = _spread(series.select(F.col(key), F.col("points"))).mapInPandas(run, schema)

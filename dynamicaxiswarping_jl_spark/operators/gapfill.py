@@ -1,20 +1,24 @@
-"""Gap-fill: densify tier rows onto a per-key time spine.
+"""Gap-fill: densify tier rows onto a regular per-key time grid.
 
-Spine = ``sequence(min(bucket), max(bucket), interval step)`` exploded per
-key, left-joined back to the tier rows (SURVEY.md §2.8). Policies:
+Strategy: **gap-explode** — one ``lead()`` window per key gives each
+observed row its successor; ``posexplode(sequence(bucket, next-step,
+step))`` then emits every missing grid bucket directly from the row that
+precedes the gap (SURVEY.md §2.8). Policies are pure column expressions
+over (pos, v, next_v):
 
 - ``zero``: missing buckets → 0 (rate semantics: no turns happened).
-- ``locf``: last-observation-carried-forward via
-  ``last(v, ignorenulls) OVER (ORDER BY bucket)``.
-- ``interp``: linear interpolation between surrounding observations —
+- ``locf``: last-observation-carried-forward — the gap inherits ``v``
+  by construction, no second window pass.
+- ``interp``: linear interpolation between the gap's endpoints —
   the distributed analog of the reference's LinearInterpolation
-  (src/gdtw.jl:374-399), done with window functions (no UDF): for each
-  gap row, prev/next observed (bucket, value) pairs give
-  ``v = v0 + (v1-v0)·(t-t0)/(t1-t0)``; edges hold.
+  (src/gdtw.jl:374-399): ``v + (next_v - v) · pos/gap_len``; the final
+  observation (no successor) holds its own value.
 
-Scale note: the spine explode multiplies rows by the gap fraction only
-(sequence bounded per key); the join is co-partitioned by key because both
-sides were just shuffled on it — Catalyst reuses the exchange.
+Scale note: one hash shuffle on ``key`` (the window), no join, no
+running frames — the previous spine-join formulation shuffled the
+exploded spine AND the tier rows and needed O(n) window frames per key
+for interp. Grid rows are generated in the same task that owns the
+preceding observation, so output size is the only scale cost.
 """
 
 from __future__ import annotations
@@ -29,50 +33,42 @@ def gapfill(tier_df: DataFrame, step_s: int = 60, key: str = "conv_id",
             value_cols: tuple = ("turn_rate", "n_turns", "tool_calls"),
             policy: str = "zero") -> DataFrame:
     """Densify ``(key, bucket, *value_cols)`` to a regular grid per key."""
-    spine = (
-        tier_df.groupBy(key)
-        .agg(F.min("bucket").alias("mn"), F.max("bucket").alias("mx"))
-        .select(key, F.explode(
-            F.sequence("mn", "mx", F.expr(f"interval {step_s} seconds"))
-        ).alias("bucket"))
-    )
-    joined = spine.join(tier_df, [key, "bucket"], "left")
+    if policy not in ("zero", "locf", "interp"):
+        raise ValueError(f"unknown gap-fill policy {policy!r}")
 
+    w = Window.partitionBy(key).orderBy("bucket")
+    nxt = F.lead("bucket").over(w)
+    step = f"interval {step_s} seconds"
+    df = tier_df.select(
+        key, "bucket", *value_cols,
+        nxt.alias("_nxt"),
+        *[F.lead(c).over(w).alias(f"_nxt_{c}") for c in
+          (value_cols if policy == "interp" else ())])
+    seq = F.when(F.col("_nxt").isNull(),
+                 F.array(F.col("bucket"))).otherwise(
+        F.expr(f"sequence(bucket, _nxt - {step}, {step})"))
+    df = (df.select(key, "bucket", "_nxt",
+                    *[c for c in df.columns
+                      if c.startswith("_nxt_") or c in value_cols],
+                    F.posexplode(seq).alias("_pos", "_grid")))
+
+    cols = [F.col(key), F.col("_grid").alias("bucket")]
     if policy == "zero":
-        return joined.select(
-            key, "bucket",
-            *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in value_cols])
-
-    if policy == "locf":
-        w = (Window.partitionBy(key).orderBy("bucket")
-             .rowsBetween(Window.unboundedPreceding, 0))
-        return joined.select(
-            key, "bucket",
-            *[F.coalesce(F.last(c, ignorenulls=True).over(w),
-                         F.lit(0)).alias(c) for c in value_cols])
-
-    if policy == "interp":
-        # both directions as RUNNING frames: Spark executes an
-        # unboundedFollowing frame O(n^2) per partition, so the "next
-        # observation" is a last() over a DESCENDING running frame instead
-        wb = (Window.partitionBy(key).orderBy(F.col("bucket").asc())
-              .rowsBetween(Window.unboundedPreceding, 0))
-        wf = (Window.partitionBy(key).orderBy(F.col("bucket").desc())
-              .rowsBetween(Window.unboundedPreceding, 0))
-        t = F.col("bucket").cast("timestamp").cast("long")
-        obs_t = F.when(F.col(value_cols[0]).isNotNull(), t)
-        t0 = F.last(obs_t, ignorenulls=True).over(wb)
-        t1 = F.last(obs_t, ignorenulls=True).over(wf)
-        cols = [key, "bucket"]
-        for c in value_cols:
-            v0 = F.last(c, ignorenulls=True).over(wb)
-            v1 = F.last(c, ignorenulls=True).over(wf)
-            interp = F.when(F.col(c).isNotNull(), F.col(c)).otherwise(
-                F.when(t0.isNull(), v1)           # leading edge: hold next
-                .when(t1.isNull(), v0)            # trailing edge: hold prev
-                .when(t1 == t0, v0)
-                .otherwise(v0 + (v1 - v0) * (t - t0) / (t1 - t0)))
-            cols.append(interp.cast("double").alias(c))
-        return joined.select(*cols)
-
-    raise ValueError(f"unknown gap-fill policy {policy!r}")
+        cols += [F.when(F.col("_pos") == 0, F.col(c)).otherwise(F.lit(0))
+                 .alias(c) for c in value_cols]
+    elif policy == "locf":
+        cols += [F.col(c).alias(c) for c in value_cols]
+    else:  # interp
+        # exact v0 + (v1-v0)·(t-t0)/(t1-t0) in epoch seconds — the same
+        # FP operation order as the textbook/oracle form, so results are
+        # bit-identical, not merely close
+        t = F.col("_grid").cast("timestamp").cast("long")
+        t0 = F.col("bucket").cast("timestamp").cast("long")
+        t1 = F.col("_nxt").cast("timestamp").cast("long")
+        cols += [
+            F.when(F.col("_pos") == 0, F.col(c).cast("double"))
+            .otherwise(F.col(c) + (F.col(f"_nxt_{c}") - F.col(c))
+                       * (t - t0) / (t1 - t0))
+            .cast("double").alias(c)
+            for c in value_cols]
+    return df.select(*cols)
