@@ -237,6 +237,24 @@ def q_fingerprint_dupes(spark, sf_dir):
             .groupBy("n").agg(F.count(F.lit(1)).alias("n_fingerprints")))
 
 
+def q_top_customer_revenue(spark, sf_dir):
+    """3-way join (customer ⋈ orders ⋈ lineitem) → top-10 customers by
+    revenue; dims broadcast, deterministic tiebreak on custkey."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    rev = (l.join(o, l["l_orderkey"] == o["o_orderkey"])
+           .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+           .groupBy("c_custkey", "c_name")
+           .agg(_r(F.sum(F.col("l_extendedprice")
+                         * (1 - F.col("l_discount"))), 2).alias("revenue"),
+                F.count(F.lit(1)).alias("n_items")))
+    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+    return (rev.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 10)
+            .select("rk", "c_custkey", "c_name", "revenue", "n_items"))
+
+
 def q_embedding_neardup(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     nd = embedding_neardup(emb, threshold=0.4, mode="exact")
@@ -275,6 +293,21 @@ def q_ivf_ann_topk(spark, sf_dir):
                        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("q")))
     return (ivf_cosine_topk(emb, queries, k=5, n_centroids=16, nprobe=8)
             .select("query_id", "vec_id", _r("sim", 4).alias("sim"), "rk"))
+
+
+def q_dbaclust_assign(spark, sf_dir):
+    """Distributed DBA k-means over embedding rows treated as series
+    (reference dbaclust, src/dbaclust.jl:123-357): cluster assignments +
+    per-series cost. Deterministic init → stable output."""
+    from dynamicaxiswarping_jl_spark.operators import dbaclust_distributed
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 120)
+    series = emb.select(
+        F.col("vec_id").cast("string").alias("conv_id"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("points"))
+    assign, centers, cost, n_iter, conv = dbaclust_distributed(
+        spark, series, nclust=4, iterations=3, inner_iterations=2)
+    return assign.select("conv_id", "cluster_id",
+                         _r("cost", 4).alias("cost"))
 
 
 def q_gdtw_pairs(spark, sf_dir):
@@ -519,6 +552,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "ivf_ann_topk": q_ivf_ann_topk,
         "gdtw_pairs": q_gdtw_pairs,
+        "dbaclust_assign": q_dbaclust_assign,
+        "top_customer_revenue": q_top_customer_revenue,
     }
 
 
@@ -832,5 +867,21 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN substr(text, 2, 3) = 'PNG' THEN 'image/png'
                         ELSE 'application/octet-stream' END AS mime_sniffed
             FROM documents
+        """,
+        "top_customer_revenue": """
+            WITH rev AS (
+              SELECT c.c_custkey, c.c_name,
+                     round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                       AS revenue,
+                     count(*) AS n_items
+              FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              GROUP BY c.c_custkey, c.c_name)
+            SELECT CAST(row_number() OVER
+                     (ORDER BY revenue DESC, c_custkey ASC) AS INT) AS rk,
+                   c_custkey, c_name, revenue, n_items
+            FROM rev
+            ORDER BY rk LIMIT 10
         """,
     }

@@ -195,7 +195,7 @@ def dbaclust_distributed(spark: SparkSession, series: DataFrame,
             for kk, c in reseed_keys.items():
                 centers[c] = pts[kk]
             assign.unpersist()
-            bc.destroy()
+            bc.unpersist()
             continue  # re-assign with reseeded centers
         # per-cluster DBA update
         joined = series.join(assign.select(key, "cluster_id"), key)
@@ -234,6 +234,9 @@ def dbaclust_distributed(spark: SparkSession, series: DataFrame,
         if delta < rtol:
             converged = True
         total_cost = newcost
-        bc.destroy()
-        bc2.destroy()
+        # unpersist (not destroy): the returned ``assign`` plan still
+        # references this broadcast — executors drop their copies now, the
+        # driver re-sends lazily if the caller re-evaluates the DataFrame
+        bc.unpersist()
+        bc2.unpersist()
     return assign, centers, float(total_cost), it, converged
