@@ -56,6 +56,16 @@ __all__ = ["dtw_pairs", "drift_scores", "dtwnn_search", "knn_topk",
            "distance_profile_op", "matrix_profile_op", "align_to_master"]
 
 
+def _np_series(v) -> np.ndarray:
+    """ARRAY<DOUBLE> → 1-D float array; ARRAY<ARRAY<DOUBLE>> (multichannel,
+    channels × time, time last per reference README.md:11) → 2-D. Arrow
+    hands nested arrays over as object arrays of per-channel ndarrays,
+    which np.asarray alone rejects."""
+    if len(v) and isinstance(v[0], (list, np.ndarray)):
+        return np.stack([np.asarray(ch, dtype=np.float64) for ch in v])
+    return np.asarray(v, dtype=np.float64)
+
+
 def dtw_pairs(pairs: DataFrame, dist: str = "sqeuclidean",
               transportcost: float = 1.0, radius: int | None = None,
               keep_paths: bool = False, method: str = "dtw",
@@ -84,8 +94,8 @@ def dtw_pairs(pairs: DataFrame, dist: str = "sqeuclidean",
         for pdf in batches:
             out = []
             for row in pdf.itertuples(index=False):
-                a = np.asarray(row.a, dtype=np.float64)
-                b = np.asarray(row.b, dtype=np.float64)
+                a = _np_series(row.a)
+                b = _np_series(row.b)
                 if method == "softdtw":
                     cost = soft_dtw_cost(a, b, dist, gamma=gamma,
                                          transportcost=transportcost,

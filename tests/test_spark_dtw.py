@@ -132,3 +132,25 @@ class TestDBASpark:
         np.testing.assert_allclose(got_avg, want_avg, rtol=1e-9)
         assert got_it == want_res.iterations
         assert got_cost == pytest.approx(want_res.cost, rel=1e-9)
+
+
+class TestMultichannelPairs:
+    def test_multichannel_dtw_pairs_matches_local(self, spark):
+        """ARRAY<ARRAY<DOUBLE>> series (channels × time, time last —
+        reference README.md:11, multichannel regression runtests.jl:60-74)
+        flow through dtw_pairs with exact cost + path parity."""
+        import numpy as np
+        from dynamicaxiswarping_jl_spark.operators import dtw_pairs
+        from dynamicaxiswarping_jl_spark.kernels import dtw
+        rng = np.random.default_rng(1)
+        A = rng.normal(size=(3, 20))
+        B = rng.normal(size=(3, 24))
+        pairs = spark.createDataFrame(
+            [("a", [[float(x) for x in ch] for ch in A],
+              "b", [[float(x) for x in ch] for ch in B])],
+            "id_a string, a array<array<double>>, "
+            "id_b string, b array<array<double>>")
+        got = dtw_pairs(pairs, keep_paths=True).collect()[0]
+        want, i1, i2 = dtw(A, B)
+        assert got.cost == pytest.approx(want, rel=1e-12)
+        assert got.i1 == i1.tolist() and got.i2 == i2.tolist()
