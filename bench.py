@@ -121,9 +121,14 @@ def run_kernel_bench():
     out = {}
     y = np.cumsum(rng.normal(size=1_000_000))
     q = y[500_000:500_100].copy()
+    dtwnn(q[:50], y[:100_000], "sqeuclidean", 5, "znorm")  # warm numpy paths
     t0 = time.time()
     dtwnn(q, y, "sqeuclidean", 5, "znorm")
     out["dtwnn_100_in_1e6_znorm_ms"] = round((time.time() - t0) * 1000, 1)
+    y32, q32 = y.astype(np.float32), q.astype(np.float32)
+    t0 = time.time()
+    dtwnn(q32, y32, "sqeuclidean", 5, "znorm", dtype=np.float32)
+    out["dtwnn_100_in_1e6_znorm_f32_ms"] = round((time.time() - t0) * 1000, 1)
     y5, q5 = y[:100_000], y[50_000:50_100].copy()
     t0 = time.time()
     dtwnn(q5, y5, "sqeuclidean", 5)

@@ -368,8 +368,15 @@ def dtw_cost_batch(q: np.ndarray, W: np.ndarray, r: int,
     lower bounds first). Same recurrence/boundary semantics as dtw_cost.
     SqEuclidean only (the NN-search hot path).
     """
-    q = np.asarray(q, dtype=np.float64)
-    W = np.asarray(W, dtype=np.float64)
+    # dtype-preserving: float32 inputs compute in float32 (reference
+    # documents Float32 as ~2x faster, README.md:148); anything else
+    # promotes to float64
+    if np.asarray(q).dtype == np.float32 and np.asarray(W).dtype == np.float32:
+        dt = np.float32
+    else:
+        dt = np.float64
+    q = np.asarray(q, dtype=dt)
+    W = np.asarray(W, dtype=dt)
     k, m = W.shape
     pairwise_q = q.ndim == 2
     tc = float(transportcost)
@@ -389,8 +396,8 @@ def dtw_cost_batch(q: np.ndarray, W: np.ndarray, r: int,
             cur = np.cumsum(dloc, axis=1)
         else:
             pw = phi - plo + 1
-            up = np.full((k, w), _INF)
-            diag = np.full((k, w), _INF)
+            up = np.full((k, w), _INF, dtype=dt)
+            diag = np.full((k, w), _INF, dtype=dt)
             # prev covers columns [plo, phi]; current row wants j in [lo, hi]
             s = max(lo, plo)
             e = min(hi, phi)
@@ -416,10 +423,10 @@ def dtw_cost_batch(q: np.ndarray, W: np.ndarray, r: int,
                 g[:, 1:] -= S[:, :-1]
                 cur = S + np.minimum.accumulate(g, axis=1)
             else:
-                cur = np.empty((k, w))
-                acc = np.full(k, _INF)
+                cur = np.empty((k, w), dtype=dt)
+                acc = np.full(k, _INF, dtype=dt)
                 for j in range(w):
-                    y = tc * acc if j > 0 else np.full(k, _INF)
+                    y = tc * acc if j > 0 else np.full(k, _INF, dtype=dt)
                     acc = np.minimum(y, bvec[:, j]) + dloc[:, j]
                     cur[:, j] = acc
         prev, plo, phi = cur, lo, hi

@@ -149,6 +149,37 @@ def _lb_env_all(dist_name: str, y: np.ndarray, m: int, l: np.ndarray,
     return out
 
 
+def _lb_env_subset(dist_name: str, y: np.ndarray, m: int, l: np.ndarray,
+                   u: np.ndarray, mu: Optional[np.ndarray],
+                   sd: Optional[np.ndarray],
+                   cand: np.ndarray) -> np.ndarray:
+    """LB_Keogh totals for a SUBSET of window starts (same math as
+    ``_lb_env_all``): gathers the candidate windows and vectorizes over
+    them, bounded-memory via chunks. This is the lazy-evaluation analog of
+    the reference's per-window ``lb_env!`` after endpoint pruning
+    (src/dtwnn.jl:203-213) — the full O(n·m) sweep is only worth paying
+    when endpoints prune nothing."""
+    out = np.empty(len(cand))
+    windows = np.lib.stride_tricks.sliding_window_view(y, m)
+    B = 1 << 16
+    for s in range(0, len(cand), B):
+        c = cand[s:s + B]
+        X = windows[c]  # gather-copy (b, m)
+        if mu is not None:
+            scale = sd[c, None]
+            off = mu[c, None]
+            e = (np.maximum(X - (u[None, :] * scale + off), 0.0)
+                 + np.maximum((l[None, :] * scale + off) - X, 0.0))
+            e /= scale
+        else:
+            e = (np.maximum(X - u[None, :], 0.0)
+                 + np.maximum(l[None, :] - X, 0.0))
+        if dist_name == "sqeuclidean":
+            e *= e
+        out[s:s + B] = e.sum(axis=1)
+    return out
+
+
 def _avoid_mask(avoid, nw: int) -> Optional[np.ndarray]:
     """1-based avoided locations → boolean mask over window starts."""
     if avoid is None:
@@ -171,7 +202,7 @@ def dtwnn(q, y, dist=None, rad: int = 5, normalizer: Optional[str] = None, *,
           prune_endpoints: bool = True, prune_envelope: bool = True,
           saveall: bool = False, bsf_multiplier: float = 1.0,
           transportcost: float = 1.0, avoid=None,
-          initial_bsf: float = _INF) -> DTWSearchResult:
+          initial_bsf: float = _INF, dtype=np.float64) -> DTWSearchResult:
     """Nearest neighbor to ``q`` among all length-|q| windows of ``y``
     (reference src/dtwnn.jl:162-238).
 
@@ -184,8 +215,10 @@ def dtwnn(q, y, dist=None, rad: int = 5, normalizer: Optional[str] = None, *,
     if bsf_multiplier < 1:
         raise ValueError("bsf_multiplier must be >= 1")
     d = get_dist(dist)
-    q = np.asarray(q, dtype=np.float64)
-    y = np.asarray(y, dtype=np.float64)
+    # dtype=np.float32 runs the whole cascade in reduced precision
+    # (reference README.md:148: "up to twice as fast"); default float64
+    q = np.asarray(q, dtype=dtype)
+    y = np.asarray(y, dtype=dtype)
     onedim = q.ndim == 1
     m = q.shape[-1]
     n = y.shape[-1]
@@ -199,11 +232,13 @@ def dtwnn(q, y, dist=None, rad: int = 5, normalizer: Optional[str] = None, *,
     if use_znorm and not onedim:
         raise ValueError("znorm search supports 1-D series only")
 
-    qn = znorm(q) if use_znorm else q
+    qn = znorm(q).astype(dtype) if use_znorm else q
     mu = sd = None
     if use_znorm:
         mu, sd = sliding_znorm_stats(y, m)
         sd = np.where(sd == 0.0, 1.0, sd)
+        mu = mu.astype(dtype)
+        sd = sd.astype(dtype)
 
     # ---- stage-1/2 lower bounds, vectorized over all windows ----
     lb_end = None
@@ -211,9 +246,15 @@ def dtwnn(q, y, dist=None, rad: int = 5, normalizer: Optional[str] = None, *,
         lb_end = _lb_endpoints_all(d.name, qn, y, m, mu, sd)
     lb_env = None
     l_env = u_env = None
+    defer_env = False
     if prune_envelope and not saveall and onedim:
         l_env, u_env = lower_upper_envs(qn, rad)
-        lb_env = _lb_env_all(d.name, y, m, l_env, u_env, mu, sd)
+        if prune_endpoints and lb_end is not None:
+            # lazy: LB_Keogh only for endpoint-surviving windows, after a
+            # bootstrap chunk establishes best-so-far (below)
+            defer_env = True
+        else:
+            lb_env = _lb_env_all(d.name, y, m, l_env, u_env, mu, sd)
 
     mask = _avoid_mask(avoid, nw)
     X = np.lib.stride_tricks.sliding_window_view(y, m) if onedim else None
@@ -233,11 +274,35 @@ def dtwnn(q, y, dist=None, rad: int = 5, normalizer: Optional[str] = None, *,
 
         lbe = lb_end if lb_end is not None else np.zeros(nw)
         lbv = lb_env if lb_env is not None else np.zeros(nw)
-        lb = np.maximum(lbe, lbv)
         cand = np.arange(nw) if mask is None else np.flatnonzero(~mask)
-        order = cand[np.argsort(lb[cand], kind="stable")]
         best_so_far = float(initial_bsf) if not saveall else _INF
         CH = 512
+        if defer_env and not saveall:
+            # bootstrap: exact costs on the lowest-endpoint-LB chunk to
+            # establish best-so-far, then LB_Keogh only for the endpoint
+            # survivors — avoids the O(n·m) full-envelope sweep when
+            # endpoints already prune almost everything
+            order0 = cand[np.argsort(lbe[cand], kind="stable")]
+            boot = order0[:CH]
+            boot = boot[lbe[boot] <= bsf_multiplier * best_so_far]
+            if len(boot):
+                W = X[boot]
+                if use_znorm:
+                    W = (W - mu[boot, None]) / sd[boot, None]
+                costs = dtw_cost_batch(qn, W, rad,
+                                       transportcost=transportcost)
+                dists[boot] = costs
+                cmin = costs.min()
+                if cmin < best_so_far:
+                    best_so_far = cmin
+            rest = order0[CH:]
+            rest = rest[lbe[rest] <= bsf_multiplier * best_so_far]
+            if len(rest):
+                lbv[rest] = _lb_env_subset(d.name, y, m, l_env, u_env,
+                                           mu, sd, rest)
+            cand = rest
+        lb = np.maximum(lbe, lbv)
+        order = cand[np.argsort(lb[cand], kind="stable")]
         pos = 0
         while pos < len(order):
             chunk = order[pos:pos + CH]
