@@ -1,5 +1,6 @@
-"""Structured Streaming surface: incremental 1m-tier ingest."""
+"""Structured Streaming surface: incremental 1m-tier ingest + custom
+stateful operators."""
 
-from .ingest import streaming_rollup_1m, start_file_ingest
+from .ingest import streaming_rollup_1m, start_file_ingest, stateful_sessionize
 
-__all__ = ["streaming_rollup_1m", "start_file_ingest"]
+__all__ = ["streaming_rollup_1m", "start_file_ingest", "stateful_sessionize"]

@@ -54,3 +54,78 @@ def start_file_ingest(spark: SparkSession, src_dir: str, tier_dir: str,
             .foreachBatch(upsert)
             .trigger(availableNow=True)
             .start())
+
+
+def stateful_sessionize(stream: DataFrame, gap_minutes: int = 30,
+                        key: str = "conv_id", ts_col: str = "ts",
+                        watermark: str = "10 minutes") -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-conversation session tracking with an inactivity gap.
+
+    State per key = the open session (start, last activity, turn count).
+    Each micro-batch folds its rows into the state; a session closes when
+    the event-time watermark passes ``last_ts + gap`` (event-time timeout),
+    emitting ``(conv_id, session_start, session_end, n_turns)``. This is
+    the streaming analog of the batch ``sessionize`` query — engine-added
+    (SURVEY.md §2.9); the reference is batch-only.
+    """
+    import datetime as _dt
+
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType([
+        T.StructField(key, T.StringType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_turns", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ])
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fold(key_tuple, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield pd.DataFrame({
+                key: [key_tuple[0]],
+                "session_start": [pd.Timestamp(start_us, unit="us")],
+                "session_end": [pd.Timestamp(last_us, unit="us")],
+                "n_turns": [n]})
+            return
+        start_us, last_us, n = (state.get if state.exists
+                                else (None, None, 0))
+        closed = []
+        for pdf in pdfs:
+            ts_us = (pd.to_datetime(pdf[ts_col]).astype("int64")
+                     // 1000).sort_values().to_numpy()
+            for t in ts_us:
+                if start_us is None:
+                    start_us, last_us, n = int(t), int(t), 1
+                elif t - last_us > gap_us:
+                    closed.append((start_us, last_us, n))
+                    start_us, last_us, n = int(t), int(t), 1
+                else:
+                    last_us, n = int(t), n + 1
+        state.update((start_us, last_us, n))
+        # close when the watermark passes last activity + gap
+        state.setTimeoutTimestamp(last_us // 1000 + gap_us // 1000)
+        if closed:
+            yield pd.DataFrame({
+                key: [key_tuple[0]] * len(closed),
+                "session_start": [pd.Timestamp(s, unit="us")
+                                  for s, _, _ in closed],
+                "session_end": [pd.Timestamp(e, unit="us")
+                                for _, e, _ in closed],
+                "n_turns": [c for _, _, c in closed]})
+
+    return (stream.withWatermark(ts_col, watermark)
+            .groupBy(key)
+            .applyInPandasWithState(
+                fold, out_schema, state_schema, "append",
+                GroupStateTimeout.EventTimeTimeout))

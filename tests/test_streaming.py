@@ -50,3 +50,75 @@ class TestStreamingIngest:
                           TRANSCRIPT_SCHEMA).awaitTermination(120)
         n2 = spark.read.parquet(tier).count()
         assert n2 > n1
+
+
+class TestStatefulSessionize:
+    def test_sessions_close_on_watermark(self, spark, tmp_path):
+        """Two micro-batch runs over a file source with a shared
+        checkpoint: batch 2's late-by-an-hour turn advances the watermark
+        past batch 1's session + gap, so the state times out and the
+        closed session is emitted with exact bounds and turn count."""
+        import datetime as dt
+        from dynamicaxiswarping_jl_spark.streaming import stateful_sessionize
+
+        src = str(tmp_path / "src")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+        schema = "conv_id string, ts timestamp"
+        rows1 = [("c1", t0 + dt.timedelta(minutes=m)) for m in (0, 2, 5)]
+        spark.createDataFrame(rows1, schema).coalesce(1).write.mode(
+            "overwrite").parquet(src)
+
+        def run_once():
+            stream = spark.readStream.schema(schema).parquet(src)
+            sess = stateful_sessionize(stream, gap_minutes=30,
+                                       watermark="1 minute")
+            q = (sess.writeStream.outputMode("append")
+                 .option("checkpointLocation", ckpt)
+                 .format("parquet").option("path", out)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+
+        run_once()
+        # batch 2: one turn 2h later — watermark jumps past session1+gap
+        rows2 = [("c1", t0 + dt.timedelta(hours=2))]
+        spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+            "append").parquet(src)
+        run_once()
+
+        got = spark.read.parquet(out).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert r["conv_id"] == "c1"
+        assert r["session_start"] == t0
+        assert r["session_end"] == t0 + dt.timedelta(minutes=5)
+        assert r["n_turns"] == 3
+
+    def test_in_batch_gap_splits_session(self, spark, tmp_path):
+        """Turns separated by more than the gap inside ONE batch close the
+        earlier session immediately (no timeout needed)."""
+        import datetime as dt
+        from dynamicaxiswarping_jl_spark.streaming import stateful_sessionize
+
+        src = str(tmp_path / "src")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        t0 = dt.datetime(2024, 1, 1, 9, 0, 0)
+        schema = "conv_id string, ts timestamp"
+        rows = ([("c2", t0 + dt.timedelta(minutes=m)) for m in (0, 1)]
+                + [("c2", t0 + dt.timedelta(hours=3))])
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite").parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        sess = stateful_sessionize(stream, gap_minutes=30,
+                                   watermark="1 minute")
+        q = (sess.writeStream.outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .format("parquet").option("path", out)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = {(r["session_start"], r["session_end"], r["n_turns"])
+               for r in spark.read.parquet(out).collect()}
+        assert (t0, t0 + dt.timedelta(minutes=1), 2) in got
