@@ -265,7 +265,7 @@ def drift_scores(fine: DataFrame, coarse: DataFrame, radius: int = 5,
 
 def dtwnn_search(queries: DataFrame, series: DataFrame, radius: int = 5,
                  normalizer: str | None = None, dist: str = "sqeuclidean",
-                 key: str = "conv_id") -> DataFrame:
+                 key: str = "conv_id", float32: bool = False) -> DataFrame:
     """NN of each query subsequence across every series.
 
     Plan: queries are collected (small by construction — the short
@@ -293,16 +293,18 @@ def dtwnn_search(queries: DataFrame, series: DataFrame, radius: int = 5,
         # minimum instead of cold-starting at Inf. Result-identical — a
         # series whose windows all prune can't hold the global argmin,
         # and its Inf row is dropped rather than shuffled.
+        dt = np.float32 if float32 else np.float64
         task_bsf: dict = {}
         for pdf in batches:
             recs = []
             for row in pdf.itertuples(index=False):
-                y = np.asarray(row.points, dtype=np.float64)
+                y = np.asarray(row.points, dtype=dt)
                 for qid, q in qlist:
                     if len(y) < len(q):
                         continue  # series shorter than query: no window
-                    res = dtwnn(q, y, dist, radius, normalizer,
-                                initial_bsf=task_bsf.get(qid, np.inf))
+                    res = dtwnn(q.astype(dt), y, dist, radius, normalizer,
+                                initial_bsf=task_bsf.get(qid, np.inf),
+                                dtype=dt)
                     if np.isfinite(res.cost):
                         task_bsf[qid] = min(task_bsf.get(qid, np.inf),
                                             res.cost)
