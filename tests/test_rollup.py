@@ -143,3 +143,50 @@ class TestAssemble:
         for row in pdf.itertuples(index=False):
             np.testing.assert_allclose(
                 row.points, oracle.loc[row.conv_id, "want"])
+
+
+class TestGapfillProperties:
+    """Property check of the gap-explode formulation against a pandas/numpy
+    oracle on randomized sparse series (hypothesis-driven)."""
+
+    def test_random_series_all_policies(self, spark):
+        import numpy as np
+        import pandas as pd
+        from dynamicaxiswarping_jl_spark.operators import gapfill
+
+        rng = np.random.default_rng(123)
+        rows = []
+        for conv in range(6):
+            # sparse, sorted, distinct minute offsets
+            offs = np.sort(rng.choice(200, size=rng.integers(2, 30),
+                                      replace=False))
+            for o in offs:
+                ts = (pd.Timestamp("2024-01-01")
+                      + pd.Timedelta(minutes=int(o))).to_pydatetime()
+                rows.append((str(conv), ts, float(rng.integers(0, 50))))
+        sdf = spark.createDataFrame(
+            rows, "conv_id string, bucket timestamp, turn_rate double")
+        pdf = pd.DataFrame(rows, columns=["conv_id", "bucket", "turn_rate"])
+
+        for policy in ("zero", "locf", "interp"):
+            got = (gapfill(sdf, 60, value_cols=("turn_rate",), policy=policy)
+                   .orderBy("conv_id", "bucket").toPandas())
+            frames = []
+            for conv, g in pdf.groupby("conv_id"):
+                g = g.sort_values("bucket").set_index("bucket")
+                grid = pd.date_range(g.index.min(), g.index.max(), freq="1min")
+                s = g["turn_rate"].reindex(grid)
+                if policy == "zero":
+                    s = s.fillna(0.0)
+                elif policy == "locf":
+                    s = s.ffill()
+                else:
+                    s = s.interpolate(method="time")
+                frames.append(pd.DataFrame(
+                    {"conv_id": conv, "bucket": grid, "turn_rate": s.values}))
+            want = (pd.concat(frames).sort_values(["conv_id", "bucket"])
+                    .reset_index(drop=True))
+            np.testing.assert_allclose(
+                got["turn_rate"].to_numpy(), want["turn_rate"].to_numpy(),
+                rtol=1e-9, atol=1e-12, err_msg=policy)
+            assert got["bucket"].tolist() == want["bucket"].tolist(), policy
