@@ -346,7 +346,9 @@ def q_drift_1h_1d(spark, sf_dir):
           .select(F.col("user_id").cast("string").alias("conv_id"), "ts",
                   F.lit(None).cast("string").alias("tool")))
     t1m = rollup_turns(ev, "1m")
-    t1h = gapfill(cascade(t1m, "1h"), 3600, policy="zero")
+    # cache: plan-identical to q_gorilla_roundtrip's t1h, so Spark's cache
+    # manager shares one materialization across both queries in a session
+    t1h = gapfill(cascade(t1m, "1h"), 3600, policy="zero").cache()
     t1d = gapfill(cascade(t1m, "1d"), 86400, policy="zero")
     fine = assemble_series(t1h, "turn_rate", step_s=3600)
     coarse = assemble_series(t1d, "turn_rate", step_s=86400)
