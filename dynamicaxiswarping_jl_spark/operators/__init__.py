@@ -1,6 +1,7 @@
 """Distributed operators of the rollup + DTW analytics engine."""
 
-from .rollup import rollup_turns, cascade, assemble_series, TIERS, apply_retention
+from .rollup import (rollup_turns, cascade, assemble_series, TIERS,
+                     apply_retention, refresh_tier)
 from .gapfill import gapfill
 from .compression import compress_chunks, decompress_chunks, gorilla_encode, gorilla_decode
 from .dtw_ops import (dtw_pairs, drift_scores, dtwnn_search, knn_topk,
@@ -16,7 +17,7 @@ from .multimodal import (attach_media_metadata, image_features, frame_sample,
 
 __all__ = [
     "rollup_turns", "cascade", "assemble_series", "TIERS", "gapfill",
-    "apply_retention",
+    "apply_retention", "refresh_tier",
     "compress_chunks", "decompress_chunks", "gorilla_encode", "gorilla_decode",
     "dtw_pairs", "drift_scores", "dtwnn_search", "knn_topk",
     "distance_profile_op", "matrix_profile_op", "align_to_master",

@@ -77,6 +77,18 @@ class TableCatalog:
         os.replace(tmp, self._log(name))  # atomic commit
         return rec
 
+    def merge(self, name: str, df: DataFrame, keys: list) -> dict:
+        """Key-wise upsert: rows of ``df`` replace current rows with the
+        same key tuple (copy-on-write MERGE — the degraded analog of
+        Iceberg ``MERGE INTO``; on a real catalog this call site becomes
+        that statement). Unmatched current rows are carried over."""
+        try:
+            cur = self.read(name)
+        except FileNotFoundError:
+            return self.write(name, df, mode="merge")
+        kept = cur.join(df.select(*keys).distinct(), list(keys), "left_anti")
+        return self.write(name, kept.unionByName(df), mode="merge")
+
     def read(self, name: str, snapshot_id: Optional[str] = None) -> DataFrame:
         """Read the current (or a time-travel) snapshot."""
         snaps = self.snapshots(name)

@@ -67,3 +67,38 @@ class TestUcrReader:
         assert len(df) == 30
         assert set(df.label) <= {1.0, 2.0, 3.0}
         assert all(len(pts) == 128 for pts in df.points)
+
+
+class TestMergeAndRefresh:
+    def test_catalog_merge_upserts_by_key(self, spark, tmp_path):
+        from dynamicaxiswarping_jl_spark.sources.storage import TableCatalog
+        cat = TableCatalog(spark, str(tmp_path))
+        cat.write("t", spark.createDataFrame(
+            [(1, "a"), (2, "b")], "k int, v string"))
+        rec = cat.merge("t", spark.createDataFrame(
+            [(2, "B"), (3, "c")], "k int, v string"), keys=["k"])
+        assert rec["mode"] == "merge"
+        got = {(r.k, r.v) for r in cat.read("t").collect()}
+        assert got == {(1, "a"), (2, "B"), (3, "c")}
+        # time travel still sees the pre-merge snapshot
+        first = cat.snapshots("t")[0]["snapshot_id"]
+        old = {(r.k, r.v) for r in cat.read("t", first).collect()}
+        assert old == {(1, "a"), (2, "b")}
+
+    def test_incremental_refresh_equals_full_recompute(self, spark, tmp_path):
+        from dynamicaxiswarping_jl_spark.sources.storage import TableCatalog
+        from dynamicaxiswarping_jl_spark.operators import (rollup_turns,
+                                                           refresh_tier)
+        from dynamicaxiswarping_jl_spark.sources import transcripts_df
+        cat = TableCatalog(spark, str(tmp_path))
+        turns = transcripts_df(spark, 8, seed=3, mean_turns=40, slices=2).cache()
+        # initial load: conversations 0-5; delta: conversations 6-7
+        base = turns.filter(F.col("conv_id") < "conv-0006")
+        delta = turns.filter(F.col("conv_id") >= "conv-0006")
+        cat.write("tier_1m", rollup_turns(base, "1m"))
+        refresh_tier(cat, "tier_1m", delta, "1m")
+        got = (cat.read("tier_1m")
+               .orderBy("conv_id", "bucket").collect())
+        want = (rollup_turns(turns, "1m")
+                .orderBy("conv_id", "bucket").collect())
+        assert got == want
