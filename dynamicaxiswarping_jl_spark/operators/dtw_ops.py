@@ -324,13 +324,22 @@ def dtwnn_search(queries: DataFrame, series: DataFrame, radius: int = 5,
 
 
 def knn_topk(series: DataFrame, k: int = 4, radius: int = 5,
-             dist: str = "sqeuclidean", key: str = "conv_id") -> DataFrame:
+             dist: str = "sqeuclidean", key: str = "conv_id",
+             lb_prefilter: bool = False, oversample: int = 4) -> DataFrame:
     """k nearest neighbors among series (sparse_distmat, src/dtwnn.jl:261-297).
 
     Pair generation is a self-join (id_a != id_b); the per-pair cost kernel
     uses the endpoint LB to seed early-abandon. Exact top-k via window
     row_number — identical to the dense-matrix partialsort oracle
     (runtests.jl:633-644).
+
+    ``lb_prefilter=True`` (scale path, result-identical): a JVM-side
+    endpoint lower bound ``d(a₁,b₁)+d(aₘ,bₘ)`` ranks all pairs for free;
+    exact DP runs on the ``k·oversample`` lowest-LB candidates per id_a,
+    whose k-th exact cost τ then bounds phase 2 — only remaining pairs
+    with LB ≤ τ can enter the true top-k (cost ≥ LB > τ ≥ k-th best),
+    so everything else is skipped without ever crossing into Python.
+    Unequal-length pairs bypass the LB (always exact).
     """
     left = series.select(F.col(key).alias("id_a"), F.col("points").alias("a"))
     right = series.select(F.col(key).alias("id_b"), F.col("points").alias("b"))
@@ -370,5 +379,25 @@ def knn_topk(series: DataFrame, k: int = 4, radius: int = 5,
                                 "id_b": pdf["id_b"].to_numpy(),
                                 "cost": costs})
 
-    costs = _spread(pairs).mapInPandas(run, schema)
-    return topk_per_key(costs, "id_a", "cost", k)
+    if not (lb_prefilter and dist in ("sqeuclidean", None)):
+        costs = _spread(pairs).mapInPandas(run, schema)
+        return topk_per_key(costs, "id_a", "cost", k)
+
+    # --- two-phase LB-pruned exact k-NN ---
+    lbe = ((F.element_at("a", 1) - F.element_at("b", 1)) ** 2
+           + (F.element_at("a", -1) - F.element_at("b", -1)) ** 2)
+    eq = pairs.filter(F.size("a") == F.size("b")).withColumn("_lbe", lbe)
+    neq = pairs.filter(F.size("a") != F.size("b"))  # no LB: always exact
+    cand = topk_per_key(eq, "id_a", "_lbe", k * oversample).drop("rk")
+    exact1 = _spread(cand.select("id_a", "a", "id_b", "b")).mapInPandas(
+        run, schema).cache()
+    tau = (topk_per_key(exact1, "id_a", "cost", k)
+           .groupBy("id_a").agg(F.max("cost").alias("_tau")))
+    rest = (eq.join(cand.select("id_a", "id_b").withColumn("_c", F.lit(1)),
+                    ["id_a", "id_b"], "left_anti")
+            .join(F.broadcast(tau), "id_a")
+            .filter(F.col("_lbe") <= F.col("_tau"))
+            .select("id_a", "a", "id_b", "b"))
+    exact2 = _spread(rest.unionByName(
+        neq.select("id_a", "a", "id_b", "b"))).mapInPandas(run, schema)
+    return topk_per_key(exact1.unionByName(exact2), "id_a", "cost", k)

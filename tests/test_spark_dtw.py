@@ -154,3 +154,26 @@ class TestMultichannelPairs:
         want, i1, i2 = dtw(A, B)
         assert got.cost == pytest.approx(want, rel=1e-12)
         assert got.i1 == i1.tolist() and got.i2 == i2.tolist()
+
+
+class TestKnnLbPrefilter:
+    def test_prefilter_matches_bruteforce(self, spark):
+        """Two-phase LB-pruned k-NN returns the same per-key cost profile
+        as the all-pairs version (result-identical guarantee)."""
+        import numpy as np
+        from dynamicaxiswarping_jl_spark.operators import knn_topk
+        rng = np.random.default_rng(5)
+        rows = []
+        for i in range(24):
+            n = 40 if i % 5 else 30  # mix of lengths: LB path + exact path
+            base = np.sin(np.linspace(0, 3, n)) * (1 + i % 7)
+            rows.append((f"s{i:02d}",
+                         [float(v) for v in base + 0.1 * rng.normal(size=n)]))
+        series = spark.createDataFrame(rows, "conv_id string, points array<double>")
+        brute = knn_topk(series, k=3, radius=5).toPandas()
+        fast = knn_topk(series, k=3, radius=5, lb_prefilter=True,
+                        oversample=2).toPandas()
+        for key in sorted(brute.id_a.unique()):
+            bc = sorted(round(c, 9) for c in brute[brute.id_a == key].cost)
+            fc = sorted(round(c, 9) for c in fast[fast.id_a == key].cost)
+            assert bc == fc, key
