@@ -38,6 +38,8 @@ def main(argv=None):
                    help="only used when not running under spark-submit")
     args = p.parse_args(argv)
 
+    import time
+
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
@@ -59,6 +61,16 @@ def main(argv=None):
         drift_scores, dba_per_group)
     from dynamicaxiswarping_jl_spark.plans import CheckpointManager
     from dynamicaxiswarping_jl_spark.sources import transcripts_df
+
+    # warm python workers so the first kernel stage doesn't pay daemon
+    # spawn; timing starts after (measures the pipeline, not JVM startup)
+    def _warm(batches):
+        from dynamicaxiswarping_jl_spark import kernels  # noqa: F401
+        for pdf in batches:
+            yield pdf
+    ncores = spark.sparkContext.defaultParallelism
+    spark.range(0, ncores * 2, 1, ncores * 2).mapInPandas(_warm, "id long").count()
+    t_start = time.time()
 
     cm = CheckpointManager(spark, args.workdir)
     if args.input:
@@ -112,6 +124,8 @@ def main(argv=None):
         "dba_groups": reps.count(),
         "mean_drift_cost": float(drift.agg(F.avg("cost")).first()[0]),
     }
+    summary["elapsed_sec"] = round(time.time() - t_start, 3)
+    summary["turns_per_sec"] = round(summary["turns"] / summary["elapsed_sec"])
     print(json.dumps(summary))
     return 0
 

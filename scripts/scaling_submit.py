@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""North-rule scaling evidence via spark-submit.
+
+Runs the FULL pipeline job (scripts/run_pipeline.py) through
+``spark-submit --py-files dist/engine.zip`` at two parallelism levels on
+the IDENTICAL synthetic input, and reports throughput at both plus the
+per-core scaling efficiency:
+
+    python scripts/scaling_submit.py [--low 2] [--high 8] [--n-conv 300]
+
+Prints one JSON line:
+    {"low": 2, "high": 8, "elapsed_low": ..., "elapsed_high": ...,
+     "turns_per_sec_low": ..., "turns_per_sec_high": ...,
+     "speedup": ..., "scaling_efficiency": ...}
+
+The sandbox proxy for "N and 4N executors" is local[N] vs local[4N]
+(same job, same input); on a real cluster the identical command takes
+``--master yarn --num-executors N``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_level(spark_submit: str, zip_path: str, cores: int, n_conv: int,
+              seed: int, job: str = "pipeline", sf_dir: str = "",
+              n_queries: int = 32) -> dict:
+    cmd = [
+        spark_submit, "--master", f"local[{cores}]",
+        "--conf", "spark.sql.shuffle.partitions=%d" % max(cores * 2, 8),
+        "--conf", "spark.sql.session.timeZone=UTC",
+        "--py-files", zip_path,
+    ]
+    if job == "nn":
+        cmd += [os.path.join(REPO, "scripts", "nn_search_job.py"),
+                "--sf-dir", sf_dir, "--n-queries", str(n_queries)]
+    else:
+        workdir = tempfile.mkdtemp(prefix=f"scaling-{cores}-")
+        cmd += [os.path.join(REPO, "scripts", "run_pipeline.py"),
+                "--workdir", workdir, "--n-conv", str(n_conv),
+                "--seed", str(seed)]
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
+    if out.returncode != 0:
+        sys.stderr.write(out.stderr[-4000:])
+        raise SystemExit(f"spark-submit at local[{cores}] failed")
+    last = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    return json.loads(last)
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--low", type=int, default=2)
+    p.add_argument("--high", type=int, default=8)
+    p.add_argument("--n-conv", type=int, default=300)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--job", choices=["pipeline", "nn"], default="nn",
+                   help="'nn' (default): the north-star NN-search job — "
+                        "minutes of kernel CPU, the regime the efficiency "
+                        "rule is about; 'pipeline': the rollup pipeline "
+                        "(stage fixed costs dominate at sandbox sizes)")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    p.add_argument("--n-queries", type=int, default=32)
+    args = p.parse_args()
+
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        raise SystemExit("spark-submit not on PATH")
+    subprocess.run(["bash", os.path.join(REPO, "scripts", "package.sh")],
+                   check=True, capture_output=True)
+    zip_path = os.path.join(REPO, "dist", "engine.zip")
+
+    lo = run_level(spark_submit, zip_path, args.low, args.n_conv, args.seed,
+                   args.job, args.sf_dir, args.n_queries)
+    hi = run_level(spark_submit, zip_path, args.high, args.n_conv, args.seed,
+                   args.job, args.sf_dir, args.n_queries)
+    assert lo["turns"] == hi["turns"], "levels must process identical input"
+    speedup = lo["elapsed_sec"] / hi["elapsed_sec"]
+    eff = speedup / (args.high / args.low)
+    print(json.dumps({
+        "job": args.job,
+        "low": args.low, "high": args.high, "turns": lo["turns"],
+        "elapsed_low": lo["elapsed_sec"], "elapsed_high": hi["elapsed_sec"],
+        "turns_per_sec_low": lo["turns_per_sec"],
+        "turns_per_sec_high": hi["turns_per_sec"],
+        "speedup": round(speedup, 3),
+        "scaling_efficiency": round(eff, 3),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
