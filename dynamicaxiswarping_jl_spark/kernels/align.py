@@ -16,14 +16,26 @@ from .dtw import dtw
 __all__ = ["align_signals"]
 
 
+def _finddelay(x: np.ndarray, y: np.ndarray) -> int:
+    """Delay of ``y`` relative to ``x`` via cross-correlation argmax —
+    the reference's ``DSP.finddelay`` (src/utils.jl:51-52), which it
+    notes is "suboptimal because xcorr does not do exactly what we
+    want" — kept for parity as the cheap method."""
+    c = np.correlate(x, y, mode="full")
+    return int(np.argmax(c)) - (len(y) - 1)
+
+
 def align_signals(signals, master: int = None, output: str = "indices",
-                  dist=None, postprocess=None):
+                  dist=None, postprocess=None, method: str = "dtw"):
     """Returns per-signal 0-based ``(start, stop)`` exclusive ranges (or the
     trimmed signals with ``output='signals'``), all of equal length, such
     that each slice is optimally aligned to the master.
 
-    Indices are returned 0-based (Python convention; the reference returns
-    1-based ranges — the slices themselves are identical).
+    ``method='dtw'`` derives each delay from the warping path median
+    (src/utils.jl:53-55); ``method='xcorr'`` uses cross-correlation
+    (src/utils.jl:51-52). Indices are returned 0-based (Python
+    convention; the reference returns 1-based ranges — the slices
+    themselves are identical).
     """
     sigs = [np.asarray(s, dtype=np.float64) for s in signals]
     lens = np.array([s.shape[-1] for s in sigs])
@@ -34,8 +46,13 @@ def align_signals(signals, master: int = None, output: str = "indices",
         if i == master:
             d.append(0)
             continue
-        _, i1, i2 = dtw(s, sigs[master], dist, postprocess=postprocess)
-        d.append(int(np.round(np.median(i2 - i1))))
+        if method in ("xcorr", "crosscorr", "dsp"):
+            d.append(_finddelay(sigs[master], s))
+        elif method in ("dtw", "DTW"):
+            _, i1, i2 = dtw(s, sigs[master], dist, postprocess=postprocess)
+            d.append(int(np.round(np.median(i2 - i1))))
+        else:
+            raise ValueError(f"unknown method {method!r}")
     d = np.array(d)
     lp = int(d.max())
     rp = int((lens[master] - (lens + d)).max())

@@ -193,11 +193,13 @@ def matrix_profile_op(series: DataFrame, m: int, radius: int = 5,
 
 
 def align_to_master(series: DataFrame, master_points, dist: str = "sqeuclidean",
-                    key: str = "conv_id") -> DataFrame:
+                    key: str = "conv_id", method: str = "dtw") -> DataFrame:
     """Align every series to a broadcast master (reference src/utils.jl:46-80
-    per-series step): per-series DTW delay = round(median(i2 - i1)).
-    Returns (key, delay, n). The global trim window is two cheap aggs on
-    the result (driver-side min/max), matching the reference's lp/rp."""
+    per-series step): per-series delay from the DTW warp-path median
+    (``method='dtw'``) or cross-correlation argmax (``method='xcorr'``,
+    the reference's DSP.finddelay path). Returns (key, delay, n). The
+    global trim window is two cheap aggs on the result (driver-side
+    min/max), matching the reference's lp/rp."""
     master = np.asarray(master_points, dtype=np.float64)
     schema = T.StructType([
         T.StructField(key, T.StringType()),
@@ -210,10 +212,14 @@ def align_to_master(series: DataFrame, master_points, dist: str = "sqeuclidean",
             recs = []
             for row in pdf.itertuples(index=False):
                 y = np.asarray(row.points, dtype=np.float64)
-                _, i1, i2 = dtw(y, master, dist)
+                if method in ("xcorr", "crosscorr", "dsp"):
+                    from ..kernels.align import _finddelay
+                    delay = _finddelay(master, y)
+                else:
+                    _, i1, i2 = dtw(y, master, dist)
+                    delay = int(np.round(np.median(i2 - i1)))
                 recs.append({key: getattr(row, key),
-                             "delay": int(np.round(np.median(i2 - i1))),
-                             "n": len(y)})
+                             "delay": delay, "n": len(y)})
             yield pd.DataFrame(recs, columns=[key, "delay", "n"])
 
     return _spread(series.select(key, "points")).mapInPandas(run, schema)

@@ -236,3 +236,25 @@ class TestSoftDtwGolden:
         y = np.vstack([B, B])
         Dm2 = dtw_cost_matrix(x, y)
         assert np.allclose(Dm2, 2 * Dm)
+
+
+class TestAlignXcorr:
+    def test_xcorr_matches_dtw_on_noise_shift(self):
+        """xcorr method (reference DSP.finddelay path, src/utils.jl:51-52)
+        recovers an exact integer shift on noise like the dtw method."""
+        import numpy as np
+        from dynamicaxiswarping_jl_spark.kernels.align import align_signals
+        rng = np.random.default_rng(0)
+        base = rng.normal(size=200)
+        delayed = np.concatenate([np.zeros(13), base[:-13]])
+        for m in ("dtw", "xcorr"):
+            trims = align_signals([base, delayed], master=0, method=m,
+                                  output="signals")
+            assert np.linalg.norm(trims[1] - trims[0]) == 0.0, m
+
+    def test_unknown_method_raises(self):
+        import numpy as np
+        import pytest
+        from dynamicaxiswarping_jl_spark.kernels.align import align_signals
+        with pytest.raises(ValueError):
+            align_signals([np.zeros(5), np.ones(5)], method="nope")
