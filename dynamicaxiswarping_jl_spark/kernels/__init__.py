@@ -16,7 +16,8 @@ from .dtw import (
     radiuslimits,
 )
 from .softdtw import softmin, soft_dtw_cost_matrix, soft_dtw_cost
-from .normalizers import znorm, sliding_znorm_stats, lower_upper_envs
+from .normalizers import (znorm, diagonal_znorm, norm_normalize,
+                          sliding_znorm_stats, lower_upper_envs)
 from .dtwnn import dtwnn, DTWSearchResult, sparse_distmat, distance_profile, matrix_profile
 from .dba import dba, dba_iteration, DBAResult
 from .dbaclust import dbaclust, dbaclust_initial_centers, DBAClustResult
@@ -34,7 +35,8 @@ __all__ = [
     "dtw", "dtw_cost_matrix", "banded_dtw_cost_matrix", "trackback",
     "dtw_cost", "radiuslimits",
     "softmin", "soft_dtw_cost_matrix", "soft_dtw_cost",
-    "znorm", "sliding_znorm_stats", "lower_upper_envs",
+    "znorm", "diagonal_znorm", "norm_normalize",
+    "sliding_znorm_stats", "lower_upper_envs",
     "dtwnn", "DTWSearchResult", "sparse_distmat", "distance_profile",
     "matrix_profile",
     "dba", "dba_iteration", "DBAResult",

@@ -12,7 +12,8 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["znorm", "sliding_znorm_stats", "lower_upper_envs"]
+__all__ = ["znorm", "diagonal_znorm", "norm_normalize",
+           "sliding_znorm_stats", "lower_upper_envs"]
 
 
 def znorm(x: np.ndarray) -> np.ndarray:
@@ -26,6 +27,28 @@ def znorm(x: np.ndarray) -> np.ndarray:
     if sd == 0.0:
         return np.zeros_like(x)
     return (x - mu) / sd
+
+
+def diagonal_znorm(x: np.ndarray) -> np.ndarray:
+    """Per-channel z-normalization for multichannel series (channels ×
+    time, time last) — the reference's re-exported ``DiagonalZNormalizer``
+    (src/DynamicAxisWarping.jl:45-47): each channel is normalized
+    independently with uncorrected std; constant channels map to zeros."""
+    x = np.asarray(x, dtype=np.float64)
+    if x.ndim == 1:
+        return znorm(x)
+    mu = x.mean(axis=-1, keepdims=True)
+    sd = x.std(axis=-1, ddof=0, keepdims=True)
+    out = np.where(sd == 0.0, 0.0, (x - mu) / np.where(sd == 0.0, 1.0, sd))
+    return out
+
+
+def norm_normalize(x: np.ndarray) -> np.ndarray:
+    """Scale to unit Euclidean (Frobenius) norm — the reference's
+    re-exported ``NormNormalizer``; zero series stay zero."""
+    x = np.asarray(x, dtype=np.float64)
+    n = np.linalg.norm(x)
+    return x if n == 0.0 else x / n
 
 
 def sliding_znorm_stats(y: np.ndarray, m: int):

@@ -184,3 +184,25 @@ class TestDtwDistDispatch:
         from dynamicaxiswarping_jl_spark.kernels import dtw_dist
         a = np.array([1.0, 2.0, 3.0])
         assert dtw_dist(a, 5 * a, radius=3, normalizer="norm") == pytest.approx(0.0, abs=1e-18)
+
+
+class TestExtraNormalizers:
+    def test_diagonal_znorm_per_channel(self):
+        import numpy as np
+        from dynamicaxiswarping_jl_spark.kernels import diagonal_znorm
+        rng = np.random.default_rng(2)
+        x = rng.normal(loc=[[5.0], [-3.0]], scale=[[2.0], [0.5]],
+                       size=(2, 400))
+        z = diagonal_znorm(x)
+        np.testing.assert_allclose(z.mean(axis=-1), 0.0, atol=1e-12)
+        np.testing.assert_allclose(z.std(axis=-1, ddof=0), 1.0, rtol=1e-12)
+        # constant channel maps to zeros
+        z2 = diagonal_znorm(np.vstack([np.full(10, 7.0), np.arange(10.0)]))
+        assert (z2[0] == 0).all() and abs(z2[1].mean()) < 1e-12
+
+    def test_norm_normalize_unit_norm(self):
+        import numpy as np
+        from dynamicaxiswarping_jl_spark.kernels import norm_normalize
+        x = np.array([3.0, 4.0])
+        np.testing.assert_allclose(np.linalg.norm(norm_normalize(x)), 1.0)
+        assert (norm_normalize(np.zeros(5)) == 0).all()
