@@ -276,14 +276,19 @@ def q_media_metadata(spark, sf_dir):
                     "mime_sniffed"))
 
 
-# ---- non-SQL-expressible (rows-only checks) ------------------------------
-
 def q_media_features(spark, sf_dir):
+    """Arrow-batched fake-decode feature extraction, flattened to
+    (media_id, feat_idx, v) rows — oracle-checked against a DuckDB
+    re-derivation of the deterministic sha256 pseudo-decode (means then
+    stds per channel, feat_idx 0-5)."""
     media = _media_from_docs(spark, sf_dir)
     feats = image_features(media, fake=True)
-    return feats.select(
-        "media_id",
-        F.expr("transform(features, x -> round(x, 4))").alias("features"))
+    return (feats.select("media_id",
+                         F.posexplode("features").alias("feat_idx", "_v"))
+            .select("media_id", "feat_idx", _r("_v", 4).alias("v")))
+
+
+# ---- non-SQL-expressible (rows-only checks) ------------------------------
 
 
 def q_ivf_ann_topk(spark, sf_dir):
@@ -869,6 +874,19 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN substr(text, 2, 3) = 'PNG' THEN 'image/png'
                         ELSE 'application/octet-stream' END AS mime_sniffed
             FROM documents
+        """,
+        "media_features": """
+            WITH d AS (SELECT doc_id AS media_id, sha256(text) AS hx
+                       FROM documents),
+            g AS (SELECT media_id, j % 3 AS ch,
+                    ((strpos('0123456789abcdef', substr(hx, 2*(j%32)+1, 1)) - 1) * 16
+                   + (strpos('0123456789abcdef', substr(hx, 2*(j%32)+2, 1)) - 1)) / 255.0 AS v
+                  FROM d, generate_series(0, 191) s(j)),
+            agg AS (SELECT media_id, ch, avg(v) AS m, stddev_pop(v) AS s
+                    FROM g GROUP BY 1, 2)
+            SELECT media_id, ch AS feat_idx, round(m, 4) AS v FROM agg
+            UNION ALL
+            SELECT media_id, ch + 3 AS feat_idx, round(s, 4) AS v FROM agg
         """,
         "top_customer_revenue": """
             WITH rev AS (
