@@ -206,3 +206,38 @@ class TestExtraNormalizers:
         x = np.array([3.0, 4.0])
         np.testing.assert_allclose(np.linalg.norm(norm_normalize(x)), 1.0)
         assert (norm_normalize(np.zeros(5)) == 0).all()
+
+
+class TestInitialBsfSeed:
+    def test_seed_does_not_change_result_when_loose(self):
+        import numpy as np
+        from dynamicaxiswarping_jl_spark.kernels import dtwnn
+        rng = np.random.default_rng(11)
+        y = np.cumsum(rng.normal(size=4000))
+        q = y[1500:1560].copy() + 0.01 * rng.normal(size=60)
+        cold = dtwnn(q, y, "sqeuclidean", 5)
+        seeded = dtwnn(q, y, "sqeuclidean", 5, initial_bsf=cold.cost * 10)
+        assert seeded.cost == cold.cost and seeded.loc == cold.loc
+
+    def test_tight_seed_prunes_everything_to_inf(self):
+        import numpy as np
+        from dynamicaxiswarping_jl_spark.kernels import dtwnn
+        rng = np.random.default_rng(12)
+        y = np.cumsum(rng.normal(size=2000)) + 100.0
+        q = np.zeros(50)  # far from every window → large true cost
+        res = dtwnn(q, y, "sqeuclidean", 5, initial_bsf=1e-12)
+        assert np.isinf(res.cost)  # caller keeps its prior best
+
+    def test_seed_between_best_and_second_keeps_best(self):
+        """A seed tighter than every window except the true best must
+        still find the true best (the best window is never prunable
+        below its own cost)."""
+        import numpy as np
+        from dynamicaxiswarping_jl_spark.kernels import dtwnn
+        rng = np.random.default_rng(13)
+        y = np.cumsum(rng.normal(size=3000))
+        q = y[800:860].copy()  # exact match → best cost 0
+        prof = dtwnn(q, y, "sqeuclidean", 5, saveall=True).dists
+        second = np.partition(prof, 1)[1]
+        res = dtwnn(q, y, "sqeuclidean", 5, initial_bsf=second * 0.5)
+        assert res.cost == 0.0 and res.loc == 801
