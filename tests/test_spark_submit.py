@@ -42,6 +42,8 @@ class TestSparkSubmit:
         mtime = os.path.getmtime(os.path.join(work, "drift", "manifest.json"))
         # resume: identical summary, drift stage not recomputed
         s2 = run()
-        assert s2 == s1
+        drop = ("elapsed_sec", "turns_per_sec")  # timing keys differ by run
+        assert {k: v for k, v in s2.items() if k not in drop} == \
+               {k: v for k, v in s1.items() if k not in drop}
         assert os.path.getmtime(
             os.path.join(work, "drift", "manifest.json")) == mtime
