@@ -97,39 +97,10 @@ def lsh_cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     the crossJoin disappears; exactness traded for recall (union over
     n_tables recovers most of it).
     """
-    if dim is None:
-        dim = len(embeddings.select(vec_col).first()[0])
-    rng = np.random.default_rng(seed)
-    planes = rng.normal(size=(n_tables, n_planes, dim)).astype(np.float64)
-
-    def signer(colname, outname, id_type):
-        sig_schema = T.StructType([
-            T.StructField("_id", id_type),
-            T.StructField("table", T.IntegerType()),
-            T.StructField(outname, T.LongType()),
-        ])
-
-        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                V = np.stack([np.asarray(v, dtype=np.float64)
-                              for v in pdf[colname]])
-                ids = pdf["_id"].to_numpy()
-                outs = []
-                for t in range(n_tables):
-                    proj = V @ planes[t].T > 0  # (n, n_planes)
-                    sig = (proj * (1 << np.arange(n_planes))).sum(axis=1)
-                    outs.append(pd.DataFrame({
-                        "_id": ids, "table": t, outname: sig.astype(np.int64)}))
-                yield pd.concat(outs, ignore_index=True)
-
-        return run, sig_schema
-
     emb = embeddings.select(F.col(id_col).alias("_id"), vec_col)
     qs = queries.select(F.col(qid_col).alias("_id"), qvec_col)
-    run_e, sch = signer(vec_col, "sig", emb.schema["_id"].dataType)
-    e_sig = emb.mapInPandas(run_e, sch)
-    run_q, schq = signer(qvec_col, "sig", qs.schema["_id"].dataType)
-    q_sig = qs.mapInPandas(run_q, schq)
+    e_sig = _sign_lsh_signatures(emb, vec_col, n_planes, n_tables, seed)
+    q_sig = _sign_lsh_signatures(qs, qvec_col, n_planes, n_tables, seed)
 
     cands = (q_sig.select(F.col("_id").alias(qid_col), "table", "sig")
              .join(e_sig.select(F.col("_id").alias(id_col), "table", "sig"),
