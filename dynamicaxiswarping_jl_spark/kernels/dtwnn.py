@@ -278,24 +278,29 @@ def dtwnn(q, y, dist=None, rad: int = 5, normalizer: Optional[str] = None, *,
         best_so_far = float(initial_bsf) if not saveall else _INF
         CH = 512
         if defer_env and not saveall:
-            # bootstrap: exact costs on the lowest-endpoint-LB chunk to
-            # establish best-so-far, then LB_Keogh only for the endpoint
-            # survivors — avoids the O(n·m) full-envelope sweep when
-            # endpoints already prune almost everything
+            # LB_Keogh only for endpoint survivors — avoids the O(n·m)
+            # full-envelope sweep when endpoints already prune almost
+            # everything. With no usable best-so-far yet, a small
+            # bootstrap of lowest-endpoint-LB windows establishes one
+            # first (zero-heavy series make the endpoint LB weak, so the
+            # envelope filter right after is what actually prunes).
             order0 = cand[np.argsort(lbe[cand], kind="stable")]
-            boot = order0[:CH]
-            boot = boot[lbe[boot] <= bsf_multiplier * best_so_far]
-            if len(boot):
-                W = X[boot]
-                if use_znorm:
-                    W = (W - mu[boot, None]) / sd[boot, None]
-                costs = dtw_cost_batch(qn, W, rad,
-                                       transportcost=transportcost)
-                dists[boot] = costs
-                cmin = costs.min()
-                if cmin < best_so_far:
-                    best_so_far = cmin
-            rest = order0[CH:]
+            if np.isfinite(best_so_far):
+                rest = order0  # seeded by the caller: skip the bootstrap
+            else:
+                BOOT = 64
+                boot = order0[:BOOT]
+                if len(boot):
+                    W = X[boot]
+                    if use_znorm:
+                        W = (W - mu[boot, None]) / sd[boot, None]
+                    costs = dtw_cost_batch(qn, W, rad,
+                                           transportcost=transportcost)
+                    dists[boot] = costs
+                    cmin = costs.min()
+                    if cmin < best_so_far:
+                        best_so_far = cmin
+                rest = order0[len(boot):]
             rest = rest[lbe[rest] <= bsf_multiplier * best_so_far]
             if len(rest):
                 lbv[rest] = _lb_env_subset(d.name, y, m, l_env, u_env,
