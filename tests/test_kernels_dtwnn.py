@@ -241,3 +241,51 @@ class TestInitialBsfSeed:
         second = np.partition(prof, 1)[1]
         res = dtwnn(q, y, "sqeuclidean", 5, initial_bsf=second * 0.5)
         assert res.cost == 0.0 and res.loc == 801
+
+
+try:
+    from hypothesis import given, settings, strategies as st
+    HAVE_HYP = True
+except ImportError:
+    HAVE_HYP = False
+
+if HAVE_HYP:
+    import numpy as _np
+    from dynamicaxiswarping_jl_spark.kernels import (
+        dtw_cost as _dtw_cost, dtw_cost_batch as _dtw_cost_batch,
+        dtwnn as _dtwnn)
+
+    class TestKernelProperties:
+        @settings(max_examples=40, deadline=None)
+        @given(st.integers(0, 2**32 - 1), st.integers(8, 60),
+               st.integers(0, 8))
+        def test_batch_dp_equals_scalar_dp(self, seed, m, r):
+            """dtw_cost_batch over k rows == per-pair dtw_cost for random
+            shapes and radii (incl. r=0 pointwise degenerate case)."""
+            rng = _np.random.default_rng(seed)
+            k = int(rng.integers(1, 6))
+            q = rng.normal(size=m)
+            W = rng.normal(size=(k, m))
+            batch = _dtw_cost_batch(q, W, r)
+            for i in range(k):
+                assert batch[i] == pytest.approx(
+                    _dtw_cost(q, W[i], "sqeuclidean", r), rel=1e-12)
+
+        @settings(max_examples=25, deadline=None)
+        @given(st.integers(0, 2**32 - 1), st.integers(30, 200),
+               st.integers(5, 20), st.integers(0, 6),
+               st.booleans(), st.booleans())
+        def test_dtwnn_equals_bruteforce(self, seed, n, m, r, pe, pv):
+            """Pruned search == brute-force window scan for random series,
+            window lengths, radii, and prune-flag combinations."""
+            rng = _np.random.default_rng(seed)
+            y = _np.cumsum(rng.normal(size=n))
+            q = rng.normal(size=min(m, n - 1))
+            res = _dtwnn(q, y, "sqeuclidean", r,
+                         prune_endpoints=pe, prune_envelope=pv)
+            mm = len(q)
+            brute = _np.array([
+                _dtw_cost(q, y[i:i + mm], "sqeuclidean", r)
+                for i in range(n - mm + 1)])
+            assert res.cost == pytest.approx(brute.min(), rel=1e-10)
+            assert res.loc == int(brute.argmin()) + 1
