@@ -331,6 +331,15 @@ def q_minhash_pairs(spark, sf_dir):
     return minhash_dedup(docs, k=64, bands=16, threshold=0.5)
 
 
+def q_neardup_keep(spark, sf_dir):
+    """End-to-end near-dup dedup: MinHash-LSH pairs → connected
+    components → one kept representative per cluster."""
+    from dynamicaxiswarping_jl_spark.operators import near_dedup_docs
+    docs = _t(spark, sf_dir, "documents")
+    return (near_dedup_docs(docs, k=64, bands=16, threshold=0.5)
+            .select("doc_id", "keep_id", "is_kept"))
+
+
 def q_simhash(spark, sf_dir):
     return simhash_signatures(_t(spark, sf_dir, "documents"))
 
@@ -561,6 +570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gdtw_pairs": q_gdtw_pairs,
         "dbaclust_assign": q_dbaclust_assign,
         "top_customer_revenue": q_top_customer_revenue,
+        "neardup_keep": q_neardup_keep,
     }
 
 

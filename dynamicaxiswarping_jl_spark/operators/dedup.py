@@ -26,7 +26,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 __all__ = ["exact_dedup", "minhash_dedup", "minhash_signatures",
-           "simhash_signatures", "ngram_jaccard_pairs", "embedding_neardup"]
+           "simhash_signatures", "ngram_jaccard_pairs", "embedding_neardup",
+           "connected_components", "near_dedup_docs"]
 
 _MERSENNE = (1 << 61) - 1
 
@@ -211,3 +212,56 @@ def ngram_jaccard_pairs(docs: DataFrame, candidate_pairs: DataFrame,
     return (candidate_pairs.join(a, "id_a").join(b, "id_b")
             .select("id_a", "id_b",
                     (inter / union).alias("jaccard")))
+
+
+def connected_components(edges: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b", max_iter: int = 20) -> DataFrame:
+    """Connected components of an undirected pair graph via min-label
+    propagation: every vertex repeatedly adopts the smallest label among
+    itself and its neighbors until a fixpoint. Converges in O(diameter)
+    rounds — near-duplicate clusters are shallow, so a handful.
+
+    Returns (id, component) with component = min id in the component.
+    Scale notes: each round is one join + one groupBy (both on id);
+    lineage is truncated with localCheckpoint every few rounds so long
+    chains don't accumulate plan depth.
+    """
+    sym = (edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+           .union(edges.select(F.col(id_b).alias("src"),
+                               F.col(id_a).alias("dst"))))
+    labels = (sym.select(F.col("src").alias("id")).distinct()
+              .withColumn("comp", F.col("id")))
+    for it in range(max_iter):
+        nbr = (sym.join(labels, sym["dst"] == labels["id"])
+               .select(F.col("src").alias("id"), "comp"))
+        new = (labels.select("id", "comp").union(nbr)
+               .groupBy("id").agg(F.min("comp").alias("comp")))
+        if (it + 1) % 4 == 0:
+            new = new.localCheckpoint(eager=True)
+        changed = (labels.alias("o")
+                   .join(new.alias("n"), "id")
+                   .filter(F.col("o.comp") != F.col("n.comp")).count())
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+def near_dedup_docs(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", k: int = 64, bands: int = 16,
+                    threshold: float = 0.5, seed: int = 1) -> DataFrame:
+    """End-to-end near-duplicate document dedup: MinHash-LSH candidate
+    pairs above ``threshold`` Jaccard → connected components → keep the
+    min-id representative per component (singletons keep themselves).
+
+    Returns (doc_id, keep_id, is_kept) for every input doc — the standard
+    shape for joining a keep-filter back onto a 100 TB corpus.
+    """
+    pairs = minhash_dedup(docs, text_col=text_col, id_col=id_col, k=k,
+                          bands=bands, threshold=threshold, seed=seed)
+    comp = connected_components(pairs)
+    out = (docs.select(F.col(id_col))
+           .join(comp.withColumnRenamed("id", id_col), id_col, "left")
+           .select(id_col,
+                   F.coalesce("comp", F.col(id_col)).alias("keep_id")))
+    return out.withColumn("is_kept", F.col(id_col) == F.col("keep_id"))

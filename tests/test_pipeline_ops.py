@@ -244,3 +244,29 @@ class TestGdtwPairs:
         got = dtw_pairs(pairs, method="gdtw").collect()[0]
         want, _, _ = gdtw(a, b)
         assert got.cost == pytest.approx(want, rel=1e-12)
+
+
+class TestNearDedupComponents:
+    def test_connected_components_chains_and_islands(self, spark):
+        from dynamicaxiswarping_jl_spark.operators import connected_components
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (5, 6), (9, 9)], "id_a long, id_b long")
+        comp = {r.id: r.comp for r in connected_components(edges).collect()}
+        assert comp[1] == comp[2] == comp[3] == 1
+        assert comp[5] == comp[6] == 5
+        assert comp[9] == 9
+
+    def test_near_dedup_docs_keeps_one_per_cluster(self, spark):
+        from dynamicaxiswarping_jl_spark.operators import near_dedup_docs
+        body = " ".join(f"tok{i}" for i in range(80))
+        rows = [(1, body), (2, body + " extra"), (3, body + " more extra"),
+                (4, "entirely different content with other words here"),
+                (5, "another unique document body nothing shared")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: (r.keep_id, r.is_kept)
+               for r in near_dedup_docs(docs, k=64, bands=16,
+                                        threshold=0.5).collect()}
+        assert out[1] == (1, True)
+        assert out[2] == (1, False) and out[3] == (1, False)
+        assert out[4] == (4, True) and out[5] == (5, True)
+        assert sum(kept for _, kept in out.values()) == 3
