@@ -85,3 +85,23 @@ class TestSparkChunks:
         raw = (chunks["n"] * 16).sum()
         enc = chunks["payload"].map(len).sum()
         assert enc < raw
+
+
+class TestChunkIntegrity:
+    def test_corrupted_payload_raises(self, spark):
+        """A tampered chunk payload must fail the CRC check loudly, not
+        decode to silently-wrong points."""
+        import pyspark.sql.functions as F
+        from dynamicaxiswarping_jl_spark.sources import transcripts_df
+        from dynamicaxiswarping_jl_spark.operators import (
+            rollup_turns, compress_chunks, decompress_chunks)
+        turns = transcripts_df(spark, 3, seed=7, mean_turns=20, slices=1)
+        chunks = compress_chunks(rollup_turns(turns, "1m"), "1m",
+                                 "turn_rate", chunk="1 day")
+        bad = chunks.withColumn(
+            "payload",
+            F.when(F.length("payload") > 0,
+                   F.expr("concat(substring(payload, 1, length(payload) - 1), "
+                          "X'FF')")).otherwise(F.col("payload")))
+        with pytest.raises(Exception, match="CRC"):
+            decompress_chunks(bad, "turn_rate").collect()
