@@ -226,18 +226,24 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
     lineage is truncated with localCheckpoint every few rounds so long
     chains don't accumulate plan depth.
     """
+    # Materialize the (symmetrized) edge set once — every round joins it,
+    # and without this the upstream pair generation (e.g. a MinHash-LSH
+    # stage) would re-execute per round AND per convergence check.
     sym = (edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
            .union(edges.select(F.col(id_b).alias("src"),
-                               F.col(id_a).alias("dst"))))
+                               F.col(id_a).alias("dst")))
+           .localCheckpoint(eager=True))
     labels = (sym.select(F.col("src").alias("id")).distinct()
-              .withColumn("comp", F.col("id")))
-    for it in range(max_iter):
+              .withColumn("comp", F.col("id"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iter):
         nbr = (sym.join(labels, sym["dst"] == labels["id"])
                .select(F.col("src").alias("id"), "comp"))
+        # eager per-round checkpoint: truncates the iterative lineage so
+        # the returned plan is one materialized table, not #rounds joins
         new = (labels.select("id", "comp").union(nbr)
-               .groupBy("id").agg(F.min("comp").alias("comp")))
-        if (it + 1) % 4 == 0:
-            new = new.localCheckpoint(eager=True)
+               .groupBy("id").agg(F.min("comp").alias("comp"))
+               .localCheckpoint(eager=True))
         changed = (labels.alias("o")
                    .join(new.alias("n"), "id")
                    .filter(F.col("o.comp") != F.col("n.comp")).count())
