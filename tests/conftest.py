@@ -14,6 +14,7 @@ def spark():
         "tests", cpus=4, shuffle_partitions=8,
         extra_conf={
             "spark.driver.memory": os.environ.get("TEST_DRIVER_MEMORY", "4g"),
+            "spark.driver.maxResultSize": "0",  # harness collects full results
             "spark.sql.execution.arrow.maxRecordsPerBatch": "4096",
         })
     yield s
