@@ -28,7 +28,7 @@ from .filters import gaussian, gaussian2, imfilter
 from .datasets import fakedata_gaussian
 from .gdtw import gdtw, LinearInterpolation
 from .dtw import dtw_cost_batch
-from .evaluate import dtw_dist
+from .evaluate import dtw_dist, DTW, SoftDTW, FastDTW, GDTW
 
 __all__ = [
     "SqEuclidean", "Euclidean", "Cityblock", "Chebyshev", "get_dist",
@@ -46,4 +46,5 @@ __all__ = [
     "gaussian", "gaussian2", "imfilter",
     "fakedata_gaussian",
     "gdtw", "LinearInterpolation", "dtw_cost_batch", "dtw_dist",
+    "DTW", "SoftDTW", "FastDTW", "GDTW",
 ]

@@ -15,7 +15,7 @@ from .dtw import dtw_cost
 from .dtwnn import dtwnn
 from .normalizers import znorm
 
-__all__ = ["dtw_dist"]
+__all__ = ["dtw_dist", "DTW", "SoftDTW", "FastDTW", "GDTW"]
 
 
 def _normalize(normalizer, x):
@@ -43,3 +43,67 @@ def dtw_dist(x, y, radius: int = 5, dist=None, transportcost: float = 1.0,
     nrm = normalizer if normalizer in ("znorm", "z", "ZNormalizer") else None
     return dtwnn(x, y, dist, radius, nrm, prune_endpoints=False,
                  transportcost=transportcost).cost
+
+
+class DTW:
+    """Callable distance object mirroring the reference's ``DTW`` type
+    (src/distance_interface.jl:17-26): ``DTW(radius=7)(a, b)``."""
+
+    def __init__(self, radius: int = 5, dist=None,
+                 transportcost: float = 1.0, normalizer=None):
+        self.radius = radius
+        self.dist = dist
+        self.transportcost = transportcost
+        self.normalizer = normalizer
+
+    def __call__(self, x, y) -> float:
+        return dtw_dist(x, y, radius=self.radius, dist=self.dist,
+                        transportcost=self.transportcost,
+                        normalizer=self.normalizer)
+
+
+class SoftDTW:
+    """``SoftDTW(γ)(a, b)`` (reference src/distance_interface.jl:36-44)."""
+
+    def __init__(self, gamma: float = 1.0, dist=None,
+                 transportcost: float = 1.0, radius=None):
+        self.gamma = gamma
+        self.dist = dist
+        self.transportcost = transportcost
+        self.radius = radius
+
+    def __call__(self, x, y) -> float:
+        from .softdtw import soft_dtw_cost
+        return soft_dtw_cost(np.asarray(x, dtype=np.float64),
+                             np.asarray(y, dtype=np.float64), self.dist,
+                             gamma=self.gamma,
+                             transportcost=self.transportcost,
+                             radius=self.radius)
+
+
+class FastDTW:
+    """``FastDTW(radius)(a, b)`` (reference src/distance_interface.jl:59-63)."""
+
+    def __init__(self, radius: int = 1, dist=None):
+        self.radius = radius
+        self.dist = dist
+
+    def __call__(self, x, y) -> float:
+        from .fastdtw import fastdtw
+        cost, _, _ = fastdtw(np.asarray(x, dtype=np.float64),
+                             np.asarray(y, dtype=np.float64),
+                             self.dist, self.radius)
+        return cost
+
+
+class GDTW:
+    """``GDTW()(a, b)`` (reference src/distance_interface.jl:46-51)."""
+
+    def __init__(self, **opts):
+        self.opts = opts
+
+    def __call__(self, x, y) -> float:
+        from .gdtw import gdtw
+        cost, _, _ = gdtw(np.asarray(x, dtype=np.float64),
+                          np.asarray(y, dtype=np.float64), **self.opts)
+        return cost

@@ -258,3 +258,34 @@ class TestAlignXcorr:
         from dynamicaxiswarping_jl_spark.kernels.align import align_signals
         with pytest.raises(ValueError):
             align_signals([np.zeros(5), np.ones(5)], method="nope")
+
+
+class TestDistanceObjects:
+    """Reference-API callables: DTW(radius=7)(a, b) etc.
+    (src/distance_interface.jl:17-63)."""
+
+    def test_dtw_object_symmetric_on_unequal_lengths(self):
+        # runtests.jl:509-510 — DTW(radius=7)(a,b) == DTW(radius=7)(b,a)
+        import numpy as np
+        from dynamicaxiswarping_jl_spark.kernels import DTW
+        rng = np.random.default_rng(3)
+        a = rng.normal(size=40)
+        b = rng.normal(size=55)
+        d = DTW(radius=7)
+        assert d(a, b) == pytest.approx(d(b, a), rel=1e-12)
+
+    def test_objects_match_functions(self):
+        import numpy as np
+        from dynamicaxiswarping_jl_spark.kernels import (
+            DTW, SoftDTW, FastDTW, GDTW, dtw_cost, soft_dtw_cost, fastdtw)
+        from dynamicaxiswarping_jl_spark.kernels.gdtw import gdtw
+        rng = np.random.default_rng(4)
+        a = rng.normal(size=50)
+        b = rng.normal(size=50)
+        assert DTW(radius=5)(a, b) == pytest.approx(
+            dtw_cost(a, b, None, 5), rel=1e-12)
+        assert SoftDTW(0.5)(a, b) == pytest.approx(
+            soft_dtw_cost(a, b, None, gamma=0.5), rel=1e-12)
+        assert FastDTW(4)(a, b) == pytest.approx(
+            fastdtw(a, b, None, 4)[0], rel=1e-12)
+        assert GDTW()(a, b) == pytest.approx(gdtw(a, b)[0], rel=1e-12)
