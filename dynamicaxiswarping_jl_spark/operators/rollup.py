@@ -107,10 +107,17 @@ def apply_retention(tier_df: DataFrame, keep_after, bucket_col: str = "bucket") 
     coarser tiers are never recomputed from expired finer data (cascade
     ran *before* expiry; manifests record the snapshot lineage).
 
-    Pure predicate → on Iceberg/parquet this prunes whole partitions
-    (bucket-date partitioning); no shuffle.
+    Pure predicate → on Iceberg/parquet this prunes whole partitions; no
+    shuffle. When the tier checkpoint is hive-partitioned by a ``day``
+    column (CheckpointManager ``partition_by=["day"]``), an equivalent
+    predicate on ``day`` is added so the scan's PartitionFilters prune
+    whole directories, not just row groups.
     """
-    return tier_df.filter(F.col(bucket_col) >= F.lit(keep_after).cast("timestamp"))
+    cutoff = F.lit(keep_after).cast("timestamp")
+    out = tier_df.filter(F.col(bucket_col) >= cutoff)
+    if "day" in tier_df.columns:
+        out = out.filter(F.col("day") >= F.to_date(cutoff))
+    return out
 
 
 def refresh_tier(catalog, table: str, delta_turns: DataFrame, tier: str,

@@ -54,9 +54,14 @@ class CheckpointManager:
     # -- the stage runner --------------------------------------------------
     def run_stage(self, stage: str, fn: Callable[[], DataFrame],
                   lineage: dict | None = None,
-                  metrics: dict | None = None) -> DataFrame:
+                  metrics: dict | None = None,
+                  partition_by: list | None = None) -> DataFrame:
         """Compute-or-resume: if a manifest for ``stage`` exists with the
-        same lineage digest, read the checkpoint instead of recomputing."""
+        same lineage digest, read the checkpoint instead of recomputing.
+
+        ``partition_by`` writes the checkpoint hive-partitioned (e.g.
+        tier tables by day) so downstream retention/time-range predicates
+        prune whole directories instead of scanning them."""
         data, mpath = self._paths(stage)
         lineage = lineage or {}
         ldigest = self._digest(lineage)
@@ -65,7 +70,10 @@ class CheckpointManager:
             return self.spark.read.parquet(data)
         t0 = time.time()
         df = fn()
-        df.write.mode("overwrite").parquet(data)
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(data)
         out = self.spark.read.parquet(data)
         per_part = (
             out.groupBy(F.spark_partition_id().alias("partition_id"))

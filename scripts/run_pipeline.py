@@ -85,9 +85,12 @@ def main(argv=None):
     t1m_gf = cm.run_stage(
         "tier_1m_gapfilled", lambda: gapfill(t1m, 60, policy="zero"),
         lineage={**lineage, "stage": "gf"})
-    t1h = cm.run_stage("tier_1h", lambda: gapfill(cascade(t1m, "1h"), 3600,
-                                                  policy="zero"),
-                       lineage={**lineage, "stage": "tier_1h"})
+    t1h = cm.run_stage("tier_1h",
+                       lambda: gapfill(cascade(t1m, "1h"), 3600,
+                                       policy="zero")
+                       .withColumn("day", F.to_date("bucket")),
+                       lineage={**lineage, "stage": "tier_1h"},
+                       partition_by=["day"])
     t1d = cm.run_stage("tier_1d", lambda: gapfill(cascade(t1h, "1d"), 86400,
                                                   policy="zero"),
                        lineage={**lineage, "stage": "tier_1d"})
