@@ -26,7 +26,8 @@ from .interp import linear_interp_fill
 from .align import align_signals
 from .filters import gaussian, gaussian2, imfilter
 from .datasets import fakedata_gaussian
-from .gdtw import gdtw, LinearInterpolation
+from .gdtw import (gdtw, LinearInterpolation, prepare_gdtw,
+                   iterative_gdtw, gdtw_warpings)
 from .dtw import dtw_cost_batch
 from .evaluate import dtw_dist, DTW, SoftDTW, FastDTW, GDTW
 
@@ -45,6 +46,7 @@ __all__ = [
     "linear_interp_fill", "align_signals",
     "gaussian", "gaussian2", "imfilter",
     "fakedata_gaussian",
-    "gdtw", "LinearInterpolation", "dtw_cost_batch", "dtw_dist",
+    "gdtw", "prepare_gdtw", "iterative_gdtw", "gdtw_warpings",
+    "LinearInterpolation", "dtw_cost_batch", "dtw_dist",
     "DTW", "SoftDTW", "FastDTW", "GDTW",
 ]

@@ -21,7 +21,8 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["LinearInterpolation", "gdtw"]
+__all__ = ["LinearInterpolation", "gdtw", "prepare_gdtw",
+           "iterative_gdtw", "gdtw_warpings"]
 
 _INF = np.inf
 
@@ -58,16 +59,15 @@ def _initial_bounds(t, smin, smax, symmetric):
     return lower, upper
 
 
-def gdtw(x, y, *, symmetric: bool = True, M: int = 100, N: int = 100,
-         t=None, lambda_cum: float = 0.01, lambda_inst: float = 0.01,
-         eta: float = 1.0 / 8, max_iters: int = 3, smin: float = 0.001,
-         smax: float = 5.0, metric=None):
-    """Returns ``(cost, phi, psi)`` where phi/psi are LinearInterpolations
-    of the warp on the time grid (reference src/gdtw.jl:147-151).
-
-    ``x``/``y`` may be arrays (wrapped in LinearInterpolation) or callables
-    mapping s∈[0,1] → value (vectorized over NumPy arrays).
-    """
+def prepare_gdtw(x, y, *, symmetric: bool = True, M: int = 100, N: int = 100,
+                 t=None, lambda_cum: float = 0.01, lambda_inst: float = 0.01,
+                 eta: float = 1.0 / 8, max_iters: int = 3,
+                 smin: float = 0.001, smax: float = 5.0,
+                 metric=None) -> dict:
+    """Build the GDTW workspace (reference ``prepare_gdtw``,
+    src/gdtw.jl:159-231): interpolated signals, time grid, feasibility
+    bounds, refinement state. Returned dict is consumed/updated by
+    ``iterative_gdtw`` and read by ``gdtw_warpings``."""
     if not callable(x):
         x = LinearInterpolation(x)
     if not callable(y):
@@ -77,27 +77,63 @@ def gdtw(x, y, *, symmetric: bool = True, M: int = 100, N: int = 100,
     if M <= 1:
         raise ValueError("M must be > 1")
     t = np.linspace(0.0, 1.0, N) if t is None else np.asarray(t, dtype=np.float64)
-    N = len(t)
-    dt = np.diff(t)
-
     l0, u0 = _initial_bounds(t, smin, smax, symmetric)
-    l, u = l0.copy(), u0.copy()
+    return {
+        "x": x, "y": y, "metric": metric, "t": t, "dt": np.diff(t),
+        "symmetric": symmetric, "M": M,
+        "lambda_cum": lambda_cum, "lambda_inst": lambda_inst,
+        "eta": eta, "max_iters": max_iters, "smin": smin, "smax": smax,
+        "l0": l0, "u0": u0, "l": l0.copy(), "u": u0.copy(),
+        "warp": np.zeros(len(t)), "cost": _INF, "iters_done": 0,
+    }
+
+
+def iterative_gdtw(data: dict, max_iters: int | None = None) -> float:
+    """Run refinement rounds on a prepared workspace (reference
+    ``iterative_gdtw!``, src/gdtw.jl:255-295): each round solves the
+    discretized shortest path on the current τ grid, then η-shrinks the
+    bounds around the found warp. Callable repeatedly to refine further."""
+    rounds = data["max_iters"] if max_iters is None else max_iters
+    M = data["M"]
     j_frac = (np.arange(M) / (M - 1))[:, None]  # (M, 1)
-    warp = np.zeros(N)
-    cost = _INF
-
-    for _ in range(max_iters):
+    for _ in range(rounds):
+        l, u = data["l"], data["u"]
         tau = l[None, :] + j_frac * (u[None, :] - l[None, :])  # (M, N)
-        cost, warp = _single_gdtw(x, y, tau, t, dt, symmetric,
-                                  lambda_cum, lambda_inst, smin, smax, metric)
+        cost, warp = _single_gdtw(
+            data["x"], data["y"], tau, data["t"], data["dt"],
+            data["symmetric"], data["lambda_cum"], data["lambda_inst"],
+            data["smin"], data["smax"], data["metric"])
+        data["cost"], data["warp"] = cost, warp
         # η-shrink bounds around the found warp (src/gdtw.jl:30-37)
-        delta = eta * (u - l) / 2
-        l = np.maximum(warp - delta, l0)
-        u = np.minimum(warp + delta, u0)
+        delta = data["eta"] * (u - l) / 2
+        data["l"] = np.maximum(warp - delta, data["l0"])
+        data["u"] = np.minimum(warp + delta, data["u0"])
+        data["iters_done"] += 1
+    return float(data["cost"])
 
+
+def gdtw_warpings(data: dict):
+    """(phi, psi) LinearInterpolations from the current warp (reference
+    ``gdtw_warpings``, src/gdtw.jl:304-313)."""
+    t, warp = data["t"], data["warp"]
     phi = LinearInterpolation(warp, t)
-    psi = LinearInterpolation(2 * t - warp, t) if symmetric else LinearInterpolation(t, t)
-    return float(cost), phi, psi
+    psi = (LinearInterpolation(2 * t - warp, t) if data["symmetric"]
+           else LinearInterpolation(t, t))
+    return phi, psi
+
+
+def gdtw(x, y, **opts):
+    """Returns ``(cost, phi, psi)`` where phi/psi are LinearInterpolations
+    of the warp on the time grid (reference src/gdtw.jl:147-151) —
+    prepare → iterate → warpings in one call.
+
+    ``x``/``y`` may be arrays (wrapped in LinearInterpolation) or callables
+    mapping s∈[0,1] → value (vectorized over NumPy arrays).
+    """
+    data = prepare_gdtw(x, y, **opts)
+    cost = iterative_gdtw(data)
+    phi, psi = gdtw_warpings(data)
+    return cost, phi, psi
 
 
 def _single_gdtw(x, y, tau, t, dt, symmetric, lam_cum, lam_inst,

@@ -78,3 +78,33 @@ class TestGDTW:
         assert li(0.75) == 4.0
         assert li(1.0) == 5.0
         assert li(-0.1) == 0.0 and li(1.1) == 0.0
+
+
+class TestStepwiseApi:
+    def test_prepare_iterate_warpings_equals_gdtw(self):
+        import numpy as np
+        from dynamicaxiswarping_jl_spark.kernels import (
+            gdtw, prepare_gdtw, iterative_gdtw, gdtw_warpings)
+        rng = np.random.default_rng(0)
+        t = np.linspace(0, 1, 60)
+        a = np.sin(2 * np.pi * t) + 0.05 * rng.normal(size=60)
+        b = np.sin(2 * np.pi * (t ** 1.2))
+        c1, phi1, psi1 = gdtw(a, b)
+        data = prepare_gdtw(a, b)
+        c2 = iterative_gdtw(data)
+        phi2, psi2 = gdtw_warpings(data)
+        assert c2 == pytest.approx(c1, rel=1e-12)
+        s = np.linspace(0, 1, 200)
+        np.testing.assert_allclose(phi2(s), phi1(s))
+        np.testing.assert_allclose(psi2(s), psi1(s))
+
+    def test_extra_iterations_refine_monotonically(self):
+        import numpy as np
+        from dynamicaxiswarping_jl_spark.kernels import (
+            prepare_gdtw, iterative_gdtw)
+        t = np.linspace(0, 1, 50)
+        a = np.sin(2 * np.pi * t)
+        b = np.sin(2 * np.pi * (t ** 1.3))
+        data = prepare_gdtw(a, b, max_iters=1)
+        costs = [iterative_gdtw(data, 1) for _ in range(4)]
+        assert all(c2 <= c1 + 1e-12 for c1, c2 in zip(costs, costs[1:]))
