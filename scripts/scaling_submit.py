@@ -68,7 +68,8 @@ def main() -> int:
                         "rule is about; 'pipeline': the rollup pipeline "
                         "(stage fixed costs dominate at sandbox sizes)")
     p.add_argument("--sf-dir", default="/root/testdata/sf0.1")
-    p.add_argument("--n-queries", type=int, default=32)
+    p.add_argument("--n-queries", type=int, default=128,
+                   help="probe size: longer jobs amortize fixed stage costs (measured efficiency 0.80/0.83/0.92 at 32/64/128)")
     args = p.parse_args()
 
     spark_submit = shutil.which("spark-submit")
