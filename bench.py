@@ -57,15 +57,8 @@ def run_headline(spark: SparkSession, sf_dir: str):
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     for tbl in ("events", "lineitem", "documents", "embeddings"):
         spark.read.parquet(os.path.join(sf_dir, f"{tbl}.parquet")).count()
-    # warm the Python UDF workers on every core (daemon spawn + numpy/kernel
-    # imports cost ~10s on 32 cores and would otherwise land entirely on the
-    # first pandas-UDF query in the list)
-    def _warm(batches):
-        from dynamicaxiswarping_jl_spark import kernels  # noqa: F401
-        for pdf in batches:
-            yield pdf
-    ncores = spark.sparkContext.defaultParallelism
-    spark.range(0, ncores * 2, 1, ncores * 2).mapInPandas(_warm, "id long").count()
+    from dynamicaxiswarping_jl_spark.plans import warm_python_workers
+    warm_python_workers(spark)
     headline = [
         "rollup_1m", "rollup_1h_cascade", "gapfill_zero", "sessionize",
         "topk_minutes", "tpch_q1", "nation_revenue", "dedup_exact",
@@ -190,13 +183,10 @@ def run_scaling(sf_dir: str, low: int = 8, high: int = 32, n_queries: int = 96):
                  if len(row["points"]) >= 28],
                 "query_id string, q array<double>")
             nq = queries.count()
-            # warm python workers (daemon spawn + kernel imports) with a
-            # pass over the series on every core
-            def _warm(batches):
-                from dynamicaxiswarping_jl_spark import kernels  # noqa: F401
-                for pdf in batches:
-                    yield pdf
-            series.mapInPandas(_warm, series.schema).count()
+            # warm python workers (daemon spawn + kernel imports)
+            from dynamicaxiswarping_jl_spark.plans import warm_python_workers
+            warm_python_workers(spark)
+            series.count()
             t0 = time.time()
             dtwnn_search(queries, series, radius=5).write.format(
                 "noop").mode("overwrite").save()

@@ -47,6 +47,10 @@ def align_signals(signals, master: int = None, output: str = "indices",
             d.append(0)
             continue
         if method in ("xcorr", "crosscorr", "dsp"):
+            if s.ndim != 1 or sigs[master].ndim != 1:
+                raise ValueError(
+                    "method='xcorr' supports 1-D signals only; use "
+                    "method='dtw' for multichannel alignment")
             d.append(_finddelay(sigs[master], s))
         elif method in ("dtw", "DTW"):
             _, i1, i2 = dtw(s, sigs[master], dist, postprocess=postprocess)

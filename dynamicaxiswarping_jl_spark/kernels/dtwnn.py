@@ -366,9 +366,12 @@ def dtwnn(q, y, dist=None, rad: int = 5, normalizer: Optional[str] = None, *,
                            best_so_far=_INF if saveall else bsf,
                            cumulative_bound=zeros_cb)
         dists[it] = newdist
+        # an early-abandoned dtw_cost returns a PARTIAL sum (a lower
+        # bound >= bsf, reference src/dtw.jl:227-229) — only values that
+        # beat the running threshold are guaranteed exact, so only those
+        # may become the reported best (src/dtwnn.jl:231-234 semantics)
         if newdist < best_so_far:
             best_so_far = newdist
-        if newdist < best:
             best = newdist
             best_loc = it + 1
     return DTWSearchResult(float(best), best_loc, 0, 0, dists)

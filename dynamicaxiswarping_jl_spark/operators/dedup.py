@@ -215,7 +215,7 @@ def ngram_jaccard_pairs(docs: DataFrame, candidate_pairs: DataFrame,
 
 
 def connected_components(edges: DataFrame, id_a: str = "id_a",
-                         id_b: str = "id_b", max_iter: int = 20) -> DataFrame:
+                         id_b: str = "id_b", max_iter: int = 50) -> DataFrame:
     """Connected components of an undirected pair graph via min-label
     propagation: every vertex repeatedly adopts the smallest label among
     itself and its neighbors until a fixpoint. Converges in O(diameter)
@@ -249,8 +249,11 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
                    .filter(F.col("o.comp") != F.col("n.comp")).count())
         labels = new
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        f"({changed} labels still changing) — component diameter exceeds "
+        f"max_iter; raise max_iter rather than using partial labels")
 
 
 def near_dedup_docs(docs: DataFrame, text_col: str = "text",

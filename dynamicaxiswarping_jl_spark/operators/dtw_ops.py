@@ -279,7 +279,12 @@ def dtwnn_search(queries: DataFrame, series: DataFrame, radius: int = 5,
     Arrow boundary exactly once and every task runs all queries against its
     series — no crossJoin, no 8x data duplication. Global argmin per query
     via min_by — the distributed Base.findmin (src/dtwnn.jl:41-50).
-    Prune counters are summed as global metrics columns.
+
+    Prune counters are summed as global metrics columns. NOTE: cost/loc
+    are exact and deterministic, but the counters depend on which series
+    each task saw first (the best-so-far seeding order), i.e. on task
+    scheduling — treat them as observability metrics, not golden values
+    (same caveat as the reference's scan-order-dependent prunestats).
     """
     qlist = [(r["query_id"], np.asarray(r["q"], dtype=np.float64))
              for r in queries.select("query_id", "q").collect()]
@@ -395,8 +400,11 @@ def knn_topk(series: DataFrame, k: int = 4, radius: int = 5,
     eq = pairs.filter(F.size("a") == F.size("b")).withColumn("_lbe", lbe)
     neq = pairs.filter(F.size("a") != F.size("b"))  # no LB: always exact
     cand = topk_per_key(eq, "id_a", "_lbe", k * oversample).drop("rk")
+    # localCheckpoint (not cache): exact1 feeds both the τ bound and the
+    # final union; eager materialization avoids recompute without pinning
+    # an entry in the session cache registry for the session's lifetime
     exact1 = _spread(cand.select("id_a", "a", "id_b", "b")).mapInPandas(
-        run, schema).cache()
+        run, schema).localCheckpoint(eager=True)
     tau = (topk_per_key(exact1, "id_a", "cost", k)
            .groupBy("id_a").agg(F.max("cost").alias("_tau")))
     rest = (eq.join(cand.select("id_a", "id_b").withColumn("_c", F.lit(1)),

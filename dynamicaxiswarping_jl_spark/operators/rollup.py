@@ -115,7 +115,9 @@ def apply_retention(tier_df: DataFrame, keep_after, bucket_col: str = "bucket") 
     """
     cutoff = F.lit(keep_after).cast("timestamp")
     out = tier_df.filter(F.col(bucket_col) >= cutoff)
-    if "day" in tier_df.columns:
+    # only a DATE-typed 'day' column is the checkpoint partition key; an
+    # unrelated column that happens to share the name must not be filtered
+    if dict(tier_df.dtypes).get("day") == "date":
         out = out.filter(F.col("day") >= F.to_date(cutoff))
     return out
 

@@ -87,7 +87,7 @@ def _sign_lsh_signatures(df: DataFrame, vec_col: str, n_planes: int,
 
 
 def lsh_cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
-                    n_planes: int = 12, n_tables: int = 4, dim: int = None,
+                    n_planes: int = 12, n_tables: int = 4,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     qid_col: str = "query_id", qvec_col: str = "q",
                     seed: int = 42) -> DataFrame:
@@ -189,7 +189,10 @@ def ivf_cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
         order = np.argsort(-(C @ qv))[:nprobe]
         probe_rows += [(r[qid_col], int(c)) for c in order]
     probes = spark.createDataFrame(
-        probe_rows, f"{qid_col} string, centroid int")
+        probe_rows,
+        T.StructType([T.StructField(qid_col,
+                                    queries.schema[qid_col].dataType),
+                      T.StructField("centroid", T.IntegerType())]))
 
     cands = (F.broadcast(probes)
              .join(e_assign.withColumnRenamed("_id", id_col), "centroid")

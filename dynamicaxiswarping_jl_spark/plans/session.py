@@ -19,7 +19,7 @@ import os
 
 from pyspark.sql import SparkSession
 
-__all__ = ["get_spark"]
+__all__ = ["get_spark", "warm_python_workers"]
 
 
 def get_spark(app: str = "dynamicaxiswarping_jl_spark",
@@ -47,3 +47,16 @@ def get_spark(app: str = "dynamicaxiswarping_jl_spark",
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
+
+
+def warm_python_workers(spark: SparkSession) -> None:
+    """Spawn the Python UDF workers on every core and import the kernel
+    package in each (daemon spawn + numpy/kernel imports cost ~10-15 s on
+    32 cores and would otherwise land on the first pandas-UDF stage).
+    Call before timing anything."""
+    def _warm(batches):
+        from dynamicaxiswarping_jl_spark import kernels  # noqa: F401
+        for pdf in batches:
+            yield pdf
+    ncores = spark.sparkContext.defaultParallelism
+    spark.range(0, ncores * 2, 1, ncores * 2).mapInPandas(_warm, "id long").count()

@@ -105,13 +105,23 @@ def stateful_sessionize(stream: DataFrame, gap_minutes: int = 30,
             ts_us = (pd.to_datetime(pdf[ts_col]).astype("int64")
                      // 1000).sort_values().to_numpy()
             for t in ts_us:
+                t = int(t)
                 if start_us is None:
-                    start_us, last_us, n = int(t), int(t), 1
+                    start_us, last_us, n = t, t, 1
                 elif t - last_us > gap_us:
                     closed.append((start_us, last_us, n))
-                    start_us, last_us, n = int(t), int(t), 1
+                    start_us, last_us, n = t, t, 1
+                elif t < start_us - gap_us:
+                    # older than the open session's reach: its session was
+                    # already closed in an earlier batch — emit it alone
+                    # rather than corrupting the open session's bounds
+                    closed.append((t, t, 1))
                 else:
-                    last_us, n = int(t), n + 1
+                    # in-order, or late-but-within-gap (watermark allows
+                    # cross-batch disorder): widen, never move backwards
+                    start_us = min(start_us, t)
+                    last_us = max(last_us, t)
+                    n += 1
         state.update((start_us, last_us, n))
         # close when the watermark passes last activity + gap
         state.setTimeoutTimestamp(last_us // 1000 + gap_us // 1000)

@@ -62,11 +62,8 @@ def main(argv=None):
         "query_id string, q array<double>")
     nq = queries.count()
 
-    def _warm(batches):
-        from dynamicaxiswarping_jl_spark import kernels  # noqa: F401
-        for pdf in batches:
-            yield pdf
-    series.mapInPandas(_warm, series.schema).count()
+    from dynamicaxiswarping_jl_spark.plans import warm_python_workers
+    warm_python_workers(spark)
 
     t0 = time.time()
     (dtwnn_search(queries, series, radius=args.radius)

@@ -64,12 +64,8 @@ def main(argv=None):
 
     # warm python workers so the first kernel stage doesn't pay daemon
     # spawn; timing starts after (measures the pipeline, not JVM startup)
-    def _warm(batches):
-        from dynamicaxiswarping_jl_spark import kernels  # noqa: F401
-        for pdf in batches:
-            yield pdf
-    ncores = spark.sparkContext.defaultParallelism
-    spark.range(0, ncores * 2, 1, ncores * 2).mapInPandas(_warm, "id long").count()
+    from dynamicaxiswarping_jl_spark.plans import warm_python_workers
+    warm_python_workers(spark)
     t_start = time.time()
 
     cm = CheckpointManager(spark, args.workdir)

@@ -289,3 +289,28 @@ if HAVE_HYP:
                 for i in range(n - mm + 1)])
             assert res.cost == pytest.approx(brute.min(), rel=1e-10)
             assert res.loc == int(brute.argmin()) + 1
+
+
+class TestFallbackSeedContract:
+    def test_multichannel_seeded_below_all_returns_inf(self):
+        """Fallback (multichannel) path: a seed tighter than every window
+        must yield Inf — an early-abandoned partial DP sum (a lower
+        bound, not a window's true cost) must never be reported."""
+        import numpy as np
+        from dynamicaxiswarping_jl_spark.kernels import dtwnn
+        rng = np.random.default_rng(21)
+        y = rng.normal(size=(2, 300)) + 50.0
+        q = np.zeros((2, 40))
+        res = dtwnn(q, y, "sqeuclidean", 5, initial_bsf=1e-9)
+        assert np.isinf(res.cost)
+
+    def test_multichannel_loose_seed_matches_cold(self):
+        import numpy as np
+        from dynamicaxiswarping_jl_spark.kernels import dtwnn
+        rng = np.random.default_rng(22)
+        y = rng.normal(size=(2, 200))
+        q = y[:, 60:100].copy()
+        cold = dtwnn(q, y, "sqeuclidean", 5)
+        seeded = dtwnn(q, y, "sqeuclidean", 5,
+                       initial_bsf=cold.cost + 100.0)
+        assert seeded.cost == cold.cost and seeded.loc == cold.loc

@@ -122,3 +122,48 @@ class TestStatefulSessionize:
         got = {(r["session_start"], r["session_end"], r["n_turns"])
                for r in spark.read.parquet(out).collect()}
         assert (t0, t0 + dt.timedelta(minutes=1), 2) in got
+
+
+class TestLateEventsWithinWatermark:
+    def test_late_event_does_not_shrink_session(self, spark, tmp_path):
+        """A cross-batch late event (within watermark) that falls INSIDE
+        the open session must widen it, not move session_end backwards or
+        fire the timeout early."""
+        import datetime as dt
+        from dynamicaxiswarping_jl_spark.streaming import stateful_sessionize
+
+        src = str(tmp_path / "src")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+        schema = "conv_id string, ts timestamp"
+
+        def run_once():
+            s = spark.readStream.schema(schema).parquet(src)
+            q = (stateful_sessionize(s, gap_minutes=30, watermark="20 minutes")
+                 .writeStream.outputMode("append")
+                 .option("checkpointLocation", ckpt)
+                 .format("parquet").option("path", out)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+
+        spark.createDataFrame(
+            [("c1", t0), ("c1", t0 + dt.timedelta(minutes=10))],
+            schema).coalesce(1).write.mode("overwrite").parquet(src)
+        run_once()
+        # batch 2: a LATE event at +5min (within watermark + session)
+        spark.createDataFrame(
+            [("c1", t0 + dt.timedelta(minutes=5))],
+            schema).coalesce(1).write.mode("append").parquet(src)
+        run_once()
+        # batch 3: far-future event closes the session via watermark
+        spark.createDataFrame(
+            [("c1", t0 + dt.timedelta(hours=3))],
+            schema).coalesce(1).write.mode("append").parquet(src)
+        run_once()
+        got = spark.read.parquet(out).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert r["session_start"] == t0
+        assert r["session_end"] == t0 + dt.timedelta(minutes=10)  # NOT +5
+        assert r["n_turns"] == 3
