@@ -344,6 +344,14 @@ def q_simhash(spark, sf_dir):
     return simhash_signatures(_t(spark, sf_dir, "documents"))
 
 
+def q_simhash_neardup(spark, sf_dir):
+    """SimHash near-dup pairs with exact recall for hamming <= 7 via the
+    pigeonhole band join (JVM-only past the signature UDF)."""
+    from dynamicaxiswarping_jl_spark.operators import simhash_neardup
+    return simhash_neardup(_t(spark, sf_dir, "documents"),
+                           max_hamming=7, n_bands=8)
+
+
 def _series_from_events(spark, sf_dir):
     ev = (_t(spark, sf_dir, "events")
           .select(F.col("user_id").cast("string").alias("conv_id"), "ts",
@@ -571,6 +579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dbaclust_assign": q_dbaclust_assign,
         "top_customer_revenue": q_top_customer_revenue,
         "neardup_keep": q_neardup_keep,
+        "simhash_neardup": q_simhash_neardup,
     }
 
 

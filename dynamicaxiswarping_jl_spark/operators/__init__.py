@@ -9,7 +9,7 @@ from .dtw_ops import (dtw_pairs, drift_scores, dtwnn_search, knn_topk,
 from .dba_ops import dba_per_group, dba_distributed, dbaclust_distributed
 from .dedup import (exact_dedup, minhash_dedup, simhash_signatures,
                     ngram_jaccard_pairs, embedding_neardup,
-                    connected_components, near_dedup_docs)
+                    connected_components, near_dedup_docs, simhash_neardup)
 from .similarity import cosine_topk, lsh_cosine_topk, ivf_cosine_topk
 from .text import token_stats, quality_score, language_id, fingerprint
 from .topk import topk_per_key
@@ -25,6 +25,7 @@ __all__ = [
     "dba_per_group", "dba_distributed", "dbaclust_distributed",
     "exact_dedup", "minhash_dedup", "simhash_signatures", "ngram_jaccard_pairs",
     "embedding_neardup", "connected_components", "near_dedup_docs",
+    "simhash_neardup",
     "cosine_topk", "lsh_cosine_topk", "ivf_cosine_topk",
     "token_stats", "quality_score", "language_id", "fingerprint",
     "topk_per_key",

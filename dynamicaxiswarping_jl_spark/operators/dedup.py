@@ -27,7 +27,7 @@ from pyspark.sql import types as T
 
 __all__ = ["exact_dedup", "minhash_dedup", "minhash_signatures",
            "simhash_signatures", "ngram_jaccard_pairs", "embedding_neardup",
-           "connected_components", "near_dedup_docs"]
+           "connected_components", "near_dedup_docs", "simhash_neardup"]
 
 _MERSENNE = (1 << 61) - 1
 
@@ -274,3 +274,43 @@ def near_dedup_docs(docs: DataFrame, text_col: str = "text",
            .select(id_col,
                    F.coalesce("comp", F.col(id_col)).alias("keep_id")))
     return out.withColumn("is_kept", F.col(id_col) == F.col("keep_id"))
+
+
+def simhash_neardup(docs: DataFrame, max_hamming: int = 3,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    n_bands: int = 4) -> DataFrame:
+    """SimHash near-duplicate pairs: (id_a, id_b, hamming) with
+    id_a < id_b and hamming(sig_a, sig_b) <= max_hamming.
+
+    Candidate generation is a pigeonhole band join on the 64-bit
+    signature split into ``n_bands`` equal bands: two signatures within
+    hamming distance d share at least one identical band whenever
+    d < n_bands, so recall is EXACT for ``max_hamming <= n_bands - 1``
+    (the default 3 < 4). Everything past the signature UDF is JVM-side:
+    band extraction (shift/mask), bucket self-join, ``bit_count(xor)``
+    verify — no Python, no all-pairs.
+    """
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"exact recall needs max_hamming <= n_bands - 1 "
+            f"({max_hamming} > {n_bands - 1}); raise n_bands")
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    sigs = simhash_signatures(docs, text_col=text_col, id_col=id_col)
+    banded = sigs.select(
+        id_col, "simhash",
+        F.posexplode(F.expr(
+            f"transform(sequence(0, {n_bands - 1}), "
+            f"b -> shiftright(simhash, b * {width}) & {mask})"
+        )).alias("band", "key"))
+    left = banded.select(F.col(id_col).alias("id_a"),
+                         F.col("simhash").alias("sig_a"), "band", "key")
+    right = banded.select(F.col(id_col).alias("id_b"),
+                          F.col("simhash").alias("sig_b"), "band", "key")
+    cands = (left.join(right, ["band", "key"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", "sig_a", "sig_b").distinct())
+    ham = F.expr("bit_count(sig_a ^ sig_b)")
+    return (cands.withColumn("hamming", ham)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))

@@ -270,3 +270,48 @@ class TestNearDedupComponents:
         assert out[2] == (1, False) and out[3] == (1, False)
         assert out[4] == (4, True) and out[5] == (5, True)
         assert sum(kept for _, kept in out.values()) == 3
+
+
+class TestSimhashNearDup:
+    def test_planted_near_dup_found(self, spark):
+        from dynamicaxiswarping_jl_spark.operators import simhash_neardup
+        body = " ".join(f"tok{i}" for i in range(120))
+        rows = [(1, body), (2, body + " tail"), (3, "unrelated words only zzz")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {(r.id_a, r.id_b): r.hamming
+               for r in simhash_neardup(df, max_hamming=8,
+                                        n_bands=16).collect()}
+        assert (1, 2) in got
+        assert (1, 3) not in got and (2, 3) not in got
+
+    def test_exact_recall_guarantee_vs_bruteforce(self, spark):
+        """For max_hamming <= n_bands-1, the band join must find EVERY
+        pair the brute-force hamming scan finds."""
+        import numpy as np
+        from dynamicaxiswarping_jl_spark.operators import simhash_neardup
+        from dynamicaxiswarping_jl_spark.operators.dedup import (
+            simhash_signatures)
+        rng = np.random.default_rng(9)
+        # synthetic docs with word-level perturbations → varied hamming
+        base = [f"w{i}" for i in range(60)]
+        rows = []
+        for d in range(30):
+            words = list(base)
+            for _ in range(rng.integers(0, 6)):
+                words[rng.integers(0, 60)] = f"x{rng.integers(0, 9)}"
+            rows.append((d, " ".join(words)))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        sig = {r.doc_id: r.simhash & (2**64 - 1)
+               for r in simhash_signatures(df).collect()}
+        want = {(a, b) for a in sig for b in sig if a < b
+                and bin(sig[a] ^ sig[b]).count("1") <= 3}
+        got = {(r.id_a, r.id_b)
+               for r in simhash_neardup(df, max_hamming=3).collect()}
+        assert got == want
+
+    def test_recall_bound_enforced(self, spark):
+        import pytest as _pytest
+        from dynamicaxiswarping_jl_spark.operators import simhash_neardup
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with _pytest.raises(ValueError, match="n_bands"):
+            simhash_neardup(df, max_hamming=4, n_bands=4)
