@@ -344,6 +344,16 @@ def q_simhash(spark, sf_dir):
     return simhash_signatures(_t(spark, sf_dir, "documents"))
 
 
+def q_embedding_neardup_lsh(spark, sf_dir):
+    """Scale path of embedding near-dup: sign-LSH candidate generation +
+    exact rerank (recall < 1 by construction — rows-only check; the
+    exact-mode query is the DuckDB-oracled baseline)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    nd = embedding_neardup(emb, threshold=0.4, mode="lsh",
+                           n_planes=4, n_tables=16)
+    return nd.select("id_a", "id_b", _r("sim", 4).alias("sim"))
+
+
 def q_simhash_neardup(spark, sf_dir):
     """SimHash near-dup pairs with exact recall for hamming <= 7 via the
     pigeonhole band join (JVM-only past the signature UDF)."""
@@ -580,6 +590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customer_revenue": q_top_customer_revenue,
         "neardup_keep": q_neardup_keep,
         "simhash_neardup": q_simhash_neardup,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
     }
 
 
