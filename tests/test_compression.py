@@ -105,3 +105,20 @@ class TestChunkIntegrity:
                           "X'FF')")).otherwise(F.col("payload")))
         with pytest.raises(Exception, match="CRC"):
             decompress_chunks(bad, "turn_rate").collect()
+
+
+class TestSpecialFloats:
+    def test_nan_inf_negzero_roundtrip_bit_exact(self):
+        """XOR packing is bit-level, so NaN/±Inf/-0.0 must round-trip
+        with their exact bit patterns (hypothesis excludes NaN because
+        NaN != NaN — this pins the special values explicitly)."""
+        import numpy as np
+        from dynamicaxiswarping_jl_spark.operators.compression import (
+            gorilla_encode, gorilla_decode)
+        ts = np.arange(8, dtype=np.int64) * 60
+        v = np.array([1.5, np.nan, np.inf, -np.inf, -0.0, 0.0,
+                      np.finfo(np.float64).tiny, 3.25])
+        n, t0, v0, payload = gorilla_encode(ts, v)
+        ts2, v2 = gorilla_decode(n, t0, v0, payload)
+        assert (ts == ts2).all()
+        assert (v.view(np.uint64) == v2.view(np.uint64)).all()
