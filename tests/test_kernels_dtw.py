@@ -289,3 +289,42 @@ class TestDistanceObjects:
         assert FastDTW(4)(a, b) == pytest.approx(
             fastdtw(a, b, None, 4)[0], rel=1e-12)
         assert GDTW()(a, b) == pytest.approx(gdtw(a, b)[0], rel=1e-12)
+
+
+class TestApiSurface:
+    def test_reference_export_parity(self):
+        """Every export of the reference module
+        (src/DynamicAxisWarping.jl:17-47) has a package-level counterpart
+        — guards the API surface against accidental regressions."""
+        import dynamicaxiswarping_jl_spark.kernels as K
+        # reference export → our name (same unless noted)
+        names = [
+            "dtw", "dtw_cost", "soft_dtw_cost", "DTW", "SoftDTW", "GDTW",
+            "FastDTW", "dba", "dbaclust", "dtw_cost_matrix",
+            "soft_dtw_cost_matrix", "DBAResult", "fastdtw", "radiuslimits",
+            "align_signals", "dtwnn", "DTWSearchResult", "sparse_distmat",
+            "gdtw", "prepare_gdtw", "iterative_gdtw", "gdtw_warpings",
+            "LinearInterpolation",
+            # normalizer trio (ZNormalizer/DiagonalZNormalizer/normalize)
+            "znorm", "diagonal_znorm", "norm_normalize",
+        ]
+        missing = [n for n in names if not hasattr(K, n)]
+        assert not missing, f"missing package exports: {missing}"
+
+    def test_operator_surface(self):
+        import dynamicaxiswarping_jl_spark.operators as O
+        names = [
+            "rollup_turns", "cascade", "gapfill", "assemble_series",
+            "apply_retention", "refresh_tier", "compress_chunks",
+            "decompress_chunks", "dtw_pairs", "drift_scores",
+            "dtwnn_search", "knn_topk", "distance_profile_op",
+            "matrix_profile_op", "align_to_master", "dba_per_group",
+            "dbaclust_distributed", "exact_dedup", "minhash_dedup",
+            "simhash_signatures", "simhash_neardup", "ngram_jaccard_pairs",
+            "embedding_neardup", "connected_components", "near_dedup_docs",
+            "cosine_topk", "lsh_cosine_topk", "ivf_cosine_topk",
+            "token_stats", "quality_score", "language_id", "fingerprint",
+            "attach_media_metadata", "image_features", "frame_sample",
+        ]
+        missing = [n for n in names if not hasattr(O, n)]
+        assert not missing, f"missing operator exports: {missing}"
