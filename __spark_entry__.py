@@ -413,10 +413,13 @@ def q_dba_reps(spark, sf_dir):
         F.col("vec_id").cast("string").alias("conv_id"),
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("points"))
     reps = dba_per_group(series.filter(F.col("conv_id").cast("long") < 200), "group_id")
-    return reps.select(
-        "group_id", _r("cost", 4).alias("cost"), "converged",
-        "iterations", "n_members",
-        F.expr("transform(center, x -> round(x, 4))").alias("center"))
+    # scalar-only output (driver canon can't hash array columns): posexplode
+    # the barycenter to one row per (group_id, idx) with scalar v.
+    return (reps.select(
+                "group_id", _r("cost", 4).alias("cost"), "converged",
+                "iterations", "n_members",
+                F.posexplode(F.expr("transform(center, x -> round(x, 4))"))
+                 .alias("idx", "v")))
 
 
 def q_gorilla_roundtrip(spark, sf_dir):
@@ -705,7 +708,7 @@ def oracle_sql() -> dict[str, str]:
                      WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000000
                        THEN 1 ELSE 0 END AS new_sess
               FROM events)
-            SELECT user_id, sum(new_sess) AS n_sessions,
+            SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM lagged GROUP BY user_id
         """,
@@ -732,7 +735,7 @@ def oracle_sql() -> dict[str, str]:
                      count(*) AS n_events
               FROM events GROUP BY 1, 2)
             SELECT user_id, count(*) AS n_buckets,
-                   sum(n_events) AS n_events,
+                   CAST(sum(n_events) AS BIGINT) AS n_events,
                    min(bucket) AS first_bucket
             FROM t1m WHERE bucket >= TIMESTAMP '2024-01-15 00:00:00'
             GROUP BY user_id

@@ -336,7 +336,11 @@ def dtwnn(q, y, dist=None, rad: int = 5, normalizer: Optional[str] = None, *,
         if mask is not None:
             pruned &= ~mask
         prune_end = int((pruned & (lbe > thresh)).sum()) if lb_end is not None else 0
-        if lb_env is not None:
+        if lb_env is not None or defer_env:
+            # in the deferred path lb_env stays None but lbv carries the
+            # LB_Keogh values computed for the endpoint-surviving subset —
+            # count env-pruned windows from lbv either way (ADVICE r01:
+            # keying on lb_env alone systematically reported 0)
             env_only = pruned & (lbv > thresh)
             if lb_end is not None:
                 env_only &= ~(lbe > thresh)

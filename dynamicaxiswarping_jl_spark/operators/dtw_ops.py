@@ -336,25 +336,44 @@ def dtwnn_search(queries: DataFrame, series: DataFrame, radius: int = 5,
 
 def knn_topk(series: DataFrame, k: int = 4, radius: int = 5,
              dist: str = "sqeuclidean", key: str = "conv_id",
-             lb_prefilter: bool = False, oversample: int = 4) -> DataFrame:
+             lb_prefilter: bool = True, oversample: int = 4,
+             grid_cells: int = 1024) -> DataFrame:
     """k nearest neighbors among series (sparse_distmat, src/dtwnn.jl:261-297).
 
-    Pair generation is a self-join (id_a != id_b); the per-pair cost kernel
-    uses the endpoint LB to seed early-abandon. Exact top-k via window
-    row_number — identical to the dense-matrix partialsort oracle
-    (runtests.jl:633-644).
+    Exact top-k via window row_number — identical to the dense-matrix
+    partialsort oracle (runtests.jl:633-644).
 
-    ``lb_prefilter=True`` (scale path, result-identical): a JVM-side
-    endpoint lower bound ``d(a₁,b₁)+d(aₘ,bₘ)`` ranks all pairs for free;
-    exact DP runs on the ``k·oversample`` lowest-LB candidates per id_a,
-    whose k-th exact cost τ then bounds phase 2 — only remaining pairs
-    with LB ≤ τ can enter the true top-k (cost ≥ LB > τ ≥ k-th best),
-    so everything else is skipped without ever crossing into Python.
-    Unequal-length pairs bypass the LB (always exact).
+    ``lb_prefilter=True`` (default; scale path, result-identical):
+    **sub-quadratic, grid-bucketed candidate generation** — no full
+    self-join anywhere in the plan for uniform-length corpora.
+
+    1. Project each series to the 3 scalars ``(first, last, length)``.
+       The DTW path always aligns (1,1) and (m,m), so for SqEuclidean
+       ``cost ≥ (a₁-b₁)² + (aₘ-bₘ)²`` (lb_endpoints, src/dtwnn.jl:180-195;
+       valid for m ≥ 2).
+    2. Hash the stats onto an adaptive 2-D grid over (first, last)
+       (cell count scales with corpus size, occupancy ≈ max(4k, 16)).
+       Phase-1 candidates come from the 3×3 cell neighborhood — an
+       equi-join on cell ids over the tiny scalar table, no arrays.
+    3. Exact DP on the ``k·oversample`` lowest-LB neighbors per id gives
+       a per-id bound τ = k-th exact cost. Any pair with LB > τ cannot
+       enter the top-k (cost ≥ LB > τ ≥ final k-th best).
+    4. Phase 2 range-joins only the cells within √τ of (first, last)
+       (a necessary condition for LB ≤ τ), filters LB ≤ τ on scalars,
+       and DPs the survivors. Ids with fewer than k phase-1 neighbors
+       get τ = ∞ (full-grid range) — exactness never depends on the
+       grid being well-populated.
+
+    Length-1 series (endpoint LB invalid: first==last double-counts) and
+    cross-length pairs route through an exhaustive residue join, which is
+    *skipped entirely* (not even planned) when a cheap pre-scan shows all
+    series share one length ≥ 2 — the dominant engine case (fixed-step
+    rollup grids).
+
+    ``lb_prefilter=False``: legacy all-pairs enumeration (testing oracle).
     """
     left = series.select(F.col(key).alias("id_a"), F.col("points").alias("a"))
     right = series.select(F.col(key).alias("id_b"), F.col("points").alias("b"))
-    pairs = left.join(right, F.col("id_a") != F.col("id_b"))
     schema = T.StructType([
         T.StructField("id_a", T.StringType()),
         T.StructField("id_b", T.StringType()),
@@ -390,28 +409,110 @@ def knn_topk(series: DataFrame, k: int = 4, radius: int = 5,
                                 "id_b": pdf["id_b"].to_numpy(),
                                 "cost": costs})
 
-    if not (lb_prefilter and dist in ("sqeuclidean", None)):
+    multichannel = isinstance(series.schema["points"].dataType.elementType,
+                              T.ArrayType)
+    if not (lb_prefilter and dist in ("sqeuclidean", None)) or multichannel:
+        pairs = left.join(right, F.col("id_a") != F.col("id_b"))
         costs = _spread(pairs).mapInPandas(run, schema)
         return topk_per_key(costs, "id_a", "cost", k)
 
-    # --- two-phase LB-pruned exact k-NN ---
-    lbe = ((F.element_at("a", 1) - F.element_at("b", 1)) ** 2
-           + (F.element_at("a", -1) - F.element_at("b", -1)) ** 2)
-    eq = pairs.filter(F.size("a") == F.size("b")).withColumn("_lbe", lbe)
-    neq = pairs.filter(F.size("a") != F.size("b"))  # no LB: always exact
-    cand = topk_per_key(eq, "id_a", "_lbe", k * oversample).drop("rk")
+    # --- grid-bucketed two-phase exact k-NN (see docstring) ---
+    # per-series scalar stats; localCheckpoint: this tiny table anchors one
+    # pre-scan agg plus four joins — don't recompute the series lineage 5×
+    st = (series.select(F.col(key).alias("id"),
+                        F.element_at("points", 1).alias("p1"),
+                        F.element_at("points", -1).alias("pm"),
+                        F.size("points").alias("n"))
+          .localCheckpoint(eager=True))
+    g = st.filter(F.col("n") >= 2).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("p1").alias("lo1"), F.max("p1").alias("hi1"),
+        F.min("pm").alias("lom"), F.max("pm").alias("him"),
+        F.countDistinct("n").alias("nlens"),
+        F.min("n").alias("minn")).first()
+    n_short = st.filter(F.col("n") < 2).limit(1).count()
+    if g["cnt"] == 0:  # nothing with a valid LB: pure residue
+        pairs = left.join(right, F.col("id_a") != F.col("id_b"))
+        costs = _spread(pairs).mapInPandas(run, schema)
+        return topk_per_key(costs, "id_a", "cost", k)
+
+    # adaptive grid: occupancy ≈ max(4k, 16) per cell so the 3×3
+    # neighborhood usually holds ≥ k·oversample candidates (finite τ)
+    G = max(1, min(grid_cells,
+                   int(np.ceil(np.sqrt(g["cnt"] / max(4 * k, 16))))))
+    w1 = max((g["hi1"] - g["lo1"]) / G, 1e-300)
+    wm = max((g["him"] - g["lom"]) / G, 1e-300)
+    cell = (lambda p, lo, w: F.least(F.lit(G - 1), F.greatest(F.lit(0),
+            F.floor((F.col(p) - F.lit(lo)) / F.lit(w)))).cast("long"))
+    stg = (st.filter(F.col("n") >= 2)
+           .withColumn("c1", cell("p1", g["lo1"], w1))
+           .withColumn("cm", cell("pm", g["lom"], wm)))
+    sta = stg.select(F.col("id").alias("id_a"), F.col("p1").alias("p1a"),
+                     F.col("pm").alias("pma"), F.col("n").alias("na"),
+                     F.col("c1").alias("c1a"), F.col("cm").alias("cma"))
+    stb = stg.select(F.col("id").alias("id_b"), F.col("p1").alias("p1b"),
+                     F.col("pm").alias("pmb"), F.col("n").alias("nb"),
+                     F.col("c1").alias("c1b"), F.col("cm").alias("cmb"))
+    lbe = ((F.col("p1a") - F.col("p1b")) ** 2
+           + (F.col("pma") - F.col("pmb")) ** 2)
+    off = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+    nbhd = (sta.withColumn("dx", off).withColumn("dy", off)
+            .join(stb, (F.col("c1a") + F.col("dx") == F.col("c1b"))
+                  & (F.col("cma") + F.col("dy") == F.col("cmb"))
+                  & (F.col("na") == F.col("nb"))
+                  & (F.col("id_a") != F.col("id_b")))
+            .withColumn("_lbe", lbe))
+    cand = (topk_per_key(nbhd, "id_a", "_lbe", k * oversample)
+            .select("id_a", "id_b"))
+    arr_a = series.select(F.col(key).alias("id_a"), F.col("points").alias("a"))
+    arr_b = series.select(F.col(key).alias("id_b"), F.col("points").alias("b"))
     # localCheckpoint (not cache): exact1 feeds both the τ bound and the
     # final union; eager materialization avoids recompute without pinning
     # an entry in the session cache registry for the session's lifetime
-    exact1 = _spread(cand.select("id_a", "a", "id_b", "b")).mapInPandas(
+    exact1 = _spread(cand.join(arr_a, "id_a").join(arr_b, "id_b")
+                     .select("id_a", "a", "id_b", "b")).mapInPandas(
         run, schema).localCheckpoint(eager=True)
+    # τ = k-th best exact cost; NULL (→ unbounded full-grid range) when a
+    # sparse neighborhood yielded fewer than k candidates — exactness never
+    # depends on grid occupancy
     tau = (topk_per_key(exact1, "id_a", "cost", k)
-           .groupBy("id_a").agg(F.max("cost").alias("_tau")))
-    rest = (eq.join(cand.select("id_a", "id_b").withColumn("_c", F.lit(1)),
-                    ["id_a", "id_b"], "left_anti")
-            .join(F.broadcast(tau), "id_a")
-            .filter(F.col("_lbe") <= F.col("_tau"))
-            .select("id_a", "a", "id_b", "b"))
-    exact2 = _spread(rest.unionByName(
-        neq.select("id_a", "a", "id_b", "b"))).mapInPandas(run, schema)
+           .groupBy("id_a").agg(F.max("cost").alias("_t"),
+                                F.count(F.lit(1)).alias("_c"))
+           .select("id_a", F.when(F.col("_c") >= k, F.col("_t"))
+                   .alias("_tau")))
+    # phase 2: explode only the cells within √τ on each axis (necessary
+    # for LBE ≤ τ), equi-join on cell ids, exact-filter on scalars
+    rad = F.sqrt(F.col("_tau"))
+    rng = (lambda p, lo, w, sgn: F.coalesce(
+        F.least(F.lit(G - 1), F.greatest(F.lit(0), F.floor(
+            (F.col(p) + sgn * rad - F.lit(lo)) / F.lit(w)))).cast("long"),
+        F.lit(0) if sgn < 0 else F.lit(G - 1)))
+    ranged = (sta.join(tau, "id_a", "left")
+              .withColumn("qc1", F.explode(F.sequence(
+                  rng("p1a", g["lo1"], w1, -1), rng("p1a", g["lo1"], w1, 1))))
+              .withColumn("qcm", F.explode(F.sequence(
+                  rng("pma", g["lom"], wm, -1), rng("pma", g["lom"], wm, 1)))))
+    rest = (ranged.join(stb, (F.col("qc1") == F.col("c1b"))
+                        & (F.col("qcm") == F.col("cmb"))
+                        & (F.col("na") == F.col("nb"))
+                        & (F.col("id_a") != F.col("id_b")))
+            .filter(F.col("_tau").isNull() | (lbe <= F.col("_tau")))
+            .join(cand, ["id_a", "id_b"], "left_anti")
+            .select("id_a", "id_b"))
+    phase2 = (rest.join(arr_a, "id_a").join(arr_b, "id_b")
+              .select("id_a", "a", "id_b", "b"))
+    # exhaustive residue: cross-length pairs + length<2 series (no valid
+    # endpoint LB). Skipped — not even planned — when the pre-scan shows a
+    # single uniform length ≥ 2.
+    if g["nlens"] > 1 or n_short > 0:
+        ids_n = st.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
+        ids_nb = st.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
+        resid = (ids_n.join(ids_nb, (F.col("id_a") != F.col("id_b"))
+                            & ((F.col("na") != F.col("nb"))
+                               | (F.col("na") < 2)))
+                 .select("id_a", "id_b")
+                 .join(arr_a, "id_a").join(arr_b, "id_b")
+                 .select("id_a", "a", "id_b", "b"))
+        phase2 = phase2.unionByName(resid)
+    exact2 = _spread(phase2).mapInPandas(run, schema)
     return topk_per_key(exact1.unionByName(exact2), "id_a", "cost", k)

@@ -44,9 +44,13 @@ def gapfill(tier_df: DataFrame, step_s: int = 60, key: str = "conv_id",
         nxt.alias("_nxt"),
         *[F.lead(c).over(w).alias(f"_nxt_{c}") for c in
           (value_cols if policy == "interp" else ())])
+    # greatest() clamp: if consecutive buckets are closer than step_s
+    # (duplicate buckets, or a caller step larger than the data spacing)
+    # the naive stop `_nxt - step` precedes the start and sequence()
+    # throws; clamping emits just the start row instead (ADVICE r01)
     seq = F.when(F.col("_nxt").isNull(),
                  F.array(F.col("bucket"))).otherwise(
-        F.expr(f"sequence(bucket, _nxt - {step}, {step})"))
+        F.expr(f"sequence(bucket, greatest(bucket, _nxt - {step}), {step})"))
     df = (df.select(key, "bucket", "_nxt",
                     *[c for c in df.columns
                       if c.startswith("_nxt_") or c in value_cols],

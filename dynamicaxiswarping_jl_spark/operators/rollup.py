@@ -100,7 +100,8 @@ def assemble_series(tier_df: DataFrame, value_col: str = "turn_rate",
     )
 
 
-def apply_retention(tier_df: DataFrame, keep_after, bucket_col: str = "bucket") -> DataFrame:
+def apply_retention(tier_df: DataFrame, keep_after, bucket_col: str = "bucket",
+                    partition_col: str | None = None) -> DataFrame:
     """Retention: drop tier rows older than ``keep_after`` (timestamp or
     ISO string). The retention triad of the north star is: raw turns expire
     first, 1m next, 1h/1d kept longest — each tier gets its own cutoff and
@@ -108,17 +109,23 @@ def apply_retention(tier_df: DataFrame, keep_after, bucket_col: str = "bucket") 
     ran *before* expiry; manifests record the snapshot lineage).
 
     Pure predicate → on Iceberg/parquet this prunes whole partitions; no
-    shuffle. When the tier checkpoint is hive-partitioned by a ``day``
-    column (CheckpointManager ``partition_by=["day"]``), an equivalent
-    predicate on ``day`` is added so the scan's PartitionFilters prune
-    whole directories, not just row groups.
+    shuffle. When the tier checkpoint is hive-partitioned by a date
+    column derived as ``to_date(bucket)`` (CheckpointManager
+    ``partition_by=["day"]``), pass ``partition_col`` and an equivalent
+    predicate is added so the scan's PartitionFilters prune whole
+    directories, not just row groups.
     """
     cutoff = F.lit(keep_after).cast("timestamp")
     out = tier_df.filter(F.col(bucket_col) >= cutoff)
-    # only a DATE-typed 'day' column is the checkpoint partition key; an
-    # unrelated column that happens to share the name must not be filtered
-    if dict(tier_df.dtypes).get("day") == "date":
-        out = out.filter(F.col("day") >= F.to_date(cutoff))
+    # the partition column must be named explicitly (ADVICE r01: inferring
+    # it from a name+type heuristic silently drops rows when a tier carries
+    # an unrelated DATE column called 'day')
+    if partition_col is not None:
+        if dict(tier_df.dtypes).get(partition_col) != "date":
+            raise ValueError(
+                f"partition_col {partition_col!r} must be a DATE column "
+                f"derived as to_date({bucket_col})")
+        out = out.filter(F.col(partition_col) >= F.to_date(cutoff))
     return out
 
 

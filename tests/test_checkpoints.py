@@ -90,7 +90,8 @@ class TestPartitionedCheckpoint:
                         "turn_rate").withColumn("day", F.to_date("bucket"))
         tier = cm.run_stage("tier_test", lambda: src, lineage={"x": 1},
                             partition_by=["day"])
-        kept = apply_retention(tier, "2024-01-08 00:00:00")
+        kept = apply_retention(tier, "2024-01-08 00:00:00",
+                               partition_col="day")
         assert kept.count() == 3
         plan = kept._jdf.queryExecution().executedPlan().toString()
         assert "PartitionFilters" in plan and "day" in plan

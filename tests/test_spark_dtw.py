@@ -83,7 +83,7 @@ class TestDtwnnSearch:
 class TestKnn:
     def test_matches_dense_topk(self, spark, series):
         pdf = series.toPandas()
-        got = knn_topk(series, k=3, radius=5).toPandas()
+        got = knn_topk(series, k=3, radius=5).toPandas()  # default grid path
         pts = {r.conv_id: np.array(r.points) for r in pdf.itertuples(index=False)}
         ids = sorted(pts)
         for cid in ids:
@@ -170,10 +170,54 @@ class TestKnnLbPrefilter:
             rows.append((f"s{i:02d}",
                          [float(v) for v in base + 0.1 * rng.normal(size=n)]))
         series = spark.createDataFrame(rows, "conv_id string, points array<double>")
-        brute = knn_topk(series, k=3, radius=5).toPandas()
+        brute = knn_topk(series, k=3, radius=5, lb_prefilter=False).toPandas()
         fast = knn_topk(series, k=3, radius=5, lb_prefilter=True,
                         oversample=2).toPandas()
         for key in sorted(brute.id_a.unique()):
             bc = sorted(round(c, 9) for c in brute[brute.id_a == key].cost)
             fc = sorted(round(c, 9) for c in fast[fast.id_a == key].cost)
             assert bc == fc, key
+
+    def test_grid_path_degenerate_lengths(self, spark):
+        """Length-1 series have no valid endpoint LB (first==last would
+        double-count, ADVICE r01) — they must route through the exhaustive
+        residue and still return the exact top-k."""
+        import numpy as np
+        from dynamicaxiswarping_jl_spark.operators import knn_topk
+        rng = np.random.default_rng(11)
+        rows = [("one0", [2.0]), ("one1", [2.05])]  # near pair of singletons
+        for i in range(14):
+            v = np.sin(np.linspace(0, 2, 20)) * (1 + i % 4) \
+                + 0.1 * rng.normal(size=20)
+            rows.append((f"s{i:02d}", [float(x) for x in v]))
+        series = spark.createDataFrame(
+            rows, "conv_id string, points array<double>")
+        brute = knn_topk(series, k=2, radius=3, lb_prefilter=False).toPandas()
+        fast = knn_topk(series, k=2, radius=3).toPandas()
+        for key in sorted(brute.id_a.unique()):
+            bc = sorted(round(c, 9) for c in brute[brute.id_a == key].cost)
+            fc = sorted(round(c, 9) for c in fast[fast.id_a == key].cost)
+            assert bc == fc, key
+
+    def test_grid_path_uniform_length_no_selfjoin(self, spark):
+        """Uniform-length corpus: exact parity, and the physical plan of the
+        scale path must not contain a full array self-join (cartesian /
+        non-equi BNLJ over the series table)."""
+        import numpy as np
+        from dynamicaxiswarping_jl_spark.operators import knn_topk
+        rng = np.random.default_rng(7)
+        rows = [(f"s{i:02d}",
+                 [float(v) for v in np.cumsum(rng.normal(size=32))])
+                for i in range(30)]
+        series = spark.createDataFrame(
+            rows, "conv_id string, points array<double>")
+        brute = knn_topk(series, k=3, radius=4, lb_prefilter=False).toPandas()
+        fast_df = knn_topk(series, k=3, radius=4)
+        fast = fast_df.toPandas()
+        for key in sorted(brute.id_a.unique()):
+            bc = sorted(round(c, 9) for c in brute[brute.id_a == key].cost)
+            fc = sorted(round(c, 9) for c in fast[fast.id_a == key].cost)
+            assert bc == fc, key
+        plan = fast_df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
