@@ -326,12 +326,17 @@ def dtwnn_search(queries: DataFrame, series: DataFrame, radius: int = 5,
             yield pd.DataFrame(recs, columns=[f.name for f in schema.fields])
 
     per_series = _spread(series.select(F.col(key), F.col("points"))).mapInPandas(run, schema)
+    # struct-min: lexicographic (cost, key, loc) — deterministic winner even
+    # when several series tie on the exact minimum cost (min_by alone picks
+    # an arbitrary tied row, which breaks golden-value checks)
     return (per_series.groupBy("query_id")
-            .agg(F.min("cost").alias("cost"),
-                 F.expr(f"min_by({key}, cost)").alias(key),
-                 F.expr("min_by(loc, cost)").alias("loc"),
+            .agg(F.min(F.struct("cost", key, "loc")).alias("_b"),
                  F.sum("prune_end").alias("prune_end"),
-                 F.sum("prune_env").alias("prune_env")))
+                 F.sum("prune_env").alias("prune_env"))
+            .select("query_id", F.col("_b.cost").alias("cost"),
+                    F.col(f"_b.{key}").alias(key),
+                    F.col("_b.loc").alias("loc"),
+                    "prune_end", "prune_env"))
 
 
 def knn_topk(series: DataFrame, k: int = 4, radius: int = 5,
@@ -409,12 +414,22 @@ def knn_topk(series: DataFrame, k: int = 4, radius: int = 5,
                                 "id_b": pdf["id_b"].to_numpy(),
                                 "cost": costs})
 
+    def final_topk(costs_df: DataFrame) -> DataFrame:
+        # deterministic k-NN: ties on exact cost break by id_b, so the
+        # returned neighbor SET is stable across partitionings/runs (plain
+        # cost-ordered row_number picks arbitrary tied members)
+        from pyspark.sql import Window
+        w = Window.partitionBy("id_a").orderBy(F.col("cost").asc(),
+                                               F.col("id_b").asc())
+        return (costs_df.withColumn("rk", F.row_number().over(w))
+                .filter(F.col("rk") <= k))
+
     multichannel = isinstance(series.schema["points"].dataType.elementType,
                               T.ArrayType)
     if not (lb_prefilter and dist in ("sqeuclidean", None)) or multichannel:
         pairs = left.join(right, F.col("id_a") != F.col("id_b"))
         costs = _spread(pairs).mapInPandas(run, schema)
-        return topk_per_key(costs, "id_a", "cost", k)
+        return final_topk(costs)
 
     # --- grid-bucketed two-phase exact k-NN (see docstring) ---
     # per-series scalar stats; localCheckpoint: this tiny table anchors one
@@ -434,7 +449,7 @@ def knn_topk(series: DataFrame, k: int = 4, radius: int = 5,
     if g["cnt"] == 0:  # nothing with a valid LB: pure residue
         pairs = left.join(right, F.col("id_a") != F.col("id_b"))
         costs = _spread(pairs).mapInPandas(run, schema)
-        return topk_per_key(costs, "id_a", "cost", k)
+        return final_topk(costs)
 
     # adaptive grid: occupancy ≈ max(4k, 16) per cell so the 3×3
     # neighborhood usually holds ≥ k·oversample candidates (finite τ)
@@ -515,4 +530,4 @@ def knn_topk(series: DataFrame, k: int = 4, radius: int = 5,
                  .select("id_a", "a", "id_b", "b"))
         phase2 = phase2.unionByName(resid)
     exact2 = _spread(phase2).mapInPandas(run, schema)
-    return topk_per_key(exact1.unionByName(exact2), "id_a", "cost", k)
+    return final_topk(exact1.unionByName(exact2))

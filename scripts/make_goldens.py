@@ -1,0 +1,670 @@
+#!/usr/bin/env python
+"""Golden-parquet oracle generator for the non-SQL-expressible queries.
+
+DuckDB cannot express DTW/DBA/LSH, so those driver queries were rows-only
+checked. This script computes their expected outputs WITHOUT the Spark
+operators — pandas/pyarrow for all relational plumbing (rollup, gap-fill,
+series assembly, joins, top-k) plus the pytest-pinned NumPy kernels for
+the DTW math (the same oracle pattern the reference uses: golden values
+produced by a trusted scalar implementation, test/runtests.jl:491-575) —
+and writes them to golden/sf0.01/<query>.parquet. ``oracle_sql()`` then
+exposes each as ``SELECT * FROM read_parquet(...)`` so the driver's
+rows+schema+hash check covers the DTW half of the engine too.
+
+What is independent vs shared:
+- rollup/gapfill/assembly/banding/top-k/connected-components: re-derived
+  here in pandas/NumPy — fully independent of the Spark operators.
+- DTW-family numerics (dtw, dtw_cost, dtw_cost_batch, dtwnn, dba, softdtw,
+  fastdtw, gdtw, matrix/distance profile): the NumPy kernels, which are
+  themselves pinned by reference golden values in tests/.
+- xxhash64: reimplemented here in pure Python from the public XXH64 spec
+  and asserted against Spark's implementation in tests.
+
+Usage: python scripts/make_goldens.py [sf_dir] [out_dir]
+Defaults: /root/testdata/sf0.01 -> <repo>/golden/sf0.01
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+from dynamicaxiswarping_jl_spark.kernels import (  # noqa: E402
+    dtw, dtw_cost, dtwnn, dba, soft_dtw_cost, fastdtw,
+    distance_profile, matrix_profile,
+)
+from dynamicaxiswarping_jl_spark.kernels.dtw import dtw_cost_batch  # noqa: E402
+from dynamicaxiswarping_jl_spark.kernels.dtwnn import lb_endpoints  # noqa: E402
+from dynamicaxiswarping_jl_spark.kernels.dba import dba_iteration  # noqa: E402
+from dynamicaxiswarping_jl_spark.kernels.gdtw import gdtw  # noqa: E402
+from dynamicaxiswarping_jl_spark.operators.dedup import _hash_params, _MERSENNE  # noqa: E402
+from dynamicaxiswarping_jl_spark.sources.transcripts import generate_transcripts_pandas  # noqa: E402
+
+
+# ---------------------------------------------------------------------------
+# shared helpers
+# ---------------------------------------------------------------------------
+
+def _r(x, d: int = 4):
+    """DuckDB-style rounding (same as __spark_entry__._r)."""
+    x = np.asarray(x, dtype=np.float64)
+    f = 10.0 ** d
+    return np.sign(x) * np.floor(np.abs(x) * f + 0.5) / f
+
+
+# --- pure-Python XXH64 (public spec), parity-tested against Spark ---------
+
+_M64 = (1 << 64) - 1
+_P1, _P2, _P3, _P4, _P5 = (
+    0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+    0x85EBCA77C2B2AE63, 0x27D4EB2F165667C5)
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def xxh64(data: bytes, seed: int = 42) -> int:
+    """XXH64 of ``data`` (unsigned). Spark's xxhash64(col) == this on the
+    column's UTF-8 bytes with seed 42 (asserted in tests/test_goldens.py)."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _M64
+        v2 = (seed + _P2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _P1) & _M64
+        while i + 32 <= n:
+            vs = [v1, v2, v3, v4]
+            for k in range(4):
+                lane = int.from_bytes(data[i + 8 * k:i + 8 * k + 8], "little")
+                vs[k] = (_rotl((vs[k] + lane * _P2) & _M64, 31) * _P1) & _M64
+            v1, v2, v3, v4 = vs
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h ^= (_rotl((v * _P2) & _M64, 31) * _P1) & _M64
+            h = (h * _P1 + _P4) & _M64
+    else:
+        h = (seed + _P5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        k = int.from_bytes(data[i:i + 8], "little")
+        h ^= (_rotl((k * _P2) & _M64, 31) * _P1) & _M64
+        h = (_rotl(h, 27) * _P1 + _P4) & _M64
+        i += 8
+    if i + 4 <= n:
+        h ^= (int.from_bytes(data[i:i + 4], "little") * _P1) & _M64
+        h = (_rotl(h, 23) * _P2 + _P3) & _M64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _P5) & _M64
+        h = (_rotl(h, 11) * _P1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M64
+    h ^= h >> 29
+    h = (h * _P3) & _M64
+    h ^= h >> 32
+    return h
+
+
+def xxh64_signed(s: str, seed: int = 42) -> int:
+    h = xxh64(s.encode("utf-8"), seed)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+# Java \s is ASCII-only ([ \t\n\x0B\f\r]); Python re \s is unicode-aware —
+# mirror Spark's split(text, '\\s+') exactly.
+import re  # noqa: E402
+_WS = re.compile("[ \t\n\x0b\f\r]+")
+
+
+def _tokens(text) -> list[str]:
+    if text is None or (isinstance(text, float) and np.isnan(text)):
+        text = ""
+    return [t for t in _WS.split(str(text).lower()) if t != ""]
+
+
+def _shingle_hashes(text, shingle: int = 3) -> np.ndarray:
+    """Mirror operators.dedup._shingle_hashes (JVM expr) in Python."""
+    toks = _tokens(text)
+    if len(toks) >= shingle:
+        sh = [" ".join(toks[i:i + shingle])
+              for i in range(len(toks) - shingle + 1)]
+    else:
+        sh = [" ".join(toks)]  # '' when no tokens
+    seen, out = set(), []
+    for s in sh:  # array_distinct keeps first occurrence
+        if s not in seen:
+            seen.add(s)
+            out.append(xxh64_signed(s))
+    return np.array(out, dtype=np.int64)
+
+
+# ---------------------------------------------------------------------------
+# relational plumbing in pandas (independent of the Spark operators)
+# ---------------------------------------------------------------------------
+
+def _load(sf_dir: str, name: str) -> pd.DataFrame:
+    return pd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _dense_rate_series(ev: pd.DataFrame, step_s: int,
+                       conv_col: str = "conv_id") -> dict[str, np.ndarray]:
+    """events → per-conv dense turn_rate series at step_s (rollup →
+    zero-gap-fill → assemble), the pandas re-derivation of
+    rollup_turns+gapfill+assemble_series."""
+    freq = {60: "min", 3600: "h", 86400: "D"}[step_s]
+    df = ev.assign(bucket=ev["ts"].dt.floor(freq))
+    cnt = (df.groupby([conv_col, "bucket"]).size()
+           .rename("n").reset_index())
+    out = {}
+    for cid, sub in cnt.groupby(conv_col):
+        idx = pd.date_range(sub["bucket"].min(), sub["bucket"].max(),
+                            freq=freq)
+        s = sub.set_index("bucket")["n"].reindex(idx, fill_value=0)
+        out[str(cid)] = s.to_numpy(dtype=np.float64) * 60.0 / step_s
+    return out
+
+
+def _events_conv(sf_dir: str) -> pd.DataFrame:
+    ev = _load(sf_dir, "events")[["user_id", "ts"]].copy()
+    ev["conv_id"] = ev["user_id"].astype(str)
+    return ev
+
+
+def _write(out_dir: str, name: str, df: pd.DataFrame, schema: pa.Schema):
+    tbl = pa.Table.from_pandas(df, schema=schema, preserve_index=False)
+    pq.write_table(tbl, os.path.join(out_dir, f"{name}.parquet"))
+    print(f"  {name}: {len(df)} rows")
+
+
+# ---------------------------------------------------------------------------
+# per-query goldens
+# ---------------------------------------------------------------------------
+
+def g_drift_1h_1d(sf_dir):
+    ev = _events_conv(sf_dir)
+    fine = _dense_rate_series(ev, 3600)
+    coarse = _dense_rate_series(ev, 86400)
+    recs = []
+    for cid in sorted(fine, key=lambda c: int(c)):
+        a, b = fine[cid], coarse[cid]
+        nb = len(b)
+        bi = (np.interp(np.linspace(0, 1, len(a)),
+                        np.linspace(0, 1, nb), b)
+              if nb > 1 else np.full(len(a), b[0]))
+        lb = lb_endpoints("sqeuclidean", a, bi)
+        if lb == 0.0 and np.array_equal(a, bi):
+            cost, pruned = 0.0, 1
+        else:
+            cost, pruned = dtw_cost(a, bi, "sqeuclidean", 5), 0
+        recs.append((cid, float(_r(cost)), len(a), nb, pruned))
+    df = pd.DataFrame(recs, columns=["conv_id", "cost", "n_fine",
+                                     "n_coarse", "pruned_lb"])
+    return df, pa.schema([("conv_id", pa.string()), ("cost", pa.float64()),
+                          ("n_fine", pa.int32()), ("n_coarse", pa.int32()),
+                          ("pruned_lb", pa.int32())])
+
+
+def g_dtwnn_series(sf_dir):
+    series = _dense_rate_series(_events_conv(sf_dir), 3600)
+    first = min(series)  # lexicographically smallest conv_id
+    q = series[first][:24]
+    # lexicographic (cost, conv_id, loc) min — mirrors dtwnn_search's
+    # deterministic struct-min tie rule
+    best = None
+    for cid, y in series.items():
+        if len(y) < len(q):
+            continue
+        res = dtwnn(q, y, "sqeuclidean", 5)
+        if np.isfinite(res.cost):
+            cur = (res.cost, cid, int(res.loc))
+            if best is None or cur < best:
+                best = cur
+    df = pd.DataFrame([("q0", float(_r(best[0])), best[1], int(best[2]))],
+                      columns=["query_id", "cost", "conv_id", "loc"])
+    return df, pa.schema([("query_id", pa.string()), ("cost", pa.float64()),
+                          ("conv_id", pa.string()), ("loc", pa.int32())])
+
+
+def _pair_cost(a: np.ndarray, b: np.ndarray, radius: int) -> float:
+    """knn_topk's per-pair cost rule: equal lengths → vectorized batch DP
+    (the exact kernel the operator calls); unequal → subsequence NN of the
+    shorter within the longer."""
+    if len(a) == len(b):
+        return float(dtw_cost_batch(a, b[None, :], radius)[0])
+    s, l = sorted((a, b), key=len)
+    return float(dtwnn(s, l, "sqeuclidean", radius,
+                       prune_endpoints=False).cost)
+
+
+def g_knn_series(sf_dir):
+    series = _dense_rate_series(_events_conv(sf_dir), 3600)
+    sub = {c: y for c, y in series.items() if int(c) < 40}
+    ids = sorted(sub)
+    recs = []
+    for ia in ids:
+        costs = sorted(
+            (( _pair_cost(sub[ia], sub[ib], 5), ib) for ib in ids if ib != ia))
+        top = costs[:3]
+        ranked = sorted(((float(_r(c)), ib) for c, ib in top))
+        for rk, (c, ib) in enumerate(ranked, 1):
+            recs.append((ia, ib, c, rk))
+    df = pd.DataFrame(recs, columns=["id_a", "id_b", "cost", "rk"])
+    return df, pa.schema([("id_a", pa.string()), ("id_b", pa.string()),
+                          ("cost", pa.float64()), ("rk", pa.int32())])
+
+
+def _series_pairs(sf_dir, max_conv):
+    series = _dense_rate_series(_events_conv(sf_dir), 3600)
+    sub = {c: y for c, y in series.items() if int(c) < max_conv}
+    ids = sorted(sub)
+    return [(a, b, sub[a], sub[b]) for a in ids for b in ids if a < b]
+
+
+def g_softdtw_pairs(sf_dir):
+    recs = [(a, b, float(_r(soft_dtw_cost(ya, yb, "sqeuclidean", gamma=0.1))))
+            for a, b, ya, yb in _series_pairs(sf_dir, 12)]
+    df = pd.DataFrame(recs, columns=["id_a", "id_b", "cost"])
+    return df, pa.schema([("id_a", pa.string()), ("id_b", pa.string()),
+                          ("cost", pa.float64())])
+
+
+def g_fastdtw_pairs(sf_dir):
+    recs = [(a, b, float(_r(fastdtw(ya, yb, "sqeuclidean", 10)[0])))
+            for a, b, ya, yb in _series_pairs(sf_dir, 12)]
+    df = pd.DataFrame(recs, columns=["id_a", "id_b", "cost"])
+    return df, pa.schema([("id_a", pa.string()), ("id_b", pa.string()),
+                          ("cost", pa.float64())])
+
+
+def g_gdtw_pairs(sf_dir):
+    recs = [(a, b, float(_r(gdtw(ya, yb)[0])))
+            for a, b, ya, yb in _series_pairs(sf_dir, 8)]
+    df = pd.DataFrame(recs, columns=["id_a", "id_b", "cost"])
+    return df, pa.schema([("id_a", pa.string()), ("id_b", pa.string()),
+                          ("cost", pa.float64())])
+
+
+def g_matrix_profile(sf_dir):
+    series = _dense_rate_series(_events_conv(sf_dir), 3600)
+    m, radius = 24, 5
+    frames = []
+    for cid in sorted((c for c in series if int(c) < 10), key=int):
+        y = series[cid]
+        if len(y) < m + radius + 1:
+            continue
+        P, I = matrix_profile(y, m, radius, "sqeuclidean")
+        frames.append(pd.DataFrame({
+            "conv_id": cid,
+            "loc": np.arange(1, len(P) + 1, dtype=np.int32),
+            "nn_dist": P, "nn_loc": I.astype(np.int32)}))
+    df = pd.concat(frames, ignore_index=True)
+    return df, pa.schema([("conv_id", pa.string()), ("loc", pa.int32()),
+                          ("nn_dist", pa.float64()), ("nn_loc", pa.int32())])
+
+
+def g_distance_profile(sf_dir):
+    series = _dense_rate_series(_events_conv(sf_dir), 3600)
+    sub = {c: y for c, y in series.items() if int(c) < 10}
+    q = sub[min(sub)][:24]
+    frames = []
+    for cid in sorted(sub):
+        y = sub[cid]
+        if len(y) < len(q):
+            continue
+        prof = distance_profile(q, y, "sqeuclidean", 5)
+        frames.append(pd.DataFrame({
+            "query_id": "q0", "conv_id": cid,
+            "loc": np.arange(1, len(prof) + 1, dtype=np.int32),
+            "dist": _r(prof)}))
+    df = pd.concat(frames, ignore_index=True)
+    return df, pa.schema([("query_id", pa.string()), ("conv_id", pa.string()),
+                          ("loc", pa.int32()), ("dist", pa.float64())])
+
+
+def g_align_delays(sf_dir):
+    series = _dense_rate_series(_events_conv(sf_dir), 3600)
+    master = series[min(series)]
+    recs = []
+    for cid in sorted(series):
+        y = series[cid]
+        _, i1, i2 = dtw(y, master, "sqeuclidean")
+        delay = int(np.round(np.median(i2 - i1)))
+        recs.append((cid, delay, len(y)))
+    df = pd.DataFrame(recs, columns=["conv_id", "delay", "n"])
+    return df, pa.schema([("conv_id", pa.string()), ("delay", pa.int32()),
+                          ("n", pa.int32())])
+
+
+def g_dba_reps(sf_dir):
+    emb = _load(sf_dir, "embeddings")
+    emb = emb[emb["vec_id"] < 200]
+    recs = []
+    for gid, sub in emb.groupby(emb["label"].astype(str)):
+        sub = sub.assign(conv_id=sub["vec_id"].astype(str)).sort_values("conv_id")
+        seqs = [np.asarray(e, dtype=np.float64) for e in sub["embedding"]]
+        avg, res = dba(seqs, "sqeuclidean", init_center=seqs[0],
+                       iterations=100, rtol=1e-5)
+        for idx, v in enumerate(_r(avg)):
+            recs.append((str(gid), float(_r(res.cost)), bool(res.converged),
+                         int(res.iterations), len(seqs), idx, float(v)))
+    df = pd.DataFrame(recs, columns=["group_id", "cost", "converged",
+                                     "iterations", "n_members", "idx", "v"])
+    return df, pa.schema([("group_id", pa.string()), ("cost", pa.float64()),
+                          ("converged", pa.bool_()),
+                          ("iterations", pa.int32()),
+                          ("n_members", pa.int32()), ("idx", pa.int32()),
+                          ("v", pa.float64())])
+
+
+def g_dbaclust_assign(sf_dir):
+    """Mirror dbaclust_distributed(nclust=4, iterations=3,
+    inner_iterations=2, rtol=1e-4) — same init (lex-smallest keys), same
+    assignment kernel (full-band dtw_cost_batch), same reseed/update rules."""
+    emb = _load(sf_dir, "embeddings")
+    emb = emb[emb["vec_id"] < 120]
+    series = {str(int(r.vec_id)): np.asarray(r.embedding, dtype=np.float64)
+              for r in emb.itertuples(index=False)}
+    keys = sorted(series)  # lexicographic, = orderBy(conv_id)
+    nclust, iterations, inner_iterations, rtol = 4, 3, 2, 1e-4
+    centers = [series[k].copy() for k in keys[:nclust]]
+    total_cost, converged, it = np.inf, False, 0
+    assign = None
+    Y = np.stack([series[k] for k in keys])
+    m = Y.shape[1]
+    while not converged and it < iterations:
+        it += 1
+        C = np.stack([dtw_cost_batch(c, Y, r=m - 1) for c in centers])
+        cid = C.argmin(axis=0)
+        cost = C[cid, np.arange(len(keys))]
+        assign = pd.DataFrame({"conv_id": keys, "cluster_id": cid,
+                               "cost": cost})
+        counts = assign["cluster_id"].value_counts().to_dict()
+        empties = [c for c in range(nclust) if counts.get(c, 0) == 0]
+        if empties:
+            worst = assign.sort_values(["cost", "conv_id"],
+                                       ascending=[False, True]).head(len(empties))
+            for kk, c in zip(worst["conv_id"], empties):
+                centers[c] = series[kk].copy()
+            continue
+        newcost = 0.0
+        for c in sorted(assign["cluster_id"].unique()):
+            members = sorted(assign.loc[assign["cluster_id"] == c, "conv_id"])
+            seqs = [series[k] for k in members]
+            ctr, ccost, icost = centers[c], np.inf, None
+            for _ in range(inner_iterations):
+                newctr, icost = dba_iteration(ctr, seqs, "sqeuclidean")
+                delta = (ccost - icost) / icost if icost > 0 else 0.0
+                ctr = newctr
+                if delta < rtol:
+                    break
+                ccost = icost
+            centers[c] = np.asarray(ctr, dtype=np.float64)
+            newcost += float(icost)
+        delta = (total_cost - newcost) / newcost if newcost > 0 else 0.0
+        if delta < rtol:
+            converged = True
+        total_cost = newcost
+    df = assign.assign(cluster_id=assign["cluster_id"].astype(np.int32),
+                       cost=_r(assign["cost"]))
+    return df, pa.schema([("conv_id", pa.string()),
+                          ("cluster_id", pa.int32()), ("cost", pa.float64())])
+
+
+def g_gorilla_roundtrip(sf_dir):
+    """Exact round-trip pinned: n_total = gap-filled 1h tier row count,
+    0 mismatches, 0 missing."""
+    ev = _events_conv(sf_dir)
+    hours = ev.assign(b=ev["ts"].dt.floor("h")).groupby("conv_id")["b"]
+    span = (hours.max() - hours.min()) // pd.Timedelta(hours=1) + 1
+    df = pd.DataFrame([(int(span.sum()), 0, 0)],
+                      columns=["n_total", "n_mismatch", "n_missing"])
+    return df, pa.schema([("n_total", pa.int64()), ("n_mismatch", pa.int64()),
+                          ("n_missing", pa.int64())])
+
+
+def g_transcripts_rollup(sf_dir):
+    turns = generate_transcripts_pandas(50, seed=42, mean_turns=40.0)
+    t = turns.assign(minute=turns["ts"].dt.floor("min"),
+                     hour=turns["ts"].dt.floor("h"))
+    t1m = (t.groupby(["conv_id", "minute"])
+           .agg(n_turns=("turn_idx", "size"),
+                tool_calls=("tool", lambda s: int(s.notna().sum())))
+           .reset_index())
+    t1m["hour"] = t1m["minute"].dt.floor("h")
+    t1h = (t1m.groupby(["conv_id", "hour"])
+           .agg(n_turns=("n_turns", "sum"), tool_calls=("tool_calls", "sum"))
+           .reset_index())
+    out = (t1h.groupby("conv_id")
+           .agg(n_turns=("n_turns", "sum"), tool_calls=("tool_calls", "sum"),
+                n_buckets=("hour", "size"))
+           .reset_index())
+    return out, pa.schema([("conv_id", pa.string()), ("n_turns", pa.int64()),
+                           ("tool_calls", pa.int64()),
+                           ("n_buckets", pa.int64())])
+
+
+# ---- text dedup family ----------------------------------------------------
+
+def _minhash_sigs(docs: pd.DataFrame, k: int, shingle: int, seed: int):
+    a, b = _hash_params(k, seed)
+    sigs = {}
+    for r in docs.itertuples(index=False):
+        hv = _shingle_hashes(r.text, shingle)
+        H = (a[:, None] * hv[None, :] + b[:, None]) % _MERSENNE
+        sigs[int(r.doc_id)] = H.min(axis=1)
+    return sigs
+
+
+def _minhash_pairs(docs: pd.DataFrame, k: int, bands: int, threshold: float,
+                   seed: int) -> pd.DataFrame:
+    sigs = _minhash_sigs(docs, k, 3, seed)
+    rows_per_band = k // bands
+    buckets: dict = {}
+    for did, sig in sigs.items():
+        for bnd in range(bands):
+            key = (bnd, tuple(sig[bnd * rows_per_band:(bnd + 1) * rows_per_band]))
+            buckets.setdefault(key, []).append(did)
+    cands = set()
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                cands.add((ids[i], ids[j]))
+    recs = []
+    for ia, ib in sorted(cands):
+        sim = float((sigs[ia] == sigs[ib]).sum()) / k
+        if sim >= threshold:
+            recs.append((ia, ib, sim))
+    return pd.DataFrame(recs, columns=["id_a", "id_b", "sim"])
+
+
+def g_minhash_pairs(sf_dir):
+    docs = _load(sf_dir, "documents")
+    df = _minhash_pairs(docs, k=64, bands=16, threshold=0.5, seed=42)
+    return df, pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                          ("sim", pa.float64())])
+
+
+def g_neardup_keep(sf_dir):
+    docs = _load(sf_dir, "documents")
+    pairs = _minhash_pairs(docs, k=64, bands=16, threshold=0.5, seed=1)
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for ia, ib in zip(pairs["id_a"], pairs["id_b"]):
+        ra, rb = find(int(ia)), find(int(ib))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    recs = []
+    for did in docs["doc_id"].astype(int):
+        keep = find(did)
+        recs.append((did, keep, did == keep))
+    df = pd.DataFrame(recs, columns=["doc_id", "keep_id", "is_kept"])
+    return df, pa.schema([("doc_id", pa.int64()), ("keep_id", pa.int64()),
+                          ("is_kept", pa.bool_())])
+
+
+def _simhash_sigs(docs: pd.DataFrame) -> dict[int, int]:
+    powers = 1 << np.arange(64, dtype=np.uint64)
+    sigs = {}
+    for r in docs.itertuples(index=False):
+        toks = _tokens(r.text)
+        if not toks:
+            sigs[int(r.doc_id)] = 0
+            continue
+        hv = np.array([xxh64_signed(t) for t in toks],
+                      dtype=np.int64).view(np.uint64)
+        pm = ((hv[:, None] & powers[None, :]) != 0).astype(np.int32) * 2 - 1
+        acc = pm.sum(axis=0)
+        sig = int(((acc > 0).astype(np.uint64) * powers).sum())
+        sigs[int(r.doc_id)] = sig - (1 << 64) if sig >= (1 << 63) else sig
+    return sigs
+
+
+def g_simhash(sf_dir):
+    docs = _load(sf_dir, "documents")
+    sigs = _simhash_sigs(docs)
+    df = pd.DataFrame(sorted(sigs.items()), columns=["doc_id", "simhash"])
+    return df, pa.schema([("doc_id", pa.int64()), ("simhash", pa.int64())])
+
+
+def g_simhash_neardup(sf_dir):
+    """Brute-force hamming pairs — valid oracle because the pigeonhole band
+    join has EXACT recall for max_hamming <= n_bands - 1 (7 <= 7)."""
+    docs = _load(sf_dir, "documents")
+    sigs = _simhash_sigs(docs)
+    ids = sorted(sigs)
+    sv = np.array([sigs[i] for i in ids], dtype=np.int64).view(np.uint64)
+    recs = []
+    for i in range(len(ids)):
+        x = sv[i] ^ sv[i + 1:]
+        ham = np.array([bin(int(v)).count("1") for v in x])
+        for off in np.flatnonzero(ham <= 7):
+            recs.append((ids[i], ids[i + 1 + off], int(ham[off])))
+    df = pd.DataFrame(recs, columns=["id_a", "id_b", "hamming"])
+    return df, pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                          ("hamming", pa.int32())])
+
+
+# ---- embedding LSH family -------------------------------------------------
+
+def _sign_sigs(V: np.ndarray, n_planes: int, n_tables: int, seed: int):
+    planes = np.random.default_rng(seed).normal(
+        size=(n_tables, n_planes, V.shape[1]))
+    sigs = np.empty((n_tables, len(V)), dtype=np.int64)
+    for t in range(n_tables):
+        proj = V @ planes[t].T > 0
+        sigs[t] = (proj * (1 << np.arange(n_planes))).sum(axis=1)
+    return sigs
+
+
+def g_embedding_neardup_lsh(sf_dir):
+    emb = _load(sf_dir, "embeddings")
+    ids = emb["vec_id"].astype(int).to_numpy()
+    V = np.stack([np.asarray(e, dtype=np.float64) for e in emb["embedding"]])
+    sigs = _sign_sigs(V, n_planes=4, n_tables=16, seed=42)
+    cands = set()
+    for t in range(sigs.shape[0]):
+        bysig: dict = {}
+        for i, s in enumerate(sigs[t]):
+            bysig.setdefault(int(s), []).append(i)
+        for grp in bysig.values():
+            for x in range(len(grp)):
+                for y in range(x + 1, len(grp)):
+                    i, j = grp[x], grp[y]
+                    if ids[i] != ids[j]:
+                        cands.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
+    norm = np.sqrt((V * V).sum(axis=1))
+    pos = {int(v): i for i, v in enumerate(ids)}
+    recs = []
+    for ia, ib in sorted(cands):
+        i, j = pos[ia], pos[ib]
+        sim = float(V[i] @ V[j]) / (norm[i] * norm[j])
+        if sim >= 0.4:
+            recs.append((ia, ib, float(_r(sim))))
+    df = pd.DataFrame(recs, columns=["id_a", "id_b", "sim"])
+    return df, pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                          ("sim", pa.float64())])
+
+
+def g_lsh_ann_topk(sf_dir):
+    emb = _load(sf_dir, "embeddings")
+    ids = emb["vec_id"].astype(int).to_numpy()
+    V = np.stack([np.asarray(e, dtype=np.float64) for e in emb["embedding"]])
+    qmask = ids < 3
+    sigs_e = _sign_sigs(V, n_planes=8, n_tables=8, seed=42)
+    norm = np.sqrt((V * V).sum(axis=1))
+    recs = []
+    for qi in np.flatnonzero(qmask):
+        qid = str(ids[qi])
+        cand = set()
+        for t in range(sigs_e.shape[0]):
+            cand.update(ids[sigs_e[t] == sigs_e[t, qi]].tolist())
+        scored = []
+        for cid_ in sorted(cand):
+            j = int(np.flatnonzero(ids == cid_)[0])
+            sim = float(V[qi] @ V[j]) / (norm[qi] * norm[j])
+            scored.append((sim, cid_))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        for rk, (sim, cid_) in enumerate(scored[:5], 1):
+            recs.append((qid, cid_, float(_r(sim)), rk))
+    df = pd.DataFrame(recs, columns=["query_id", "vec_id", "sim", "rk"])
+    return df, pa.schema([("query_id", pa.string()), ("vec_id", pa.int64()),
+                          ("sim", pa.float64()), ("rk", pa.int32())])
+
+
+GOLDENS = {
+    "drift_1h_1d": g_drift_1h_1d,
+    "dtwnn_series": g_dtwnn_series,
+    "knn_series": g_knn_series,
+    "softdtw_pairs": g_softdtw_pairs,
+    "fastdtw_pairs": g_fastdtw_pairs,
+    "gdtw_pairs": g_gdtw_pairs,
+    "matrix_profile": g_matrix_profile,
+    "distance_profile": g_distance_profile,
+    "align_delays": g_align_delays,
+    "dba_reps": g_dba_reps,
+    "dbaclust_assign": g_dbaclust_assign,
+    "gorilla_roundtrip": g_gorilla_roundtrip,
+    "transcripts_rollup": g_transcripts_rollup,
+    "minhash_pairs": g_minhash_pairs,
+    "neardup_keep": g_neardup_keep,
+    "simhash": g_simhash,
+    "simhash_neardup": g_simhash_neardup,
+    "embedding_neardup_lsh": g_embedding_neardup_lsh,
+    "lsh_ann_topk": g_lsh_ann_topk,
+}
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+        _REPO, "golden", os.path.basename(sf_dir.rstrip("/")))
+    os.makedirs(out_dir, exist_ok=True)
+    only = sys.argv[3].split(",") if len(sys.argv) > 3 else None
+    for name, fn in GOLDENS.items():
+        if only and name not in only:
+            continue
+        df, schema = fn(sf_dir)
+        _write(out_dir, name, df, schema)
+
+
+if __name__ == "__main__":
+    main()

@@ -48,7 +48,11 @@ def test_entry_smoke(spark):
 @pytest.mark.parametrize("name", sorted(E.oracle_sql().keys()))
 def test_oracle_match(spark, duck, name):
     got = normalize(E.queries()[name](spark, SF).toPandas())
-    want = normalize(duck.execute(E.oracle_sql()[name]).df())
+    # golden-parquet oracles are generated per sf (scripts/make_goldens.py);
+    # the shipped SQL points at the driver's sf0.01 — remap to this run's SF
+    sql = E.oracle_sql()[name].replace(
+        "/golden/sf0.01/", f"/golden/{os.path.basename(SF.rstrip('/'))}/")
+    want = normalize(duck.execute(sql).df())
     assert list(got.columns) == list(want.columns), (
         f"{name}: column mismatch {got.columns} vs {want.columns}")
     assert len(got) == len(want), f"{name}: row count {len(got)} vs {len(want)}"
