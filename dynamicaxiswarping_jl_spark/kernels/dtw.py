@@ -60,6 +60,11 @@ def dtw_cost_matrix(seq1, seq2, dist=None, transportcost: float = 1.0,
     seq1 = np.asarray(seq1, dtype=np.float64)
     seq2 = np.asarray(seq2, dtype=np.float64)
     m, n = _lastlen(seq2), _lastlen(seq1)
+    if (seq1.ndim == 1 and m > 0 and n > 0 and d.name == "sqeuclidean"):
+        from . import native
+        if native.available():
+            D = native.full_matrix(seq1, seq2, float(transportcost))
+            return D if postprocess is None else postprocess(D)
     D = d.pairwise(seq2, seq1)  # (m, n): rows=seq2, cols=seq1
     D[1:, 0] = np.cumsum(D[:, 0])[1:]
     D[0, 1:] = np.cumsum(D[0, :])[1:]
@@ -130,11 +135,15 @@ def banded_dtw_cost_matrix(seq1, seq2, dist=None, i2min=None, i2max=None,
     if i2max[-1] != m:
         raise ValueError(f"i2max must end at length(seq2), was {i2max[-1]} != {m}")
 
-    D = np.full((m, n), _INF)
-    top = int(i2max[0])
     tc = float(transportcost)
     lo0 = i2min - 1  # 0-based inclusive lower rows per column
     hi0 = i2max - 1
+    if seq1.ndim == 1 and m > 0 and n > 0 and d.name == "sqeuclidean":
+        from . import native
+        if native.available():
+            return native.banded_matrix(seq1, seq2, lo0, hi0, tc)
+    D = np.full((m, n), _INF)
+    top = int(i2max[0])
     widths = i2max - i2min + 1
     if seq1.ndim == 1 and widths.max() <= 64:
         # Narrow band: scalar DP over per-column band segments only — a
@@ -371,6 +380,10 @@ def dtw_cost_batch(q: np.ndarray, W: np.ndarray, r: int,
     # dtype-preserving: float32 inputs compute in float32 (reference
     # documents Float32 as ~2x faster, README.md:148); anything else
     # promotes to float64
+    if np.asarray(W).ndim == 2 and np.asarray(W).shape[1] > 0:
+        from . import native
+        if native.available():
+            return native.cost_batch(q, W, r, float(transportcost))
     if np.asarray(q).dtype == np.float32 and np.asarray(W).dtype == np.float32:
         dt = np.float32
     else:
@@ -463,6 +476,11 @@ def dtw_cost(a, b, dist=None, r: int = 0, transportcost: float = 1.0,
         raise ValueError("cumulative_bound and a must have the same length")
     tc = float(transportcost)
 
+    if a.ndim == 1 and m > 0 and d.name == "sqeuclidean":
+        from . import native
+        if native.available():
+            return float(native.cost_band(a, b, r, tc,
+                                          float(best_so_far), cb))
     # Small-band fast path: for narrow bands the per-row NumPy dispatch
     # overhead dominates; a scalar DP over python floats is ~20x faster
     # (same recurrence, same abandon semantics).

@@ -1,0 +1,183 @@
+"""ctypes loader for the optional C DTW kernels (_native.c).
+
+The NumPy DP sweeps in dtw.py hit a per-row dispatch floor (~10 µs/row),
+which puts single-pair full/banded DTW 10-25× over the reference's SIMD
+numbers. _native.c is the same recurrence as straight-line C; this module
+compiles it once with the system C compiler into a content-hash-keyed
+cached .so and exposes it. Everything degrades to the NumPy paths when no
+compiler is available (``available()`` returns False) — set
+``SPARK_TSWARP_NO_NATIVE=1`` to force the fallback.
+
+Executor-safe: the cache key is the source hash, the build is atomic
+(tempfile + rename), so any number of Spark Python workers can race the
+first compile; losers just rename over an identical file or load the
+winner's.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+import threading
+
+import numpy as np
+
+__all__ = ["available", "lib"]
+
+_SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_native.c")
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _cache_dir() -> str:
+    base = os.environ.get("XDG_CACHE_HOME",
+                          os.path.join(os.path.expanduser("~"), ".cache"))
+    d = os.path.join(base, "spark_tswarp_native")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _compile() -> str | None:
+    with open(_SRC, "rb") as f:
+        src = f.read()
+    key = hashlib.sha256(src).hexdigest()[:16]
+    so = os.path.join(_cache_dir(), f"dtwnative_{key}.so")
+    if os.path.exists(so):
+        return so
+    for cc in ("cc", "gcc", "clang"):
+        try:
+            fd, tmp = tempfile.mkstemp(suffix=".so", dir=_cache_dir())
+            os.close(fd)
+            res = subprocess.run(
+                [cc, "-O3", "-march=native", "-fPIC", "-shared",
+                 "-o", tmp, _SRC, "-lm"],
+                capture_output=True, timeout=120)
+            if res.returncode == 0:
+                os.replace(tmp, so)  # atomic: racing workers converge
+                return so
+            os.unlink(tmp)
+        except (OSError, subprocess.SubprocessError):
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+    return None
+
+
+def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
+    dp = ctypes.POINTER(ctypes.c_double)
+    fp = ctypes.POINTER(ctypes.c_float)
+    lp = ctypes.POINTER(ctypes.c_long)
+    lib.dtw_full_sq.argtypes = [dp, ctypes.c_long, dp, ctypes.c_long,
+                                ctypes.c_double, dp]
+    lib.dtw_full_sq.restype = None
+    lib.dtw_banded_sq.argtypes = [dp, ctypes.c_long, dp, ctypes.c_long,
+                                  lp, lp, ctypes.c_double, dp]
+    lib.dtw_banded_sq.restype = None
+    lib.dtw_cost_band_sq.argtypes = [dp, dp, ctypes.c_long, ctypes.c_long,
+                                     ctypes.c_double, ctypes.c_double, dp, dp]
+    lib.dtw_cost_band_sq.restype = ctypes.c_double
+    lib.dtw_cost_batch_sq_f64.argtypes = [
+        dp, ctypes.c_int, dp, ctypes.c_long, ctypes.c_long, ctypes.c_long,
+        ctypes.c_double, dp, dp]
+    lib.dtw_cost_batch_sq_f64.restype = None
+    lib.dtw_cost_batch_sq_f32.argtypes = [
+        fp, ctypes.c_int, fp, ctypes.c_long, ctypes.c_long, ctypes.c_long,
+        ctypes.c_double, fp, fp]
+    lib.dtw_cost_batch_sq_f32.restype = None
+    return lib
+
+
+def lib():
+    """The loaded CDLL, or None when native kernels are unavailable."""
+    global _lib, _tried
+    if _tried:
+        return _lib
+    with _lock:
+        if _tried:
+            return _lib
+        if os.environ.get("SPARK_TSWARP_NO_NATIVE"):
+            _tried = True
+            return None
+        try:
+            so = _compile()
+            if so is not None:
+                _lib = _bind(ctypes.CDLL(so))
+        except OSError:
+            _lib = None
+        _tried = True
+    return _lib
+
+
+def available() -> bool:
+    return lib() is not None
+
+
+def _ptr(a: np.ndarray, ct):
+    return a.ctypes.data_as(ctypes.POINTER(ct))
+
+
+def full_matrix(s1: np.ndarray, s2: np.ndarray, tc: float) -> np.ndarray:
+    """(m, n) full cumulative matrix, rows = s2, cols = s1."""
+    L = lib()
+    s1 = np.ascontiguousarray(s1, dtype=np.float64)
+    s2 = np.ascontiguousarray(s2, dtype=np.float64)
+    D = np.empty((len(s2), len(s1)), dtype=np.float64)
+    L.dtw_full_sq(_ptr(s1, ctypes.c_double), len(s1),
+                  _ptr(s2, ctypes.c_double), len(s2), tc,
+                  _ptr(D, ctypes.c_double))
+    return D
+
+
+def banded_matrix(s1: np.ndarray, s2: np.ndarray, lo0: np.ndarray,
+                  hi0: np.ndarray, tc: float) -> np.ndarray:
+    L = lib()
+    s1 = np.ascontiguousarray(s1, dtype=np.float64)
+    s2 = np.ascontiguousarray(s2, dtype=np.float64)
+    lo0 = np.ascontiguousarray(lo0, dtype=np.int64)
+    hi0 = np.ascontiguousarray(hi0, dtype=np.int64)
+    D = np.full((len(s2), len(s1)), np.inf, dtype=np.float64)
+    L.dtw_banded_sq(_ptr(s1, ctypes.c_double), len(s1),
+                    _ptr(s2, ctypes.c_double), len(s2),
+                    _ptr(lo0, ctypes.c_long), _ptr(hi0, ctypes.c_long),
+                    tc, _ptr(D, ctypes.c_double))
+    return D
+
+
+def cost_band(a: np.ndarray, b: np.ndarray, r: int, tc: float,
+              bsf: float, cb: np.ndarray) -> float:
+    L = lib()
+    a = np.ascontiguousarray(a, dtype=np.float64)
+    b = np.ascontiguousarray(b, dtype=np.float64)
+    cb = np.ascontiguousarray(cb, dtype=np.float64)
+    m = len(a)
+    w = min(2 * r + 1, m)
+    buf = np.empty(2 * w, dtype=np.float64)
+    return L.dtw_cost_band_sq(_ptr(a, ctypes.c_double),
+                              _ptr(b, ctypes.c_double), m, r, tc, bsf,
+                              _ptr(cb, ctypes.c_double),
+                              _ptr(buf, ctypes.c_double))
+
+
+def cost_batch(q: np.ndarray, W: np.ndarray, r: int, tc: float) -> np.ndarray:
+    """Batched banded costs; dtype (float32/float64) follows the inputs
+    the same way dtw_cost_batch does."""
+    L = lib()
+    if np.asarray(q).dtype == np.float32 and np.asarray(W).dtype == np.float32:
+        dt, ct, fn = np.float32, ctypes.c_float, L.dtw_cost_batch_sq_f32
+    else:
+        dt, ct, fn = np.float64, ctypes.c_double, L.dtw_cost_batch_sq_f64
+    q = np.ascontiguousarray(q, dtype=dt)
+    W = np.ascontiguousarray(W, dtype=dt)
+    k, m = W.shape
+    pairwise = 1 if q.ndim == 2 else 0
+    out = np.empty(k, dtype=dt)
+    w = min(2 * int(r) + 1, m)
+    buf = np.empty(2 * w, dtype=dt)
+    fn(_ptr(q, ct), pairwise, _ptr(W, ct), k, m, int(r), tc,
+       _ptr(out, ct), _ptr(buf, ct))
+    return out

@@ -50,19 +50,35 @@ def _hash_params(k: int, seed: int):
     return a, b
 
 
-def _shingle_hashes(text_col: str, shingle: int):
-    """JVM expression: text → ARRAY<BIGINT> of distinct xxhash64 word-shingle
+def _tokens_expr(text_col: str) -> str:
+    return (f"filter(split(lower(coalesce({text_col}, '')), '\\\\s+'), "
+            f"t -> t != '')")
+
+
+def _with_shingle_hashes(docs: DataFrame, text_col: str, shingle: int,
+                         out: str = "_hv") -> DataFrame:
+    """docs + ``out`` = ARRAY<BIGINT> of distinct xxhash64 word-shingle
     hashes. Tokenize/shingle/hash all happen in whole-stage codegen — the
     Python side only ever sees 64-bit integers (VERDICT r01: per-byte
     Python hashing was the scale-killer). Never empty: token-poor docs
-    yield the single shingle of their joined tokens ('' when no tokens)."""
-    toks = f"filter(split(lower(coalesce({text_col}, '')), '\\\\s+'), t -> t != '')"
-    return F.expr(
+    yield the single shingle of their joined tokens ('' when no tokens).
+
+    The token array is materialized in its OWN projection: inlining the
+    split() into the shingle transform() lambda makes Catalyst re-evaluate
+    tokenization per shingle — O(doc_len · n_shingles) per doc. A small
+    input (one parquet split) is also re-spread so the string-heavy
+    projection isn't single-task."""
+    sc = docs.sparkSession.sparkContext
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        docs = docs.repartition(sc.defaultParallelism)
+    df = docs.withColumn("_toks", F.expr(_tokens_expr(text_col)))
+    return (df.withColumn(out, F.expr(
         f"transform(array_distinct(CASE "
-        f"WHEN size({toks}) >= {shingle} THEN "
-        f"  transform(sequence(1, size({toks}) - {shingle} + 1), "
-        f"            i -> concat_ws(' ', slice({toks}, i, {shingle}))) "
-        f"ELSE array(concat_ws(' ', {toks})) END), s -> xxhash64(s))")
+        f"WHEN size(_toks) >= {shingle} THEN "
+        f"  transform(sequence(1, size(_toks) - {shingle} + 1), "
+        f"            i -> concat_ws(' ', slice(_toks, i, {shingle}))) "
+        f"ELSE array(concat_ws(' ', _toks)) END), s -> xxhash64(s))"))
+        .drop("_toks"))
 
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text",
@@ -105,8 +121,8 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
                 i = j
             yield pd.DataFrame({id_col: ids, "sig": sigs})
 
-    hashed = docs.select(id_col,
-                         _shingle_hashes(text_col, shingle).alias("_hv"))
+    hashed = _with_shingle_hashes(docs.select(id_col, text_col), text_col,
+                                  shingle).select(id_col, "_hv")
     return hashed.mapInPandas(run, schema)
 
 
@@ -154,8 +170,6 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text",
         T.StructField(id_col, T.LongType()),
         T.StructField("simhash", T.LongType()),
     ])
-    toks = f"filter(split(lower(coalesce({text_col}, '')), '\\\\s+'), t -> t != '')"
-    hv_expr = F.expr(f"transform({toks}, t -> xxhash64(t))")
     FLAT_CAP = 1 << 17  # 64 × Σ|tokens| int8 working set per block
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -184,7 +198,15 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text",
                 i = j
             yield pd.DataFrame({id_col: ids, "simhash": out})
 
-    hashed = docs.select(id_col, hv_expr.alias("_hv"))
+    # token materialization + spread: same Catalyst re-evaluation trap as
+    # _with_shingle_hashes (transform lambda would inline the split)
+    sc = docs.sparkSession.sparkContext
+    base = docs.select(id_col, text_col)
+    if base.rdd.getNumPartitions() < sc.defaultParallelism:
+        base = base.repartition(sc.defaultParallelism)
+    hashed = (base.withColumn("_toks", F.expr(_tokens_expr(text_col)))
+              .select(id_col, F.expr("transform(_toks, t -> xxhash64(t))")
+                      .alias("_hv")))
     return hashed.mapInPandas(run, schema)
 
 

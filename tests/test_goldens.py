@@ -8,6 +8,7 @@ import sys
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
 
@@ -35,13 +36,14 @@ class TestXxh64Parity:
 
 class TestShingleParity:
     def test_matches_jvm_expr(self, spark):
-        from dynamicaxiswarping_jl_spark.operators.dedup import _shingle_hashes as jvm_sh
+        from dynamicaxiswarping_jl_spark.operators.dedup import _with_shingle_hashes
         texts = ["one two three four five", "  leading  and  trailing  ",
                  "one two", "", None, "single", "a b c d e f g h",
                  "Tab\tand\nnewline separated words here"]
-        df = (spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
-                                    "doc_id long, text string")
-              .select("doc_id", jvm_sh("text", 3).alias("hv"))
+        base = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                                     "doc_id long, text string")
+        df = (_with_shingle_hashes(base, "text", 3)
+              .select("doc_id", F.col("_hv").alias("hv"))
               .orderBy("doc_id").collect())
         for i, t in enumerate(texts):
             got = list(df[i]["hv"])

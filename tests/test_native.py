@@ -1,0 +1,111 @@
+"""Native (C/ctypes) kernel parity against the NumPy DP paths.
+
+The native kernels are an accelerator with identical semantics; every
+function must agree with the NumPy implementation to fp-reassociation
+tolerance, and the module must degrade cleanly when disabled."""
+
+import os
+
+import numpy as np
+import pytest
+
+from dynamicaxiswarping_jl_spark.kernels import native
+import importlib
+
+K = importlib.import_module("dynamicaxiswarping_jl_spark.kernels.dtw")
+
+
+@pytest.fixture(scope="module")
+def pair():
+    rng = np.random.default_rng(3)
+    return rng.normal(size=300), rng.normal(size=300)
+
+
+def _numpy_only():
+    """Context: force the NumPy paths (restores native state afterwards)."""
+    class Ctx:
+        def __enter__(self):
+            os.environ["SPARK_TSWARP_NO_NATIVE"] = "1"
+            native._tried, native._lib = False, None
+
+        def __exit__(self, *a):
+            os.environ.pop("SPARK_TSWARP_NO_NATIVE", None)
+            native._tried, native._lib = False, None
+    return Ctx()
+
+
+needs_native = pytest.mark.skipif(not native.available(),
+                                  reason="no C compiler in environment")
+
+
+@needs_native
+class TestNativeParity:
+    def test_full_matrix(self, pair):
+        a, b = pair
+        for tc in (1.0, 1.2):
+            D_nat = K.dtw_cost_matrix(a, b, transportcost=tc)
+            with _numpy_only():
+                D_np = K.dtw_cost_matrix(a, b, transportcost=tc)
+            np.testing.assert_allclose(D_nat, D_np, rtol=1e-12)
+
+    def test_banded_matrix(self, pair):
+        a, b = pair
+        imin, imax = K.radiuslimits(7, len(a), len(b))
+        D_nat = K.banded_dtw_cost_matrix(a, b, None, imin, imax)
+        with _numpy_only():
+            D_np = K.banded_dtw_cost_matrix(a, b, None, imin, imax)
+        mask = np.isfinite(D_np)
+        assert (np.isfinite(D_nat) == mask).all()
+        np.testing.assert_allclose(D_nat[mask], D_np[mask], rtol=1e-12)
+
+    def test_cost_band_and_batch(self, pair):
+        a, b = pair
+        for r in (0, 3, len(a) - 1):
+            c_nat = K.dtw_cost(a, b, None, r)
+            bt_nat = K.dtw_cost_batch(a, b[None, :], r)[0]
+            with _numpy_only():
+                c_np = K.dtw_cost(a, b, None, r)
+            assert c_nat == pytest.approx(c_np, rel=1e-12)
+            assert bt_nat == pytest.approx(c_np, rel=1e-12)
+
+    def test_early_abandon_is_lower_bound(self, pair):
+        a, b = pair
+        exact = K.dtw_cost(a, b, None, 5)
+        partial = K.dtw_cost(a, b, None, 5, best_so_far=exact / 4)
+        assert partial >= exact / 4
+        assert partial <= exact + 1e-9
+
+    def test_cumulative_bound_abandon_matches_numpy(self, pair):
+        a, b = pair
+        cb = np.linspace(3.0, 0.0, len(a))
+        bsf = K.dtw_cost(a, b, None, 5) * 0.8
+        got = K.dtw_cost(a, b, None, 5, best_so_far=bsf, cumulative_bound=cb)
+        with _numpy_only():
+            want = K.dtw_cost(a, b, None, 5, best_so_far=bsf,
+                              cumulative_bound=cb)
+        assert got == pytest.approx(want, rel=1e-12)
+
+    def test_float32_batch_dtype(self):
+        rng = np.random.default_rng(1)
+        q = rng.normal(size=50).astype(np.float32)
+        W = rng.normal(size=(8, 50)).astype(np.float32)
+        out = K.dtw_cost_batch(q, W, 4)
+        assert out.dtype == np.float32
+        with _numpy_only():
+            want = K.dtw_cost_batch(q, W, 4)
+        np.testing.assert_allclose(out, want, rtol=1e-5)
+
+    def test_multichannel_falls_back(self):
+        rng = np.random.default_rng(2)
+        A, B = rng.normal(size=(3, 40)), rng.normal(size=(3, 44))
+        got = K.dtw_cost_matrix(A, B)  # 2-D: must not hit the 1-D C path
+        with _numpy_only():
+            want = K.dtw_cost_matrix(A, B)
+        np.testing.assert_allclose(got, want, rtol=1e-12)
+
+    def test_disable_env_var(self, pair):
+        a, b = pair
+        with _numpy_only():
+            assert not native.available()
+            assert np.isfinite(K.dtw_cost(a, b, None, 5))
+        assert native.available()
