@@ -311,6 +311,15 @@ class TestApiSurface:
         missing = [n for n in names if not hasattr(K, n)]
         assert not missing, f"missing package exports: {missing}"
 
+    def test_plot_recipe_surface(self):
+        """src/plots.jl exports (dtwplot; matchplot/matchplot2 userplots,
+        DTWSearchResult recipe) — closed by the plots module."""
+        import dynamicaxiswarping_jl_spark.plots as P
+        names = ["dtwplot", "matchplot", "matchplot2", "dtwplot_data",
+                 "matchplot_data", "matchplot2_data", "searchresult_data"]
+        missing = [n for n in names if not hasattr(P, n)]
+        assert not missing, f"missing plot exports: {missing}"
+
     def test_operator_surface(self):
         import dynamicaxiswarping_jl_spark.operators as O
         names = [
