@@ -964,5 +964,5 @@ def oracle_sql() -> dict[str, str]:
                "distance_profile", "align_delays", "dba_reps",
                "dbaclust_assign", "gorilla_roundtrip", "transcripts_rollup",
                "minhash_pairs", "neardup_keep", "simhash", "simhash_neardup",
-               "embedding_neardup_lsh", "lsh_ann_topk")},
+               "embedding_neardup_lsh", "lsh_ann_topk", "ivf_ann_topk")},
     }

@@ -47,7 +47,8 @@ def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     sim = (_dot(vec_col, qvec_col) /
            (_norm(vec_col) * _norm(qvec_col))).alias("sim")
     scored = joined.select(qid_col, id_col, sim)
-    return topk_per_key(scored, qid_col, "sim", k, ascending=False)
+    return topk_per_key(scored, qid_col, "sim", k, ascending=False,
+                        tie_col=id_col)
 
 
 def _sign_lsh_signatures(df: DataFrame, vec_col: str, n_planes: int,
@@ -112,7 +113,8 @@ def lsh_cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     sim = (_dot(vec_col, qvec_col) /
            (_norm(vec_col) * _norm(qvec_col))).alias("sim")
     scored = joined.select(qid_col, id_col, sim)
-    return topk_per_key(scored, qid_col, "sim", k, ascending=False)
+    return topk_per_key(scored, qid_col, "sim", k, ascending=False,
+                        tie_col=id_col)
 
 
 def ivf_cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
@@ -125,9 +127,11 @@ def ivf_cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
 
     Scale path for ANN when the corpus doesn't fit a crossJoin:
 
-    1. *Train* (driver): seeded k-means on a bounded sample
-       (``train_sample`` rows via seeded ``.sample()`` — no global sort)
-       over L2-normalized vectors — centroids are tiny and broadcast.
+    1. *Train* (driver): seeded k-means on a bounded deterministic
+       sample (xxhash64 residue-class predicate + top-k by hash over the
+       tiny survivor set — no corpus sort, no RNG, partition-layout
+       independent) over L2-normalized vectors — centroids are tiny and
+       broadcast.
     2. *Assign* (executors): every vector → nearest centroid, one matmul
        per Arrow batch; the assignment is the partition key of the
        inverted lists, so the candidate join shuffles corpus-side data
@@ -138,17 +142,24 @@ def ivf_cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     Recall < 1 by construction (a true neighbor can live in an unprobed
     list); raise ``nprobe`` toward n_centroids to converge on exact.
     """
-    # seeded .sample(), never orderBy(hash).limit: a global sort of the
-    # corpus just to pick 2k training rows is a scale-killer (VERDICT r01).
-    # count() is a metadata-cheap scan; oversample 2× then cap.
+    # Deterministic, sort-free training sample: keep rows whose
+    # xxhash64(id) lands in a 1/p residue class (a scan-level predicate —
+    # no shuffle, no RNG state, independent of partition layout, unlike
+    # .sample()), then order the ~2·train_sample survivors by (hash, id).
+    # The corpus-wide work is one count + one predicate scan; the top-k
+    # runs over the tiny filtered subset only.
     pool = embeddings.select(id_col, vec_col)
     n_corpus = pool.count()
-    frac = min(1.0, 2.0 * train_sample / max(n_corpus, 1))
-    sample = pool.sample(fraction=frac, seed=seed).limit(train_sample).collect()
-    if not sample:  # tiny/empty corpus edge: take what exists
-        sample = pool.limit(train_sample).collect()
-    if not sample:
+    if n_corpus == 0:
         raise ValueError("ivf_cosine_topk: empty embeddings corpus")
+    p = max(1, n_corpus // (2 * train_sample))
+    h = F.xxhash64(F.col(id_col))
+    sample = (pool.filter(F.pmod(h, F.lit(p)) == 0)
+              .orderBy(h.asc(), F.col(id_col).asc())
+              .limit(train_sample).collect())
+    if not sample:  # degenerate residue class on a tiny corpus
+        sample = (pool.orderBy(h.asc(), F.col(id_col).asc())
+                  .limit(train_sample).collect())
     X = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
@@ -209,4 +220,4 @@ def ivf_cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     sim = (_dot(vec_col, qvec_col) /
            (_norm(vec_col) * _norm(qvec_col))).alias("sim")
     return topk_per_key(joined.select(qid_col, id_col, sim),
-                        qid_col, "sim", k, ascending=False)
+                        qid_col, "sim", k, ascending=False, tie_col=id_col)

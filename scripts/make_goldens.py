@@ -630,7 +630,77 @@ def g_lsh_ann_topk(sf_dir):
                           ("sim", pa.float64()), ("rk", pa.int32())])
 
 
+def xxh64_long(v: int, seed: int = 42) -> int:
+    """Spark xxhash64 over a BIGINT column (XxHash64Function.hashLong:
+    one 8-byte block + avalanche), unsigned."""
+    h = (seed + _P5 + 8) & _M64
+    k = (_rotl(((v & _M64) * _P2) & _M64, 31) * _P1) & _M64
+    h ^= k
+    h = (_rotl(h, 27) * _P1 + _P4) & _M64
+    h ^= h >> 33
+    h = (h * _P2) & _M64
+    h ^= h >> 29
+    h = (h * _P3) & _M64
+    h ^= h >> 32
+    return h
+
+
+def xxh64_long_signed(v: int, seed: int = 42) -> int:
+    h = xxh64_long(v, seed)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def g_ivf_ann_topk(sf_dir):
+    """Mirror ivf_cosine_topk(k=5, n_centroids=16, nprobe=8,
+    train_sample=2048, kmeans_iters=10, seed=42): deterministic
+    hash-residue training sample, seeded k-means, nearest-centroid
+    assignment, nprobe probing, exact cosine rerank with id tie-break."""
+    emb = _load(sf_dir, "embeddings")
+    ids = emb["vec_id"].astype(int).to_numpy()
+    V = np.stack([np.asarray(e, dtype=np.float64) for e in emb["embedding"]])
+    n = len(ids)
+    train_sample, n_centroids, nprobe, kmeans_iters, seed, k = \
+        2048, 16, 8, 10, 42, 5
+    p = max(1, n // (2 * train_sample))
+    hv = np.array([xxh64_long_signed(int(v)) for v in ids], dtype=np.int64)
+    sel = np.flatnonzero(hv % p == 0)  # pmod of int64: sign follows divisor
+    order = np.lexsort((ids[sel], hv[sel]))
+    sel = sel[order][:train_sample]
+    if len(sel) == 0:
+        sel = np.lexsort((ids, hv))[:train_sample]
+    X = V[sel].copy()
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    nc = min(n_centroids, len(X))
+    C = X[rng.choice(len(X), size=nc, replace=False)].copy()
+    for _ in range(kmeans_iters):
+        assign = (X @ C.T).argmax(axis=1)
+        for c in range(nc):
+            m = assign == c
+            if m.any():
+                v = X[m].mean(axis=0)
+                C[c] = v / max(np.linalg.norm(v), 1e-12)
+    Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+    centroid = (Vn @ C.T).argmax(axis=1)
+    norm = np.sqrt((V * V).sum(axis=1))
+    recs = []
+    for qi in np.flatnonzero(ids < 3):
+        qid = str(ids[qi])
+        qv = V[qi] / max(np.linalg.norm(V[qi]), 1e-12)
+        probes = np.argsort(-(C @ qv))[:nprobe]
+        cand = np.flatnonzero(np.isin(centroid, probes))
+        scored = sorted(
+            ((float(V[qi] @ V[j]) / (norm[qi] * norm[j]), int(ids[j]))
+             for j in cand), key=lambda t: (-t[0], t[1]))
+        for rk, (sim, cid_) in enumerate(scored[:k], 1):
+            recs.append((qid, cid_, float(_r(sim)), rk))
+    df = pd.DataFrame(recs, columns=["query_id", "vec_id", "sim", "rk"])
+    return df, pa.schema([("query_id", pa.string()), ("vec_id", pa.int64()),
+                          ("sim", pa.float64()), ("rk", pa.int32())])
+
+
 GOLDENS = {
+    "ivf_ann_topk": g_ivf_ann_topk,
     "drift_1h_1d": g_drift_1h_1d,
     "dtwnn_series": g_dtwnn_series,
     "knn_series": g_knn_series,
