@@ -411,8 +411,10 @@ def q_dtwnn_series(spark, sf_dir):
 
 def q_knn_series(spark, sf_dir):
     series = _series_from_events(spark, sf_dir).filter(F.col("conv_id").cast("long") < 40)
-    # re-rank with an explicit (cost, id_b) tie-break so rk is deterministic
-    # (knn_topk's internal row_number orders by cost alone)
+    # re-rank on the ROUNDED cost with an id_b tie-break: knn_topk already
+    # ties deterministically on the raw cost, but two neighbors whose raw
+    # costs differ in ulps can collide after _r(cost, 4) — rk must follow
+    # the rounded value the oracle sees
     res = knn_topk(series, k=3, radius=5).select(
         "id_a", "id_b", _r("cost", 4).alias("cost"))
     w = Window.partitionBy("id_a").orderBy(
@@ -499,7 +501,13 @@ def q_fastdtw_pairs(spark, sf_dir):
 def q_matrix_profile(spark, sf_dir):
     series = _series_from_events(spark, sf_dir).filter(
         F.col("conv_id").cast("long") < 10)
-    return matrix_profile_op(series, m=24, radius=5)
+    # round nn_dist like every other float output: the golden compare is
+    # bit-exact, and an unrounded column would couple golden validity to
+    # the fp-reassociation level of whichever kernel path (C vs NumPy)
+    # happens to be active
+    return (matrix_profile_op(series, m=24, radius=5)
+            .select("conv_id", "loc", _r("nn_dist", 4).alias("nn_dist"),
+                    "nn_loc"))
 
 
 def q_distance_profile(spark, sf_dir):

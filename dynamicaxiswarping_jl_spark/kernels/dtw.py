@@ -60,7 +60,10 @@ def dtw_cost_matrix(seq1, seq2, dist=None, transportcost: float = 1.0,
     seq1 = np.asarray(seq1, dtype=np.float64)
     seq2 = np.asarray(seq2, dtype=np.float64)
     m, n = _lastlen(seq2), _lastlen(seq1)
-    if (seq1.ndim == 1 and m > 0 and n > 0 and d.name == "sqeuclidean"):
+    # native gate requires BOTH operands 1-D: a mixed 1-D/2-D call must
+    # keep the NumPy path's broadcasting semantics, not read raw memory
+    if (seq1.ndim == 1 and seq2.ndim == 1 and m > 0 and n > 0
+            and d.name == "sqeuclidean"):
         from . import native
         if native.available():
             D = native.full_matrix(seq1, seq2, float(transportcost))
@@ -138,7 +141,8 @@ def banded_dtw_cost_matrix(seq1, seq2, dist=None, i2min=None, i2max=None,
     tc = float(transportcost)
     lo0 = i2min - 1  # 0-based inclusive lower rows per column
     hi0 = i2max - 1
-    if seq1.ndim == 1 and m > 0 and n > 0 and d.name == "sqeuclidean":
+    if (seq1.ndim == 1 and seq2.ndim == 1 and m > 0 and n > 0
+            and d.name == "sqeuclidean"):
         from . import native
         if native.available():
             return native.banded_matrix(seq1, seq2, lo0, hi0, tc)
@@ -380,7 +384,13 @@ def dtw_cost_batch(q: np.ndarray, W: np.ndarray, r: int,
     # dtype-preserving: float32 inputs compute in float32 (reference
     # documents Float32 as ~2x faster, README.md:148); anything else
     # promotes to float64
-    if np.asarray(W).ndim == 2 and np.asarray(W).shape[1] > 0:
+    _q, _W = np.asarray(q), np.asarray(W)
+    # native gate: shapes must be exactly valid (1-D q of length m, or
+    # (k, m) pairwise q) — anything else keeps the NumPy path's error
+    # behavior instead of reading out of bounds in C
+    if (_W.ndim == 2 and _W.shape[1] > 0
+            and ((_q.ndim == 1 and _q.shape[0] == _W.shape[1])
+                 or (_q.ndim == 2 and _q.shape == _W.shape))):
         from . import native
         if native.available():
             return native.cost_batch(q, W, r, float(transportcost))
@@ -476,7 +486,8 @@ def dtw_cost(a, b, dist=None, r: int = 0, transportcost: float = 1.0,
         raise ValueError("cumulative_bound and a must have the same length")
     tc = float(transportcost)
 
-    if a.ndim == 1 and m > 0 and d.name == "sqeuclidean":
+    if (a.ndim == 1 and b.ndim == 1 and m > 0
+            and d.name == "sqeuclidean"):
         from . import native
         if native.available():
             return float(native.cost_band(a, b, r, tc,

@@ -19,6 +19,7 @@ from __future__ import annotations
 import ctypes
 import hashlib
 import os
+import platform
 import subprocess
 import tempfile
 import threading
@@ -27,10 +28,39 @@ import numpy as np
 
 __all__ = ["available", "lib"]
 
-_SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_native.c")
 _lock = threading.Lock()
 _lib = None
 _tried = False
+
+
+def _source() -> bytes:
+    """_native.c bytes — via importlib.resources so it also resolves when
+    the package ships inside engine.zip (spark-submit --py-files)."""
+    try:
+        from importlib.resources import files
+        return files(__package__).joinpath("_native.c").read_bytes()
+    except Exception:  # noqa: BLE001 — fall back to a plain file path
+        p = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "_native.c")
+        with open(p, "rb") as f:
+            return f.read()
+
+
+def _host_tag() -> str:
+    """CPU identity folded into the cache key: -march=native binaries are
+    ISA-specific, and a home dir shared across heterogeneous nodes must
+    not serve one node's AVX-512 build to an older core (SIGILL)."""
+    tag = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("model name", "flags")):
+                    tag += line
+                    if line.startswith("flags"):
+                        break
+    except OSError:
+        pass
+    return hashlib.sha256(tag.encode()).hexdigest()[:8]
 
 
 def _cache_dir() -> str:
@@ -42,29 +72,36 @@ def _cache_dir() -> str:
 
 
 def _compile() -> str | None:
-    with open(_SRC, "rb") as f:
-        src = f.read()
+    src = _source()
     key = hashlib.sha256(src).hexdigest()[:16]
-    so = os.path.join(_cache_dir(), f"dtwnative_{key}.so")
+    so = os.path.join(_cache_dir(), f"dtwnative_{key}_{_host_tag()}.so")
     if os.path.exists(so):
         return so
     for cc in ("cc", "gcc", "clang"):
+        tmp = None
+        csrc = None
         try:
+            fd, csrc = tempfile.mkstemp(suffix=".c", dir=_cache_dir())
+            with os.fdopen(fd, "wb") as f:
+                f.write(src)  # compile from a real file (src may be zipped)
             fd, tmp = tempfile.mkstemp(suffix=".so", dir=_cache_dir())
             os.close(fd)
             res = subprocess.run(
                 [cc, "-O3", "-march=native", "-fPIC", "-shared",
-                 "-o", tmp, _SRC, "-lm"],
+                 "-o", tmp, csrc, "-lm"],
                 capture_output=True, timeout=120)
             if res.returncode == 0:
                 os.replace(tmp, so)  # atomic: racing workers converge
                 return so
-            os.unlink(tmp)
         except (OSError, subprocess.SubprocessError):
-            try:
-                os.unlink(tmp)
-            except OSError:
-                pass
+            pass
+        finally:
+            for p in (tmp, csrc):
+                if p is not None and os.path.exists(p) and p != so:
+                    try:
+                        os.unlink(p)
+                    except OSError:
+                        pass
     return None
 
 
@@ -107,7 +144,7 @@ def lib():
             so = _compile()
             if so is not None:
                 _lib = _bind(ctypes.CDLL(so))
-        except OSError:
+        except Exception:  # noqa: BLE001 — any failure degrades to NumPy
             _lib = None
         _tried = True
     return _lib

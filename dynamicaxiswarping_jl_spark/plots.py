@@ -157,6 +157,13 @@ class MatchPlot2Data:
     s2: np.ndarray
     segments: list = field(default_factory=list)
 
+    def ascii(self, width: int = 70, height: int = 16) -> str:
+        """Channel-0 overlay of both warped signals (same grid renderer
+        as MatchPlotData — the multichannel geometry needs a real 2-D
+        backend, so ASCII shows the leading channel)."""
+        return MatchPlotData(self.s1[0], self.s2[0],
+                             np.zeros(0), np.zeros(0)).ascii(width, height)
+
 
 def matchplot2_data(x, y, dist=None, D=None, i1=None, i2=None,
                     transportcost: float = 1.0, separation: float = 0.5,
@@ -257,8 +264,10 @@ def matchplot2(x, y, dist=None, backend: str = "auto", **kw):
     plt = _mpl() if backend in ("auto", "mpl") else None
     if backend == "mpl" and plt is None:
         raise ImportError("matplotlib is required for backend='mpl'")
-    if backend == "data" or plt is None:
+    if backend == "data":
         return data
+    if plt is None:
+        return data.ascii()
     fig, ax = plt.subplots(figsize=(8, 5))
     if data.s1.shape[0] >= 2:
         ax.plot(data.s1[0], data.s1[1])

@@ -308,7 +308,7 @@ def g_matrix_profile(sf_dir):
         frames.append(pd.DataFrame({
             "conv_id": cid,
             "loc": np.arange(1, len(P) + 1, dtype=np.int32),
-            "nn_dist": P, "nn_loc": I.astype(np.int32)}))
+            "nn_dist": _r(P), "nn_loc": I.astype(np.int32)}))
     df = pd.concat(frames, ignore_index=True)
     return df, pa.schema([("conv_id", pa.string()), ("loc", pa.int32()),
                           ("nn_dist", pa.float64()), ("nn_loc", pa.int32())])

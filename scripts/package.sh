@@ -11,7 +11,10 @@ with zipfile.ZipFile("dist/engine.zip", "w", zipfile.ZIP_DEFLATED) as z:
         if "__pycache__" in root:
             continue
         for f in files:
-            if f.endswith(".py"):
+            # .c rides along so executors can compile the native kernels
+            # (native.py reads it through importlib.resources, which
+            # resolves inside the zip)
+            if f.endswith((".py", ".c")):
                 p = os.path.join(root, f)
                 z.write(p, p)
 print("wrote dist/engine.zip")
