@@ -112,20 +112,30 @@ def run_kernel_bench():
 
     rng = np.random.default_rng(42)
     out = {}
+
+    def best_of(fn, n=3):
+        """Best of n runs: the host carries external load with 2-7×
+        spikes (CLAUDE.md), and a single-shot sample would record noise
+        as a kernel regression."""
+        best = float("inf")
+        for _ in range(n):
+            t0 = time.time()
+            fn()
+            best = min(best, time.time() - t0)
+        return best
+
     y = np.cumsum(rng.normal(size=1_000_000))
     q = y[500_000:500_100].copy()
     dtwnn(q[:50], y[:100_000], "sqeuclidean", 5, "znorm")  # warm numpy paths
-    t0 = time.time()
-    dtwnn(q, y, "sqeuclidean", 5, "znorm")
-    out["dtwnn_100_in_1e6_znorm_ms"] = round((time.time() - t0) * 1000, 1)
+    out["dtwnn_100_in_1e6_znorm_ms"] = round(best_of(
+        lambda: dtwnn(q, y, "sqeuclidean", 5, "znorm")) * 1000, 1)
     y32, q32 = y.astype(np.float32), q.astype(np.float32)
-    t0 = time.time()
-    dtwnn(q32, y32, "sqeuclidean", 5, "znorm", dtype=np.float32)
-    out["dtwnn_100_in_1e6_znorm_f32_ms"] = round((time.time() - t0) * 1000, 1)
+    out["dtwnn_100_in_1e6_znorm_f32_ms"] = round(best_of(
+        lambda: dtwnn(q32, y32, "sqeuclidean", 5, "znorm",
+                      dtype=np.float32)) * 1000, 1)
     y5, q5 = y[:100_000], y[50_000:50_100].copy()
-    t0 = time.time()
-    dtwnn(q5, y5, "sqeuclidean", 5)
-    out["dtwnn_100_in_1e5_ms"] = round((time.time() - t0) * 1000, 1)
+    out["dtwnn_100_in_1e5_ms"] = round(best_of(
+        lambda: dtwnn(q5, y5, "sqeuclidean", 5)) * 1000, 1)
     a = rng.normal(size=1000)
     b = rng.normal(size=1000)
     t0 = time.time()

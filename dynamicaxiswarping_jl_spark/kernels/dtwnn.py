@@ -284,13 +284,20 @@ def dtwnn(q, y, dist=None, rad: int = 5, normalizer: Optional[str] = None, *,
             # bootstrap of lowest-endpoint-LB windows establishes one
             # first (zero-heavy series make the endpoint LB weak, so the
             # envelope filter right after is what actually prunes).
-            order0 = cand[np.argsort(lbe[cand], kind="stable")]
+            # argpartition, not argsort: the bootstrap only needs the BOOT
+            # smallest endpoint-LBs, and an O(n log n) sort of ~10⁶ window
+            # LBs was the single largest cost of the whole search (the
+            # survivors get properly sorted below, where the set is small)
             if np.isfinite(best_so_far):
-                rest = order0  # seeded by the caller: skip the bootstrap
+                rest = cand  # seeded by the caller: skip the bootstrap
             else:
-                BOOT = 64
-                boot = order0[:BOOT]
-                if len(boot):
+                BOOT = min(64, len(cand))
+                if BOOT:
+                    lc = lbe[cand]
+                    part = (np.argpartition(lc, BOOT - 1)[:BOOT]
+                            if len(cand) > BOOT else np.arange(len(cand)))
+                    part = part[np.argsort(lc[part], kind="stable")]
+                    boot = cand[part]
                     W = X[boot]
                     if use_znorm:
                         W = (W - mu[boot, None]) / sd[boot, None]
@@ -300,7 +307,11 @@ def dtwnn(q, y, dist=None, rad: int = 5, normalizer: Optional[str] = None, *,
                     cmin = costs.min()
                     if cmin < best_so_far:
                         best_so_far = cmin
-                rest = order0[len(boot):]
+                    keep = np.ones(len(cand), dtype=bool)
+                    keep[part] = False
+                    rest = cand[keep]
+                else:
+                    rest = cand
             rest = rest[lbe[rest] <= bsf_multiplier * best_so_far]
             if len(rest):
                 lbv[rest] = _lb_env_subset(d.name, y, m, l_env, u_env,
