@@ -189,3 +189,42 @@ void NAME(const T *q, int pairwise, const T *W, long k, long m, long r,  \
 
 BATCH_IMPL(dtw_cost_batch_sq_f64, double)
 BATCH_IMPL(dtw_cost_batch_sq_f32, float)
+
+/* LB_Keogh totals for a subset of window starts (mirrors
+ * _lb_env_subset in dtwnn.py): per-step envelope excess
+ * e = max(x-u_raw, 0) + max(l_raw - x, 0), rescaled by 1/sd under
+ * z-normalization, squared for SqEuclidean. No window gather, no
+ * temporaries — one streaming pass per candidate. */
+#define LB_ENV_IMPL(NAME, T)                                             \
+void NAME(const T *y, long m, const T *l, const T *u,                    \
+          const T *mu, const T *sd, int use_norm, int squared,           \
+          const long *cand, long k, T *out)                              \
+{                                                                        \
+    for (long p = 0; p < k; p++) {                                       \
+        const long c = cand[p];                                          \
+        const T *x = y + c;                                              \
+        T acc = (T)0;                                                    \
+        if (use_norm) {                                                  \
+            const T scale = sd[c], off = mu[c];                          \
+            const T inv = (T)1 / scale;                                  \
+            for (long j = 0; j < m; j++) {                               \
+                T ur = u[j] * scale + off;                               \
+                T lr = l[j] * scale + off;                               \
+                T e = x[j] > ur ? x[j] - ur                              \
+                    : (lr > x[j] ? lr - x[j] : (T)0);                    \
+                e *= inv;                                                \
+                acc += squared ? e * e : e;                              \
+            }                                                            \
+        } else {                                                         \
+            for (long j = 0; j < m; j++) {                               \
+                T e = x[j] > u[j] ? x[j] - u[j]                          \
+                    : (l[j] > x[j] ? l[j] - x[j] : (T)0);                \
+                acc += squared ? e * e : e;                              \
+            }                                                            \
+        }                                                                \
+        out[p] = acc;                                                    \
+    }                                                                    \
+}
+
+LB_ENV_IMPL(lb_env_subset_f64, double)
+LB_ENV_IMPL(lb_env_subset_f32, float)

@@ -159,6 +159,12 @@ def _lb_env_subset(dist_name: str, y: np.ndarray, m: int, l: np.ndarray,
     the reference's per-window ``lb_env!`` after endpoint pruning
     (src/dtwnn.jl:203-213) — the full O(n·m) sweep is only worth paying
     when endpoints prune nothing."""
+    if y.ndim == 1 and dist_name in ("sqeuclidean", "euclidean",
+                                     "cityblock"):
+        from . import native
+        if native.available():
+            return native.lb_env_subset(y, m, l, u, mu, sd,
+                                        dist_name == "sqeuclidean", cand)
     out = np.empty(len(cand))
     windows = np.lib.stride_tricks.sliding_window_view(y, m)
     B = 1 << 16
@@ -313,7 +319,15 @@ def dtwnn(q, y, dist=None, rad: int = 5, normalizer: Optional[str] = None, *,
                 else:
                     rest = cand
             rest = rest[lbe[rest] <= bsf_multiplier * best_so_far]
-            if len(rest):
+            from . import native as _nat
+            if (len(rest) > nw // 4 and onedim and not _nat.available()):
+                # weak endpoint pruning WITHOUT the C kernels: the
+                # gather-based NumPy subset sweep materializes ~(|rest|, m)
+                # window copies; the streamed full sweep (m contiguous
+                # passes, no gather) is cheaper once most windows survive.
+                # (The C subset path streams per candidate and beats both.)
+                lbv = _lb_env_all(d.name, y, m, l_env, u_env, mu, sd)
+            elif len(rest):
                 lbv[rest] = _lb_env_subset(d.name, y, m, l_env, u_env,
                                            mu, sd, rest)
             cand = rest

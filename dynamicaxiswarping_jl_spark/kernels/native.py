@@ -126,6 +126,14 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         fp, ctypes.c_int, fp, ctypes.c_long, ctypes.c_long, ctypes.c_long,
         ctypes.c_double, fp, fp]
     lib.dtw_cost_batch_sq_f32.restype = None
+    lib.lb_env_subset_f64.argtypes = [
+        dp, ctypes.c_long, dp, dp, dp, dp, ctypes.c_int, ctypes.c_int,
+        lp, ctypes.c_long, dp]
+    lib.lb_env_subset_f64.restype = None
+    lib.lb_env_subset_f32.argtypes = [
+        fp, ctypes.c_long, fp, fp, fp, fp, ctypes.c_int, ctypes.c_int,
+        lp, ctypes.c_long, fp]
+    lib.lb_env_subset_f32.restype = None
     return lib
 
 
@@ -198,6 +206,32 @@ def cost_band(a: np.ndarray, b: np.ndarray, r: int, tc: float,
                               _ptr(b, ctypes.c_double), m, r, tc, bsf,
                               _ptr(cb, ctypes.c_double),
                               _ptr(buf, ctypes.c_double))
+
+
+def lb_env_subset(y: np.ndarray, m: int, l: np.ndarray, u: np.ndarray,
+                  mu, sd, squared: bool, cand: np.ndarray) -> np.ndarray:
+    """LB_Keogh totals for candidate window starts — streaming C pass,
+    no window gather (the NumPy subset path materializes (k, m) copies)."""
+    L = lib()
+    dt = np.float32 if np.asarray(y).dtype == np.float32 else np.float64
+    ct = ctypes.c_float if dt == np.float32 else ctypes.c_double
+    fn = L.lb_env_subset_f32 if dt == np.float32 else L.lb_env_subset_f64
+    y = np.ascontiguousarray(y, dtype=dt)
+    l = np.ascontiguousarray(l, dtype=dt)
+    u = np.ascontiguousarray(u, dtype=dt)
+    cand = np.ascontiguousarray(cand, dtype=np.int64)
+    out = np.empty(len(cand), dtype=dt)
+    use_norm = 1 if mu is not None else 0
+    if use_norm:
+        mu = np.ascontiguousarray(mu, dtype=dt)
+        sd = np.ascontiguousarray(sd, dtype=dt)
+        mp, sp = _ptr(mu, ct), _ptr(sd, ct)
+    else:
+        mp = sp = _ptr(y, ct)  # unused by C when use_norm == 0
+    fn(_ptr(y, ct), m, _ptr(l, ct), _ptr(u, ct), mp, sp,
+       use_norm, 1 if squared else 0,
+       _ptr(cand, ctypes.c_long), len(cand), _ptr(out, ct))
+    return out
 
 
 def cost_batch(q: np.ndarray, W: np.ndarray, r: int, tc: float) -> np.ndarray:
