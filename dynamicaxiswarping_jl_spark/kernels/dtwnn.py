@@ -66,10 +66,9 @@ def _lb_endpoints_all(dist_name: str, q: np.ndarray, y: np.ndarray, m: int,
     """
     n = len(y)
     nw = n - m + 1
-    idx = np.arange(nw)
 
     def norm_at(off):
-        v = y[idx + off]
+        v = y[off:off + nw]  # contiguous view — fancy-indexing would copy
         if mu is None:
             return v
         return (v - mu) / sd
