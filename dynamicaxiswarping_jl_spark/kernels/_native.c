@@ -228,3 +228,245 @@ void NAME(const T *y, long m, const T *l, const T *u,                    \
 
 LB_ENV_IMPL(lb_env_subset_f64, double)
 LB_ENV_IMPL(lb_env_subset_f32, float)
+
+/* ---------------------------------------------------------------------
+ * Gorilla / delta-of-delta codec (operators/compression.py bit format,
+ * per the Gorilla paper VLDB'15 §4.1/4.2). MSB-first bit stream,
+ * BIT-IDENTICAL to the Python _BitWriter/_BitReader implementation —
+ * asserted by tests/test_native.py cross-parity (same bytes, same CRC).
+ * ------------------------------------------------------------------- */
+
+#include <string.h>
+
+typedef struct {
+    unsigned char *buf;
+    long cap, len;
+    unsigned long long acc;
+    int nbits;
+} BW;
+
+static int bw_put(BW *w, unsigned long long v, int bits)
+{
+    while (bits > 0) {
+        int take = bits > 32 ? 32 : bits;
+        unsigned long long piece =
+            (take >= 64) ? v : ((v >> (bits - take)) & ((1ULL << take) - 1));
+        w->acc = (w->acc << take) | piece;
+        w->nbits += take;
+        while (w->nbits >= 8) {
+            if (w->len >= w->cap) return -1;
+            w->nbits -= 8;
+            w->buf[w->len++] = (unsigned char)((w->acc >> w->nbits) & 0xFF);
+        }
+        w->acc &= (1ULL << w->nbits) - 1;
+        bits -= take;
+    }
+    return 0;
+}
+
+static int bw_zeros(BW *w, long k)
+{
+    if (w->nbits) {
+        int t = 8 - w->nbits;
+        if (t > k) t = (int)k;
+        if (bw_put(w, 0, t)) return -1;
+        k -= t;
+    }
+    long nb = k >> 3;
+    if (nb) {
+        if (w->len + nb > w->cap) return -1;
+        memset(w->buf + w->len, 0, (size_t)nb);
+        w->len += nb;
+        k -= nb << 3;
+    }
+    if (k) return bw_put(w, 0, (int)k);
+    return 0;
+}
+
+/* Encode (ts, vals) into out; returns payload byte length or -1 on
+ * insufficient cap. t0/v0 live outside the payload (chunk struct). */
+long gorilla_encode_c(const long long *ts, const double *vals, long n,
+                      unsigned char *out, long cap)
+{
+    BW w = {out, cap, 0, 0, 0};
+    long run = 0;
+    long long prev_delta = 0;
+    for (long i = 0; i < n - 1; i++) {
+        long long delta = ts[i + 1] - ts[i];
+        long long dod = (i == 0) ? delta : delta - prev_delta;
+        prev_delta = delta;
+        if (dod == 0) { run++; continue; }
+        if (run && bw_zeros(&w, run)) return -1;
+        run = 0;
+        if (-63 <= dod && dod <= 64) {
+            if (bw_put(&w, 2, 2) || bw_put(&w, (unsigned long long)(dod + 63), 7))
+                return -1;
+        } else if (-255 <= dod && dod <= 256) {
+            if (bw_put(&w, 6, 3) || bw_put(&w, (unsigned long long)(dod + 255), 9))
+                return -1;
+        } else if (-2047 <= dod && dod <= 2048) {
+            if (bw_put(&w, 14, 4) || bw_put(&w, (unsigned long long)(dod + 2047), 12))
+                return -1;
+        } else {
+            unsigned long long zz =
+                ((unsigned long long)dod << 1) ^ (unsigned long long)(dod >> 63);
+            if (bw_put(&w, 15, 4) || bw_put(&w, zz, 64)) return -1;
+        }
+    }
+    if (run && bw_zeros(&w, run)) return -1;
+
+    const unsigned long long *b = (const unsigned long long *)vals;
+    int prev_lead = 65, prev_mean = 0;
+    run = 0;
+    for (long i = 0; i < n - 1; i++) {
+        unsigned long long x = b[i + 1] ^ b[i];
+        if (!x) { run++; continue; }
+        if (run && bw_zeros(&w, run)) return -1;
+        run = 0;
+        int lead = __builtin_clzll(x);
+        if (lead > 31) lead = 31;
+        int trail = __builtin_ctzll(x);
+        int mean = 64 - lead - trail;
+        if (bw_put(&w, 1, 1)) return -1;
+        int prev_trail = 64 - prev_lead - prev_mean;
+        if (lead >= prev_lead && trail >= prev_trail) {
+            if (bw_put(&w, 0, 1) || bw_put(&w, x >> prev_trail, prev_mean))
+                return -1;
+        } else {
+            if (bw_put(&w, 1, 1) || bw_put(&w, (unsigned long long)lead, 5)
+                || bw_put(&w, (unsigned long long)(mean - 1), 6)
+                || bw_put(&w, x >> trail, mean))
+                return -1;
+            prev_lead = lead;
+            prev_mean = mean;
+        }
+    }
+    if (run && bw_zeros(&w, run)) return -1;
+    if (w.nbits) {
+        if (w.len >= w.cap) return -1;
+        w.buf[w.len++] = (unsigned char)((w.acc << (8 - w.nbits)) & 0xFF);
+    }
+    return w.len;
+}
+
+typedef struct {
+    const unsigned char *d;
+    long nbits, pos;
+} BR;
+
+static inline int br_bit(BR *r)
+{
+    if (r->pos >= r->nbits) return -1;
+    int b = (r->d[r->pos >> 3] >> (7 - (r->pos & 7))) & 1;
+    r->pos++;
+    return b;
+}
+
+static int br_read(BR *r, int k, unsigned long long *out)
+{
+    if (r->pos + k > r->nbits) return -1;
+    unsigned long long v = 0;
+    for (int j = 0; j < k; j++) {
+        v = (v << 1) | (unsigned long long)((r->d[r->pos >> 3]
+                                            >> (7 - (r->pos & 7))) & 1);
+        r->pos++;
+    }
+    *out = v;
+    return 0;
+}
+
+/* Decode payload into ts/vals (both length n). 0 = ok, -1 = overrun. */
+int gorilla_decode_c(long n, long long t0, double v0,
+                     const unsigned char *payload, long nbytes,
+                     long long *ts_out, double *vals_out)
+{
+    ts_out[0] = t0;
+    memcpy(&vals_out[0], &v0, 8);
+    if (n == 1) return 0;
+    BR r = {payload, nbytes * 8, 0};
+    long long delta = 0, t = t0;
+    for (long i = 0; i < n - 1;) {
+        /* zero-run control bits: one per unchanged record */
+        int b;
+        while (i < n - 1) {
+            /* byte-aligned all-zero fast path */
+            if ((r.pos & 7) == 0 && i + 8 <= n - 1 && r.pos + 8 <= r.nbits
+                && r.d[r.pos >> 3] == 0) {
+                r.pos += 8;
+                for (int z = 0; z < 8; z++) {
+                    delta += 0; t += delta; ts_out[++i] = t;
+                }
+                continue;
+            }
+            b = br_bit(&r);
+            if (b < 0) return -1;
+            if (b) break;
+            t += delta;
+            ts_out[++i] = t;
+        }
+        if (i >= n - 1) break;
+        long long dod;
+        unsigned long long u;
+        b = br_bit(&r);
+        if (b < 0) return -1;
+        if (b == 0) {
+            if (br_read(&r, 7, &u)) return -1;
+            dod = (long long)u - 63;
+        } else {
+            b = br_bit(&r);
+            if (b < 0) return -1;
+            if (b == 0) {
+                if (br_read(&r, 9, &u)) return -1;
+                dod = (long long)u - 255;
+            } else {
+                b = br_bit(&r);
+                if (b < 0) return -1;
+                if (b == 0) {
+                    if (br_read(&r, 12, &u)) return -1;
+                    dod = (long long)u - 2047;
+                } else {
+                    if (br_read(&r, 64, &u)) return -1;
+                    dod = (long long)(u >> 1) ^ -(long long)(u & 1);
+                }
+            }
+        }
+        delta += dod;
+        t += delta;
+        ts_out[++i] = t;
+    }
+
+    unsigned long long acc;
+    memcpy(&acc, &v0, 8);
+    int lead = 0, mean = 0;
+    for (long i = 0; i < n - 1;) {
+        int b;
+        while (i < n - 1) {
+            if ((r.pos & 7) == 0 && i + 8 <= n - 1 && r.pos + 8 <= r.nbits
+                && r.d[r.pos >> 3] == 0) {
+                r.pos += 8;
+                for (int z = 0; z < 8; z++)
+                    memcpy(&vals_out[++i], &acc, 8);
+                continue;
+            }
+            b = br_bit(&r);
+            if (b < 0) return -1;
+            if (b) break;
+            memcpy(&vals_out[++i], &acc, 8);
+        }
+        if (i >= n - 1) break;
+        b = br_bit(&r);
+        if (b < 0) return -1;
+        if (b == 1) {
+            unsigned long long u;
+            if (br_read(&r, 5, &u)) return -1;
+            lead = (int)u;
+            if (br_read(&r, 6, &u)) return -1;
+            mean = (int)u + 1;
+        }
+        unsigned long long x;
+        if (br_read(&r, mean, &x)) return -1;
+        acc ^= x << (64 - lead - mean);
+        memcpy(&vals_out[++i], &acc, 8);
+    }
+    return 0;
+}

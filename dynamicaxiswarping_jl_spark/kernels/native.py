@@ -134,6 +134,15 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         fp, ctypes.c_long, fp, fp, fp, fp, ctypes.c_int, ctypes.c_int,
         lp, ctypes.c_long, fp]
     lib.lb_env_subset_f32.restype = None
+    ub = ctypes.POINTER(ctypes.c_ubyte)
+    ll = ctypes.POINTER(ctypes.c_longlong)
+    lib.gorilla_encode_c.argtypes = [ll, dp, ctypes.c_long, ub,
+                                     ctypes.c_long]
+    lib.gorilla_encode_c.restype = ctypes.c_long
+    lib.gorilla_decode_c.argtypes = [ctypes.c_long, ctypes.c_longlong,
+                                     ctypes.c_double, ub, ctypes.c_long,
+                                     ll, dp]
+    lib.gorilla_decode_c.restype = ctypes.c_int
     return lib
 
 
@@ -232,6 +241,40 @@ def lb_env_subset(y: np.ndarray, m: int, l: np.ndarray, u: np.ndarray,
        use_norm, 1 if squared else 0,
        _ptr(cand, ctypes.c_long), len(cand), _ptr(out, ct))
     return out
+
+
+def gorilla_encode(ts: np.ndarray, vals: np.ndarray):
+    """Bit-identical C encode → payload bytes, or None if the scratch cap
+    was insufficient (caller falls back to the Python writer)."""
+    L = lib()
+    ts = np.ascontiguousarray(ts, dtype=np.int64)
+    vals = np.ascontiguousarray(vals, dtype=np.float64)
+    n = len(ts)
+    # worst case ≈ (4+64) ts bits + (2+11+64) value bits ≈ 18.2 B/record
+    cap = 24 * n + 64
+    out = np.empty(cap, dtype=np.uint8)
+    got = L.gorilla_encode_c(
+        _ptr(ts, ctypes.c_longlong), _ptr(vals, ctypes.c_double), n,
+        _ptr(out, ctypes.c_ubyte), cap)
+    if got < 0:
+        return None
+    return out[:got].tobytes()
+
+
+def gorilla_decode(n: int, t0: int, v0: float, payload: bytes):
+    """Bit-identical C decode → (ts int64[n], vals float64[n]), or None on
+    payload overrun (caller falls back to the Python reader)."""
+    L = lib()
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    ts = np.empty(n, dtype=np.int64)
+    vals = np.empty(n, dtype=np.float64)
+    rc = L.gorilla_decode_c(
+        n, int(t0), float(v0),
+        _ptr(np.ascontiguousarray(buf), ctypes.c_ubyte), len(buf),
+        _ptr(ts, ctypes.c_longlong), _ptr(vals, ctypes.c_double))
+    if rc != 0:
+        return None
+    return ts, vals
 
 
 def cost_batch(q: np.ndarray, W: np.ndarray, r: int, tc: float) -> np.ndarray:

@@ -102,6 +102,13 @@ def gorilla_encode(ts: np.ndarray, vals: np.ndarray):
     assert n == len(vals) and n >= 1
     t0 = int(ts[0])
     v0 = float(vals[0])
+    from ..kernels import native
+    if native.available():
+        # bit-identical C writer (cross-parity pinned in tests); Python
+        # path below remains as the compiler-less fallback
+        payload = native.gorilla_encode(ts, vals)
+        if payload is not None:
+            return n, t0, v0, payload
     w = _BitWriter()
     # --- timestamps: delta-of-delta, zero runs written in bulk ---
     deltas = np.diff(ts)
@@ -169,6 +176,11 @@ def gorilla_decode(n: int, t0: int, v0: float, payload: bytes):
     precomputed set-bit index, and the per-record deltas/xors are folded
     with vectorized cumsum / bitwise_xor.accumulate.
     """
+    from ..kernels import native
+    if native.available():
+        got = native.gorilla_decode(n, t0, v0, payload)
+        if got is not None:
+            return got
     ts = np.empty(n, dtype=np.int64)
     vals = np.empty(n, dtype=np.float64)
     ts[0] = t0

@@ -109,3 +109,65 @@ class TestNativeParity:
             assert not native.available()
             assert np.isfinite(K.dtw_cost(a, b, None, 5))
         assert native.available()
+
+
+@needs_native
+class TestGorillaCodecParity:
+    """The C codec must be BIT-identical to the Python writer/reader —
+    same payload bytes (hence same CRC), same round-trip values."""
+
+    CASES = None
+
+    @classmethod
+    def cases(cls):
+        if cls.CASES is None:
+            rng = np.random.default_rng(7)
+            big = np.cumsum(rng.integers(1, 1 << 40, size=200)).astype(np.int64)
+            mixed = np.cumsum(np.concatenate(
+                [[100], rng.choice([60, 61, 59, 60, 120, 3600],
+                                   size=300)])).astype(np.int64)
+            cls.CASES = [
+                (np.arange(0, 3600 * 100, 3600, dtype=np.int64),
+                 np.full(100, 2.5)),                       # all-zero runs
+                (np.arange(0, 3600 * 500, 3600, dtype=np.int64),
+                 np.cumsum(rng.normal(size=500))),          # dense xors
+                (big, rng.normal(size=200)),                # 64-bit dod path
+                (np.arange(9, dtype=np.int64) * 60,
+                 np.array([0.0, -0.0, np.nan, np.inf, -np.inf,
+                           1.0, 1.0, np.nan, 0.0])),        # special floats
+                (np.array([5], dtype=np.int64), np.array([3.14])),  # n=1
+                (mixed, np.round(rng.normal(size=301), 1)),  # small dods
+            ]
+        return cls.CASES
+
+    def test_bytes_identical_to_python(self):
+        import dynamicaxiswarping_jl_spark.operators.compression as C
+        for i, (ts, vs) in enumerate(self.cases()):
+            n, t0, v0, pc = C.gorilla_encode(ts, vs)
+            with _numpy_only():
+                n2, t02, v02, pp = C.gorilla_encode(ts, vs)
+            assert (n, t0) == (n2, t02), i
+            assert pc == pp, f"case {i}: payload bytes differ"
+
+    def test_cross_decode(self):
+        import dynamicaxiswarping_jl_spark.operators.compression as C
+        for i, (ts, vs) in enumerate(self.cases()):
+            n, t0, v0, payload = C.gorilla_encode(ts, vs)
+            td, vd = C.gorilla_decode(n, t0, v0, payload)  # C decode
+            with _numpy_only():
+                tp, vp = C.gorilla_decode(n, t0, v0, payload)  # PY decode
+            np.testing.assert_array_equal(td, ts, err_msg=str(i))
+            np.testing.assert_array_equal(td, tp, err_msg=str(i))
+            # bit-exact values incl. NaN payloads / signed zero
+            np.testing.assert_array_equal(
+                vd.view(np.uint64), vs.view(np.uint64), err_msg=str(i))
+            np.testing.assert_array_equal(
+                vp.view(np.uint64), vs.view(np.uint64), err_msg=str(i))
+
+    def test_truncated_payload_falls_back_not_crashes(self):
+        import dynamicaxiswarping_jl_spark.kernels.native as N
+        ts = np.arange(0, 3600 * 50, 3600, dtype=np.int64)
+        vs = np.cumsum(np.random.default_rng(1).normal(size=50))
+        import dynamicaxiswarping_jl_spark.operators.compression as C
+        n, t0, v0, payload = C.gorilla_encode(ts, vs)
+        assert N.gorilla_decode(n, t0, v0, payload[: len(payload) // 2]) is None
