@@ -206,13 +206,13 @@ void NAME(const T *y, long m, const T *l, const T *u,                    \
         T acc = (T)0;                                                    \
         if (use_norm) {                                                  \
             const T scale = sd[c], off = mu[c];                          \
-            const T inv = (T)1 / scale;                                  \
             for (long j = 0; j < m; j++) {                               \
                 T ur = u[j] * scale + off;                               \
                 T lr = l[j] * scale + off;                               \
                 T e = x[j] > ur ? x[j] - ur                              \
                     : (lr > x[j] ? lr - x[j] : (T)0);                    \
-                e *= inv;                                                \
+                e /= scale;  /* divide, not multiply-by-reciprocal:      \
+                                keeps ulp parity with the NumPy path */  \
                 acc += squared ? e * e : e;                              \
             }                                                            \
         } else {                                                         \
@@ -315,11 +315,16 @@ long gorilla_encode_c(const long long *ts, const double *vals, long n,
     }
     if (run && bw_zeros(&w, run)) return -1;
 
-    const unsigned long long *b = (const unsigned long long *)vals;
     int prev_lead = 65, prev_mean = 0;
     run = 0;
+    unsigned long long bprev, bcur;
+    memcpy(&bprev, &vals[0], 8);  /* memcpy, not a pointer cast: the cast
+                                     is a strict-aliasing violation the
+                                     -O3 build may miscompile */
     for (long i = 0; i < n - 1; i++) {
-        unsigned long long x = b[i + 1] ^ b[i];
+        memcpy(&bcur, &vals[i + 1], 8);
+        unsigned long long x = bcur ^ bprev;
+        bprev = bcur;
         if (!x) { run++; continue; }
         if (run && bw_zeros(&w, run)) return -1;
         run = 0;
@@ -462,6 +467,8 @@ int gorilla_decode_c(long n, long long t0, double v0,
             lead = (int)u;
             if (br_read(&r, 6, &u)) return -1;
             mean = (int)u + 1;
+            if (lead + mean > 64) return -1;  /* corrupt header: a valid
+                encoder never emits this, and the shift below would be UB */
         }
         unsigned long long x;
         if (br_read(&r, mean, &x)) return -1;

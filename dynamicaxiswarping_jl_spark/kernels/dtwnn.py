@@ -319,12 +319,16 @@ def dtwnn(q, y, dist=None, rad: int = 5, normalizer: Optional[str] = None, *,
                     rest = cand
             rest = rest[lbe[rest] <= bsf_multiplier * best_so_far]
             from . import native as _nat
-            if (len(rest) > nw // 4 and onedim and not _nat.available()):
-                # weak endpoint pruning WITHOUT the C kernels: the
-                # gather-based NumPy subset sweep materializes ~(|rest|, m)
-                # window copies; the streamed full sweep (m contiguous
-                # passes, no gather) is cheaper once most windows survive.
-                # (The C subset path streams per candidate and beats both.)
+            subset_native = (_nat.available()
+                             and d.name in ("sqeuclidean", "euclidean",
+                                            "cityblock"))
+            if len(rest) > nw // 4 and not subset_native:
+                # weak endpoint pruning WITHOUT the C subset kernel (no
+                # compiler, or a metric it doesn't cover): the gather-based
+                # NumPy subset sweep materializes ~(|rest|, m) window
+                # copies; the streamed full sweep (m contiguous passes, no
+                # gather) is cheaper once most windows survive. (The C
+                # subset path streams per candidate and beats both.)
                 lbv = _lb_env_all(d.name, y, m, l_env, u_env, mu, sd)
             elif len(rest):
                 lbv[rest] = _lb_env_subset(d.name, y, m, l_env, u_env,

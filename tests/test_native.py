@@ -112,6 +112,49 @@ class TestNativeParity:
 
 
 @needs_native
+class TestLbEnvSubsetParity:
+    """Every branch of the C LB_Keogh subset kernel (dist × znorm × dtype)
+    against the NumPy gather path — an inflated 'lower' bound would make
+    dtwnn silently prune the true neighbor."""
+
+    def _setup(self, dtype=np.float64):
+        from dynamicaxiswarping_jl_spark.kernels.normalizers import (
+            lower_upper_envs, sliding_znorm_stats, znorm)
+        rng = np.random.default_rng(3)
+        y = np.cumsum(rng.normal(size=20_000)).astype(dtype)
+        m = 64
+        q = znorm(np.cumsum(rng.normal(size=m))).astype(dtype)
+        l, u = lower_upper_envs(q, 4)
+        mu, sd = sliding_znorm_stats(y, m)
+        sd = np.where(sd == 0, 1.0, sd)
+        cand = np.sort(rng.choice(len(y) - m + 1, size=5_000,
+                                  replace=False)).astype(np.int64)
+        return y, m, l.astype(dtype), u.astype(dtype), \
+            mu.astype(dtype), sd.astype(dtype), cand
+
+    @pytest.mark.parametrize("dist", ["sqeuclidean", "euclidean",
+                                      "cityblock"])
+    @pytest.mark.parametrize("use_norm", [True, False])
+    def test_branches_match_numpy(self, dist, use_norm):
+        from dynamicaxiswarping_jl_spark.kernels.dtwnn import _lb_env_subset
+        y, m, l, u, mu, sd, cand = self._setup()
+        args = (mu, sd) if use_norm else (None, None)
+        got = _lb_env_subset(dist, y, m, l, u, *args, cand)
+        with _numpy_only():
+            want = _lb_env_subset(dist, y, m, l, u, *args, cand)
+        np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-14)
+
+    def test_float32_branch(self):
+        from dynamicaxiswarping_jl_spark.kernels.dtwnn import _lb_env_subset
+        y, m, l, u, mu, sd, cand = self._setup(np.float32)
+        got = _lb_env_subset("sqeuclidean", y, m, l, u, mu, sd, cand)
+        assert got.dtype == np.float32
+        with _numpy_only():
+            want = _lb_env_subset("sqeuclidean", y, m, l, u, mu, sd, cand)
+        np.testing.assert_allclose(got, want.astype(np.float32), rtol=2e-4)
+
+
+@needs_native
 class TestGorillaCodecParity:
     """The C codec must be BIT-identical to the Python writer/reader —
     same payload bytes (hence same CRC), same round-trip values."""
