@@ -78,15 +78,28 @@ def cascade(tier_df: DataFrame, to_tier: str, key: str = "conv_id") -> DataFrame
 
 
 def assemble_series(tier_df: DataFrame, value_col: str = "turn_rate",
-                    key: str = "conv_id", step_s: int = 60) -> DataFrame:
+                    key: str = "conv_id", step_s: int = 60,
+                    window: str | None = None) -> DataFrame:
     """Tier rows → ``(key, t0, step_s, points ARRAY<DOUBLE>)``.
 
     Ordering is enforced inside the row via array_sort on (bucket, value)
     structs — no global sort, no window function, one shuffle.
+
+    ``window`` (e.g. ``'30 days'``) bounds the per-row array: each key
+    emits one series segment per tumbling window instead of one
+    unbounded array for its whole history. At the 10¹²-turn design point
+    a years-long conversation on a 1m grid would otherwise collect a
+    multi-million-point (tens of MB) single row — pass a window whenever
+    the input isn't already range-filtered. The output shape is
+    unchanged (t0 = segment start); downstream DTW operators treat each
+    segment as a series.
     """
-    return (
+    grp = [F.col(key)]
+    if window is not None:
+        grp.append(F.window("bucket", window)["start"].alias("_w0"))
+    out = (
         tier_df
-        .groupBy(key)
+        .groupBy(*grp)
         .agg(
             F.min("bucket").alias("t0"),
             F.array_sort(
@@ -98,6 +111,7 @@ def assemble_series(tier_df: DataFrame, value_col: str = "turn_rate",
             F.expr(f"transform(pairs, p -> CAST(p.{value_col} AS DOUBLE))").alias("points"),
         )
     )
+    return out
 
 
 def apply_retention(tier_df: DataFrame, keep_after, bucket_col: str = "bucket",

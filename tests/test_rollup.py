@@ -144,6 +144,26 @@ class TestAssemble:
             np.testing.assert_allclose(
                 row.points, oracle.loc[row.conv_id, "want"])
 
+    def test_windowed_assembly_bounds_rows(self, turns):
+        """window='1 day' splits each conv into day segments whose
+        concatenation (ordered by t0) equals the unbounded series — the
+        scale guard for years-long conversations."""
+        t1h = cascade(rollup_turns(turns, "1m"), "1h")
+        gf = gapfill(t1h, 3600, policy="zero")
+        whole = {r["conv_id"]: r["points"]
+                 for r in assemble_series(gf, "turn_rate",
+                                          step_s=3600).collect()}
+        seg = (assemble_series(gf, "turn_rate", step_s=3600,
+                               window="1 day")
+               .orderBy("conv_id", "t0").collect())
+        assert len(seg) > len(whole)  # multi-day convs split
+        rebuilt = {}
+        for r in seg:
+            assert len(r["points"]) <= 24  # bounded by the window
+            rebuilt.setdefault(r["conv_id"], []).extend(r["points"])
+        for cid, pts in whole.items():
+            np.testing.assert_allclose(rebuilt[cid], pts)
+
 
 class TestGapfillProperties:
     """Property check of the gap-explode formulation against a pandas/numpy
