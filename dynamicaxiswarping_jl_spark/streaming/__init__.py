@@ -1,6 +1,8 @@
 """Structured Streaming surface: incremental 1m-tier ingest + custom
 stateful operators."""
 
-from .ingest import streaming_rollup_1m, start_file_ingest, stateful_sessionize
+from .ingest import (streaming_rollup_1m, start_file_ingest,
+                     stateful_sessionize, start_chunk_compress)
 
-__all__ = ["streaming_rollup_1m", "start_file_ingest", "stateful_sessionize"]
+__all__ = ["streaming_rollup_1m", "start_file_ingest",
+           "stateful_sessionize", "start_chunk_compress"]

@@ -16,7 +16,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["streaming_rollup_1m", "start_file_ingest"]
+__all__ = ["streaming_rollup_1m", "start_file_ingest",
+           "start_chunk_compress"]
 
 
 def streaming_rollup_1m(stream: DataFrame, key: str = "conv_id",
@@ -50,6 +51,51 @@ def start_file_ingest(spark: SparkSession, src_dir: str, tier_dir: str,
          .write.mode("append").partitionBy("day").parquet(tier_dir))
 
     return (agg.writeStream.outputMode("update")
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(upsert)
+            .trigger(availableNow=True)
+            .start())
+
+
+def start_chunk_compress(spark: SparkSession, tier_dir: str, catalog,
+                         table: str, checkpoint_dir: str, tier: str = "1m",
+                         chunk: str = "1 day",
+                         value_col: str = "turn_rate") -> "StreamingQuery":
+    """Streaming continuous-aggregate → Gorilla chunk maintenance: the
+    tail of the north-star pipeline (turns → tier → compressed chunks),
+    kept incrementally fresh.
+
+    Streams the materialized tier directory; each micro-batch recomputes
+    ONLY the (conv, chunk-window) chunks its rows touch — re-reading
+    those windows' complete tier rows (same completeness contract as
+    ``refresh_tier``: the batch marks *which* chunks changed, the tier
+    itself is the source of truth) — and MERGEs them into the catalog's
+    chunk table, so time travel over chunk snapshots works and readers
+    always see whole chunks, never torn ones.
+    """
+    from ..operators.compression import compress_chunks
+    from ..operators.rollup import TIERS
+
+    tier_schema = (spark.read.parquet(tier_dir)).schema
+    stream = spark.readStream.schema(tier_schema).parquet(tier_dir)
+
+    def upsert(batch_df: DataFrame, batch_id: int):
+        touched = (batch_df
+                   .select("conv_id",
+                           F.window("bucket", chunk)["start"]
+                           .alias("_chunk_start"))
+                   .distinct())
+        if touched.isEmpty():
+            return
+        full = (spark.read.parquet(tier_dir)
+                .withColumn("_chunk_start",
+                            F.window("bucket", chunk)["start"])
+                .join(F.broadcast(touched), ["conv_id", "_chunk_start"])
+                .drop("_chunk_start"))
+        chunks = compress_chunks(full, tier, value_col, chunk=chunk)
+        catalog.merge(table, chunks, ["conv_id", "tier", "chunk_start"])
+
+    return (stream.writeStream
             .option("checkpointLocation", checkpoint_dir)
             .foreachBatch(upsert)
             .trigger(availableNow=True)

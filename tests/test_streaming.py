@@ -167,3 +167,54 @@ class TestLateEventsWithinWatermark:
         assert r["session_start"] == t0
         assert r["session_end"] == t0 + dt.timedelta(minutes=10)  # NOT +5
         assert r["n_turns"] == 3
+
+
+class TestStreamingChunkCompress:
+    def test_incremental_chunk_maintenance(self, spark, tmp_path):
+        """Streaming tier → Gorilla chunk MERGE: after each availableNow
+        pass, decompressing the catalog's chunk table reproduces exactly
+        the tier rows of every touched chunk window; a second batch that
+        extends a window replaces its chunk (no torn/duplicate chunks)."""
+        import datetime as dt
+        from dynamicaxiswarping_jl_spark.sources.storage import TableCatalog
+        from dynamicaxiswarping_jl_spark.streaming import start_chunk_compress
+        from dynamicaxiswarping_jl_spark.operators import decompress_chunks
+
+        tier_dir = str(tmp_path / "tier")
+        ckpt = str(tmp_path / "ckpt")
+        cat = TableCatalog(spark, str(tmp_path / "cat"))
+        t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+        def tier_rows(hours):
+            rows = [("c1", t0 + dt.timedelta(hours=h), 1 + h, 0, float(1 + h))
+                    for h in hours]
+            return spark.createDataFrame(
+                rows, "conv_id string, bucket timestamp, n_turns long, "
+                      "tool_calls long, turn_rate double")
+
+        def run_once():
+            q = start_chunk_compress(spark, tier_dir, cat, "chunks_1h",
+                                     ckpt, tier="1h", chunk="1 day")
+            q.awaitTermination(120)
+
+        def chunk_roundtrip():
+            return {(r["conv_id"], r["bucket"]): r["turn_rate"]
+                    for r in decompress_chunks(
+                        cat.read("chunks_1h"), "turn_rate").collect()}
+
+        tier_rows(range(0, 6)).write.mode("overwrite").parquet(tier_dir)
+        run_once()
+        got = chunk_roundtrip()
+        assert len(got) == 6
+        assert got[("c1", t0 + dt.timedelta(hours=5))] == 6.0
+
+        # batch 2 extends day 1 and opens day 2 → both chunks re-MERGEd
+        tier_rows(range(6, 30)).write.mode("append").parquet(tier_dir)
+        run_once()
+        chunks = cat.read("chunks_1h").collect()
+        assert len(chunks) == 2  # one whole chunk per day, no torn rows
+        assert sorted(c["n"] for c in chunks) == [6, 24]
+        got = chunk_roundtrip()
+        assert len(got) == 30
+        for h in range(30):
+            assert got[("c1", t0 + dt.timedelta(hours=h))] == float(1 + h)
