@@ -214,3 +214,37 @@ class TestGorillaCodecParity:
         import dynamicaxiswarping_jl_spark.operators.compression as C
         n, t0, v0, payload = C.gorilla_encode(ts, vs)
         assert N.gorilla_decode(n, t0, v0, payload[: len(payload) // 2]) is None
+
+    def test_hypothesis_cross_parity(self):
+        """Randomized C-vs-Python byte parity: irregular timestamps across
+        all dod tag widths, values mixing runs/specials/randoms."""
+        from hypothesis import given, settings, strategies as st
+        import dynamicaxiswarping_jl_spark.operators.compression as C
+
+        special = [0.0, -0.0, float("nan"), float("inf"), -float("inf")]
+        val = st.one_of(st.sampled_from(special),
+                        st.floats(allow_nan=True, allow_infinity=True,
+                                  width=64))
+        gap = st.one_of(st.just(60), st.integers(1, 100),
+                        st.integers(1, 1 << 41))
+        series = st.lists(st.tuples(gap, val), min_size=1, max_size=120)
+
+        @settings(max_examples=60, deadline=None)
+        @given(series)
+        def check(pairs):
+            ts = np.cumsum([g for g, _ in pairs]).astype(np.int64)
+            vs = np.array([v for _, v in pairs], dtype=np.float64)
+            n, t0, v0, pc = C.gorilla_encode(ts, vs)
+            with _numpy_only():
+                _, _, _, pp = C.gorilla_encode(ts, vs)
+                tp, vp = C.gorilla_decode(n, t0, v0, pc)
+            td, vd = C.gorilla_decode(n, t0, v0, pc)
+            assert pc == pp
+            np.testing.assert_array_equal(td, ts)
+            np.testing.assert_array_equal(tp, ts)
+            np.testing.assert_array_equal(vd.view(np.uint64),
+                                          vs.view(np.uint64))
+            np.testing.assert_array_equal(vp.view(np.uint64),
+                                          vs.view(np.uint64))
+
+        check()

@@ -199,6 +199,35 @@ class TestKnnLbPrefilter:
             fc = sorted(round(c, 9) for c in fast[fast.id_a == key].cost)
             assert bc == fc, key
 
+    def test_grid_path_randomized_exactness(self, spark):
+        """Randomized adversarial corpora for the grid path: duplicate
+        series (exact-zero ties), clustered + outlier values (grid-cell
+        skew), mixed lengths, and tiny grids — the neighbor multiset must
+        equal brute force in every configuration."""
+        import numpy as np
+        from dynamicaxiswarping_jl_spark.operators import knn_topk
+        rng = np.random.default_rng(99)
+        for trial, (n, k) in enumerate([(18, 2), (25, 4), (40, 3)]):
+            rows = []
+            for i in range(n):
+                L = rng.choice([16, 16, 16, 24]) if trial == 2 else 16
+                if i % 7 == 0 and i > 0:
+                    rows.append((f"t{trial}s{i:02d}", rows[-1][1]))  # dup
+                    continue
+                base = rng.choice([0.0, 0.0, 50.0])  # clustered + outliers
+                v = base + np.round(rng.normal(size=L), 1)
+                rows.append((f"t{trial}s{i:02d}", [float(x) for x in v]))
+            series = spark.createDataFrame(
+                rows, "conv_id string, points array<double>")
+            brute = knn_topk(series, k=k, radius=4,
+                             lb_prefilter=False).toPandas()
+            fast = knn_topk(series, k=k, radius=4, oversample=2,
+                            grid_cells=3).toPandas()
+            for key in sorted(brute.id_a.unique()):
+                bc = sorted(round(c, 9) for c in brute[brute.id_a == key].cost)
+                fc = sorted(round(c, 9) for c in fast[fast.id_a == key].cost)
+                assert bc == fc, (trial, key)
+
     def test_grid_path_uniform_length_no_selfjoin(self, spark):
         """Uniform-length corpus: exact parity, and the physical plan of the
         scale path must not contain a full array self-join (cartesian /
