@@ -416,13 +416,8 @@ def knn_topk(series: DataFrame, k: int = 4, radius: int = 5,
 
     def final_topk(costs_df: DataFrame) -> DataFrame:
         # deterministic k-NN: ties on exact cost break by id_b, so the
-        # returned neighbor SET is stable across partitionings/runs (plain
-        # cost-ordered row_number picks arbitrary tied members)
-        from pyspark.sql import Window
-        w = Window.partitionBy("id_a").orderBy(F.col("cost").asc(),
-                                               F.col("id_b").asc())
-        return (costs_df.withColumn("rk", F.row_number().over(w))
-                .filter(F.col("rk") <= k))
+        # returned neighbor SET is stable across partitionings/runs
+        return topk_per_key(costs_df, "id_a", "cost", k, tie_col="id_b")
 
     multichannel = isinstance(series.schema["points"].dataType.elementType,
                               T.ArrayType)
@@ -439,13 +434,19 @@ def knn_topk(series: DataFrame, k: int = 4, radius: int = 5,
                         F.element_at("points", -1).alias("pm"),
                         F.size("points").alias("n"))
           .localCheckpoint(eager=True))
-    g = st.filter(F.col("n") >= 2).agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.min("p1").alias("lo1"), F.max("p1").alias("hi1"),
-        F.min("pm").alias("lom"), F.max("pm").alias("him"),
-        F.countDistinct("n").alias("nlens"),
+    # one pre-scan job answers everything: LB-eligible (n>=2) extent +
+    # length diversity via conditional aggs, short-series presence via the
+    # unconditional min
+    ok = F.col("n") >= 2
+    g = st.agg(
+        F.count(F.when(ok, 1)).alias("cnt"),
+        F.min(F.when(ok, F.col("p1"))).alias("lo1"),
+        F.max(F.when(ok, F.col("p1"))).alias("hi1"),
+        F.min(F.when(ok, F.col("pm"))).alias("lom"),
+        F.max(F.when(ok, F.col("pm"))).alias("him"),
+        F.countDistinct(F.when(ok, F.col("n"))).alias("nlens"),
         F.min("n").alias("minn")).first()
-    n_short = st.filter(F.col("n") < 2).limit(1).count()
+    n_short = 1 if (g["minn"] is not None and g["minn"] < 2) else 0
     if g["cnt"] == 0:  # nothing with a valid LB: pure residue
         pairs = left.join(right, F.col("id_a") != F.col("id_b"))
         costs = _spread(pairs).mapInPandas(run, schema)

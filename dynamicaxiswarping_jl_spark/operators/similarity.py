@@ -20,18 +20,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.series import arr_dot as _dot, arr_norm as _norm
 from .topk import topk_per_key
 
 __all__ = ["cosine_topk", "lsh_cosine_topk", "ivf_cosine_topk"]
-
-
-def _dot(a: str, b: str):
-    return F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)")
-
-
-def _norm(a: str):
-    return F.sqrt(F.expr(
-        f"aggregate({a}, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"))
 
 
 def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
