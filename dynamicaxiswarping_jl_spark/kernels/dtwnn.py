@@ -207,7 +207,8 @@ def dtwnn(q, y, dist=None, rad: int = 5, normalizer: Optional[str] = None, *,
           prune_endpoints: bool = True, prune_envelope: bool = True,
           saveall: bool = False, bsf_multiplier: float = 1.0,
           transportcost: float = 1.0, avoid=None,
-          initial_bsf: float = _INF, dtype=np.float64) -> DTWSearchResult:
+          initial_bsf: float = _INF, dtype=np.float64,
+          envs=None) -> DTWSearchResult:
     """Nearest neighbor to ``q`` among all length-|q| windows of ``y``
     (reference src/dtwnn.jl:162-238).
 
@@ -216,6 +217,12 @@ def dtwnn(q, y, dist=None, rad: int = 5, normalizer: Optional[str] = None, *,
     thread the running global minimum through it, so later series prune
     against a real bound; if every window's LB exceeds the seed, the
     result cost is Inf (no window computed — caller keeps its prior best).
+
+    ``envs``: precomputed ``lower_upper_envs(znorm?(q), rad)`` — the
+    envelopes depend only on the (normalized) query, so callers searching
+    MANY series with one query pass them once instead of recomputing per
+    series (result-identical; the short-query/many-series workload is
+    dispatch-bound).
     """
     if bsf_multiplier < 1:
         raise ValueError("bsf_multiplier must be >= 1")
@@ -253,7 +260,7 @@ def dtwnn(q, y, dist=None, rad: int = 5, normalizer: Optional[str] = None, *,
     l_env = u_env = None
     defer_env = False
     if prune_envelope and not saveall and onedim:
-        l_env, u_env = lower_upper_envs(qn, rad)
+        l_env, u_env = envs if envs is not None else lower_upper_envs(qn, rad)
         if prune_endpoints and lb_end is not None:
             # lazy: LB_Keogh only for endpoint-surviving windows, after a
             # bootstrap chunk establishes best-so-far (below)

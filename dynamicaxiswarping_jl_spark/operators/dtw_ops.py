@@ -304,8 +304,14 @@ def dtwnn_search(queries: DataFrame, series: DataFrame, radius: int = 5,
         # minimum instead of cold-starting at Inf. Result-identical — a
         # series whose windows all prune can't hold the global argmin,
         # and its Inf row is dropped rather than shuffled.
+        from ..kernels.normalizers import lower_upper_envs, znorm as _zn
+
         dt = np.float32 if float32 else np.float64
         task_bsf: dict = {}
+        env_cache: dict = {}  # envelopes depend only on the query — once
+        # per task, not once per (query, series): the short-query workload
+        # is numpy-dispatch-bound
+        use_zn = normalizer in ("znorm", "z", "ZNormalizer")
         for pdf in batches:
             recs = []
             for row in pdf.itertuples(index=False):
@@ -313,9 +319,16 @@ def dtwnn_search(queries: DataFrame, series: DataFrame, radius: int = 5,
                 for qid, q in qlist:
                     if len(y) < len(q):
                         continue  # series shorter than query: no window
+                    if qid not in env_cache:
+                        # EXACTLY the kernel's own normalization order
+                        # (cast to dt first, then znorm) — an envelope of
+                        # a differently-rounded qn could over-prune
+                        qd = q.astype(dt)
+                        qn = _zn(qd).astype(dt) if use_zn else qd
+                        env_cache[qid] = lower_upper_envs(qn, radius)
                     res = dtwnn(q.astype(dt), y, dist, radius, normalizer,
                                 initial_bsf=task_bsf.get(qid, np.inf),
-                                dtype=dt)
+                                dtype=dt, envs=env_cache[qid])
                     if np.isfinite(res.cost):
                         task_bsf[qid] = min(task_bsf.get(qid, np.inf),
                                             res.cost)
