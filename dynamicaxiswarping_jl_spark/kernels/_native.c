@@ -470,6 +470,9 @@ int gorilla_decode_c(long n, long long t0, double v0,
             if (lead + mean > 64) return -1;  /* corrupt header: a valid
                 encoder never emits this, and the shift below would be UB */
         }
+        if (mean < 1) return -1;  /* corrupt payload: window reuse ('1','0')
+            before any window header would leave lead=mean=0 and the shift
+            below would be by 64 — UB */
         unsigned long long x;
         if (br_read(&r, mean, &x)) return -1;
         acc ^= x << (64 - lead - mean);

@@ -137,6 +137,13 @@ def banded_dtw_cost_matrix(seq1, seq2, dist=None, i2min=None, i2max=None,
         raise ValueError("i2min must start at 1")
     if i2max[-1] != m:
         raise ValueError(f"i2max must end at length(seq2), was {i2max[-1]} != {m}")
+    # Full-range validation (not just the endpoints): the C band kernel
+    # writes D[r*n+c] for every lo..hi unchecked, and the NumPy paths would
+    # silently wrap negative indices — reject out-of-range windows for
+    # every execution path.
+    if (i2min < 1).any() or (i2max > m).any() or (i2min > i2max).any():
+        raise ValueError(
+            "i2min/i2max must satisfy 1 <= i2min[c] <= i2max[c] <= len(seq2)")
 
     tc = float(transportcost)
     lo0 = i2min - 1  # 0-based inclusive lower rows per column
@@ -385,6 +392,8 @@ def dtw_cost_batch(q: np.ndarray, W: np.ndarray, r: int,
     # documents Float32 as ~2x faster, README.md:148); anything else
     # promotes to float64
     _q, _W = np.asarray(q), np.asarray(W)
+    if int(r) < 0:
+        raise ValueError(f"radius must be >= 0, got {r}")
     # native gate: shapes must be exactly valid (1-D q of length m, or
     # (k, m) pairwise q) — anything else keeps the NumPy path's error
     # behavior instead of reading out of bounds in C
@@ -481,6 +490,8 @@ def dtw_cost(a, b, dist=None, r: int = 0, transportcost: float = 1.0,
             f"a and b must have the same length, got {m} and {_lastlen(b)}; "
             "use dtw() for different lengths")
     r = int(r)
+    if r < 0:
+        raise ValueError(f"radius must be >= 0, got {r}")
     cb = np.zeros(m) if cumulative_bound is None else np.asarray(cumulative_bound, dtype=np.float64)
     if len(cb) != m:
         raise ValueError("cumulative_bound and a must have the same length")

@@ -138,6 +138,34 @@ class TestWindowedGolden:
         with pytest.raises(ValueError):
             dtw(self.a, self.b, i2min=[1] * 8, i2max=[7] * 8)
 
+    def test_band_validation_full_range(self):
+        # Out-of-range interior window values must raise on EVERY execution
+        # path (the C band kernel would otherwise write out of bounds).
+        good_min, good_max = [1] * 8, [8] * 8
+        bad_min = list(good_min)
+        bad_min[3] = 0  # below 1
+        with pytest.raises(ValueError):
+            dtw(self.a, self.b, i2min=bad_min, i2max=good_max)
+        bad_max = list(good_max)
+        bad_max[3] = 9  # above len(seq2)
+        with pytest.raises(ValueError):
+            dtw(self.a, self.b, i2min=good_min, i2max=bad_max)
+        cross_min = list(good_min)
+        cross_max = list(good_max)
+        cross_min[4], cross_max[4] = 5, 4  # i2min > i2max
+        with pytest.raises(ValueError):
+            dtw(self.a, self.b, i2min=cross_min, i2max=cross_max)
+
+    def test_negative_radius_raises(self):
+        from dynamicaxiswarping_jl_spark.kernels.dtw import (
+            dtw_cost, dtw_cost_batch)
+        a = np.asarray(self.a, dtype=np.float64)
+        b = np.asarray(self.b, dtype=np.float64)
+        with pytest.raises(ValueError):
+            dtw_cost(a, b, None, -1)
+        with pytest.raises(ValueError):
+            dtw_cost_batch(a, b[None, :], -1)
+
 
 class TestRadiuslimits:
     def test_unequal_lengths(self):

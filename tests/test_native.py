@@ -248,3 +248,23 @@ class TestGorillaCodecParity:
                                           vs.view(np.uint64))
 
         check()
+
+
+@needs_native
+class TestGorillaCorruptGuards:
+    def test_window_reuse_before_header_rejected(self):
+        # Crafted payload: one ts record ('10' + 7-bit dod=1), then a value
+        # control bit '1' (changed) followed by window bit '0' (reuse) with
+        # NO window header ever emitted — a valid encoder cannot produce
+        # this; the decoder must reject it instead of shifting by 64 (UB).
+        payload = bytes([0xA0, 0x40])
+        assert native.gorilla_decode(2, 0, 1.0, payload) is None
+
+    def test_oversized_header_rejected(self):
+        # lead=31 ('11111') + mean-1=63 ('111111') → lead+mean=95 > 64
+        # ts record '10'+7bit(64)=dod 1, then '1','1', lead 5 bits, mean 6
+        # bits → bits: 1 0 1000000 1 1 11111 111111 ...
+        bits = "10" + "1000000" + "11" + "11111" + "111111" + "0" * 8
+        by = bytes(int(bits[i:i + 8].ljust(8, "0"), 2)
+                   for i in range(0, len(bits), 8))
+        assert native.gorilla_decode(2, 0, 1.0, by) is None
