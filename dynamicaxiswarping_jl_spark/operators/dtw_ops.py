@@ -383,10 +383,15 @@ def knn_topk(series: DataFrame, k: int = 4, radius: int = 5,
        grid being well-populated.
 
     Length-1 series (endpoint LB invalid: first==last double-counts) and
-    cross-length pairs route through an exhaustive residue join, which is
-    *skipped entirely* (not even planned) when a cheap pre-scan shows all
-    series share one length ≥ 2 — the dominant engine case (fixed-step
-    rollup grids).
+    cross-length pairs route through a **τ-bounded residue**: a bounded
+    length-banded bootstrap gives every id k·oversample exact candidates
+    (so τ is finite corpus-wide), enumeration runs on scalar stats with a
+    sound value-range endpoint LB, and survivors' subsequence DPs are
+    seeded with best_so_far = nextafter(τ) so the kernel's own LB cascade
+    abandons non-top-k pairs after an O(n) scan. The residue is *skipped
+    entirely* (not even planned) when a cheap pre-scan shows all series
+    share one length ≥ 2 — the dominant engine case (fixed-step rollup
+    grids / windowed assembly).
 
     ``lb_prefilter=False``: legacy all-pairs enumeration (testing oracle).
     """
@@ -445,7 +450,9 @@ def knn_topk(series: DataFrame, k: int = 4, radius: int = 5,
     st = (series.select(F.col(key).alias("id"),
                         F.element_at("points", 1).alias("p1"),
                         F.element_at("points", -1).alias("pm"),
-                        F.size("points").alias("n"))
+                        F.size("points").alias("n"),
+                        F.array_min("points").alias("vmin"),
+                        F.array_max("points").alias("vmax"))
           .localCheckpoint(eager=True))
     # one pre-scan job answers everything: LB-eligible (n>=2) extent +
     # length diversity via conditional aggs, short-series presence via the
@@ -501,10 +508,74 @@ def knn_topk(series: DataFrame, k: int = 4, radius: int = 5,
     exact1 = _spread(cand.join(arr_a, "id_a").join(arr_b, "id_b")
                      .select("id_a", "a", "id_b", "b")).mapInPandas(
         run, schema).localCheckpoint(eager=True)
-    # τ = k-th best exact cost; NULL (→ unbounded full-grid range) when a
-    # sparse neighborhood yielded fewer than k candidates — exactness never
-    # depends on grid occupancy
-    tau = (topk_per_key(exact1, "id_a", "cost", k)
+
+    # --- residue bootstrap (cross-length + short series) ---------------
+    # Length-diverse corpora (the engine's own per-conv-span assembly)
+    # put MOST pairs in the residue, where the equal-length grid gives no
+    # τ. Bootstrap a bounded candidate set per id — length-banded,
+    # hash-sub-bucketed scalar self-join, O(n·k·oversample) pairs total —
+    # and DP it exactly, so τ below is finite for (almost) every id and
+    # both phase 2 AND the residue get a real cut.
+    has_residue = g["nlens"] > 1 or n_short > 0
+    resid_cond = ((F.col("id_a") != F.col("id_b"))
+                  & ((F.col("na") != F.col("nb")) | (F.col("na") < 2)))
+    # Valid LB for the cross-length cost (subsequence NN of the shorter s
+    # inside the longer l): the DTW path pins s₁ to the window's first
+    # element and sₘ to its last, both of which are VALUES OF l, so
+    #   cost ≥ dist(s₁,[min l, max l])² + dist(sₘ,[min l, max l])²
+    # (single term when |s| < 2 — endpoints coincide). Weak when value
+    # ranges overlap, but sound — and the τ-seeded DP below prunes the
+    # overlap case instead.
+    short_a = F.col("na") <= F.col("nb")
+    s_p1 = F.when(short_a, F.col("p1a")).otherwise(F.col("p1b"))
+    s_pm = F.when(short_a, F.col("pma")).otherwise(F.col("pmb"))
+    l_lo = F.when(short_a, F.col("vminb")).otherwise(F.col("vmina"))
+    l_hi = F.when(short_a, F.col("vmaxb")).otherwise(F.col("vmaxa"))
+    d1 = F.greatest(l_lo - s_p1, s_p1 - l_hi, F.lit(0.0))
+    dm = F.greatest(l_lo - s_pm, s_pm - l_hi, F.lit(0.0))
+    lb_resid = d1 * d1 + F.when(F.least("na", "nb") >= F.lit(2),
+                                dm * dm).otherwise(F.lit(0.0))
+
+    def _sc(s):
+        return st.select(
+            F.col("id").alias(f"id_{s}"), F.col("p1").alias(f"p1{s}"),
+            F.col("pm").alias(f"pm{s}"), F.col("n").alias(f"n{s}"),
+            F.col("vmin").alias(f"vmin{s}"), F.col("vmax").alias(f"vmax{s}"))
+
+    if has_residue:
+        bucket = max(8 * k * oversample, 32)
+        bands = (st.withColumn("band", F.floor(F.log2(F.col("n")
+                                                      .cast("double")))))
+        bcnt = bands.groupBy("band").agg(F.count(F.lit(1)).alias("_bc"))
+        bands = (bands.join(F.broadcast(bcnt), "band")
+                 .withColumn("sub", F.pmod(
+                     F.xxhash64("id"),
+                     F.greatest(F.lit(1),
+                                F.floor(F.col("_bc") / bucket)))))
+
+        def _bd(s):
+            return bands.select(
+                "band", "sub",
+                F.col("id").alias(f"id_{s}"), F.col("p1").alias(f"p1{s}"),
+                F.col("pm").alias(f"pm{s}"), F.col("n").alias(f"n{s}"),
+                F.col("vmin").alias(f"vmin{s}"),
+                F.col("vmax").alias(f"vmax{s}"))
+
+        boot = (topk_per_key(_bd("a").join(_bd("b"), ["band", "sub"])
+                             .filter(resid_cond)
+                             .withColumn("_lbr", lb_resid),
+                             "id_a", "_lbr", k * oversample, tie_col="id_b")
+                .select("id_a", "id_b"))
+        exact_boot = _spread(boot.join(arr_a, "id_a").join(arr_b, "id_b")
+                             .select("id_a", "a", "id_b", "b")).mapInPandas(
+            run, schema).localCheckpoint(eager=True)
+        tau_src = exact1.unionByName(exact_boot)
+    else:
+        tau_src = exact1
+    # τ = k-th best exact cost; NULL (→ unbounded full-grid range) when
+    # fewer than k candidates were computed — exactness never depends on
+    # grid/bucket occupancy
+    tau = (topk_per_key(tau_src, "id_a", "cost", k)
            .groupBy("id_a").agg(F.max("cost").alias("_t"),
                                 F.count(F.lit(1)).alias("_c"))
            .select("id_a", F.when(F.col("_c") >= k, F.col("_t"))
@@ -530,18 +601,61 @@ def knn_topk(series: DataFrame, k: int = 4, radius: int = 5,
             .select("id_a", "id_b"))
     phase2 = (rest.join(arr_a, "id_a").join(arr_b, "id_b")
               .select("id_a", "a", "id_b", "b"))
-    # exhaustive residue: cross-length pairs + length<2 series (no valid
-    # endpoint LB). Skipped — not even planned — when the pre-scan shows a
-    # single uniform length ≥ 2.
-    if g["nlens"] > 1 or n_short > 0:
-        ids_n = st.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
-        ids_nb = st.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
-        resid = (ids_n.join(ids_nb, (F.col("id_a") != F.col("id_b"))
-                            & ((F.col("na") != F.col("nb"))
-                               | (F.col("na") < 2)))
-                 .select("id_a", "id_b")
-                 .join(arr_a, "id_a").join(arr_b, "id_b")
-                 .select("id_a", "a", "id_b", "b"))
-        phase2 = phase2.unionByName(resid)
     exact2 = _spread(phase2).mapInPandas(run, schema)
-    return final_topk(exact1.unionByName(exact2))
+    parts = [exact1, exact2]
+
+    # --- τ-bounded residue: cross-length pairs + length<2 series -------
+    # Enumeration runs on the SCALAR stats only (a few dozen bytes/row,
+    # never the arrays): the range LB + τ filter on scalars first, arrays
+    # fetched only for survivors, and the per-pair subsequence DP is
+    # seeded with best_so_far = nextafter(τ) so its own 3-stage LB
+    # cascade abandons any pair whose true cost exceeds τ after an O(n)
+    # scan instead of the full DP. Pairs reported > τ (incl. the Inf
+    # all-pruned result) cannot enter the final top-k (k candidates with
+    # cost ≤ τ already exist for that id) and are dropped. Seeding with
+    # nextafter keeps exact-τ ties computed exactly, so deterministic
+    # tie-breaks match the brute-force oracle. Skipped — not even
+    # planned — for uniform-length corpora (fixed-step rollup grids, the
+    # recommended windowed-assembly config).
+    if has_residue:
+
+        def run_resid(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                recs = []
+                for row in pdf.itertuples(index=False):
+                    a = np.asarray(row.a, dtype=np.float64)
+                    b = np.asarray(row.b, dtype=np.float64)
+                    tv = row.tau  # "_tau" is aliased: itertuples renames
+                    # underscore-prefixed fields to positional names
+                    seeded = tv is not None and tv == tv  # non-null, non-NaN
+                    seed = np.nextafter(float(tv), np.inf) if seeded else np.inf
+                    if len(a) == len(b):  # only length<2 reaches here
+                        c = dtw_cost(a, b, dist, radius)
+                    else:
+                        s, l = sorted((a, b), key=len)
+                        c = dtwnn(s, l, dist, radius,
+                                  prune_endpoints=len(s) >= 2,
+                                  initial_bsf=seed).cost
+                    if np.isfinite(c) and (not seeded or c <= tv):
+                        recs.append({"id_a": row.id_a, "id_b": row.id_b,
+                                     "cost": c})
+                yield pd.DataFrame(recs, columns=["id_a", "id_b", "cost"])
+
+        # broadcast the scalar side: the stats table is a few dozen
+        # bytes/id, so the non-equi enumeration plans as a scalar
+        # BroadcastNestedLoopJoin (vectorized compare-and-filter, no
+        # shuffle, no array payload) instead of a CartesianProduct
+        resid = (_sc("a").join(F.broadcast(_sc("b")), resid_cond)
+                 .join(tau, "id_a", "left")
+                 .filter(F.col("_tau").isNull() | (lb_resid <= F.col("_tau")))
+                 .join(boot, ["id_a", "id_b"], "left_anti")
+                 .select("id_a", "id_b", F.col("_tau").alias("tau"))
+                 .join(arr_a, "id_a").join(arr_b, "id_b")
+                 .select("id_a", "a", "id_b", "b", "tau"))
+        exact_resid = _spread(resid).mapInPandas(run_resid, schema)
+        parts += [exact_boot, exact_resid]
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return final_topk(out)

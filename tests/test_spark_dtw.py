@@ -250,3 +250,67 @@ class TestKnnLbPrefilter:
         plan = fast_df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_residue_all_cross_length_matches_bruteforce(self, spark):
+        """Every pair cross-length (all-distinct lengths): the τ-bounded
+        residue path must equal brute force, including exact-τ ties —
+        two long series both containing the query series verbatim (cost
+        0 twice) must both survive the nextafter(τ) seeding."""
+        import numpy as np
+        from dynamicaxiswarping_jl_spark.operators import knn_topk
+        rng = np.random.default_rng(23)
+        probe = np.sin(np.linspace(0, 4, 12))
+        rows = [("probe", [float(v) for v in probe])]
+        # two containers of different lengths, each embedding probe exactly
+        for j, pad in enumerate((5, 9)):
+            v = np.concatenate([rng.normal(size=pad) + 10, probe,
+                                rng.normal(size=pad + j) + 10])
+            rows.append((f"cont{j}", [float(x) for x in v]))
+        for i in range(15):
+            L = 14 + i * 2  # all lengths distinct
+            v = np.cumsum(rng.normal(size=L))
+            rows.append((f"s{i:02d}", [float(x) for x in v]))
+        rows.append(("one", [3.5]))  # singleton in the mix
+        series = spark.createDataFrame(
+            rows, "conv_id string, points array<double>")
+        brute = knn_topk(series, k=2, radius=4, lb_prefilter=False).toPandas()
+        fast = knn_topk(series, k=2, radius=4, oversample=2).toPandas()
+        for key in sorted(brute.id_a.unique()):
+            bc = sorted(round(c, 9) for c in brute[brute.id_a == key].cost)
+            fc = sorted(round(c, 9) for c in fast[fast.id_a == key].cost)
+            assert bc == fc, key
+        # the exact-tie pair: probe's two 0-cost containers both present
+        pk = fast[fast.id_a == "probe"]
+        assert set(pk.id_b) == {"cont0", "cont1"}
+        np.testing.assert_allclose(pk.cost, [0.0, 0.0], atol=1e-12)
+
+    def test_mixed_length_no_array_nested_loop(self, spark):
+        """Mixed-length corpus: the residue may enumerate SCALAR stats with
+        a nested-loop join, but no array column may ever sit under a
+        cartesian/nested-loop join — arrays are only fetched by equi-join
+        for LB/τ survivors."""
+        import numpy as np
+        from dynamicaxiswarping_jl_spark.operators import knn_topk
+        rng = np.random.default_rng(41)
+        rows = [(f"s{i:02d}",
+                 [float(v) for v in np.cumsum(rng.normal(size=16 + (i % 6)))])
+                for i in range(24)]
+        series = spark.createDataFrame(
+            rows, "conv_id string, points array<double>")
+        df = knn_topk(series, k=3, radius=4)
+        plan = df._jdf.queryExecution().executedPlan()
+        assert "CartesianProduct" not in plan.toString()
+
+        def walk(node):
+            yield node
+            ch = node.children()
+            for i in range(ch.size()):
+                yield from walk(ch.apply(i))
+
+        for node in walk(plan):
+            if "NestedLoopJoin" in node.nodeName():
+                out = node.output()
+                for i in range(out.size()):
+                    att = out.apply(i)
+                    assert "array" not in att.dataType().simpleString(), (
+                        f"array column {att.name()} under {node.nodeName()}")
