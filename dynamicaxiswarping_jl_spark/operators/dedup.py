@@ -66,10 +66,17 @@ def _with_shingle_hashes(docs: DataFrame, text_col: str, shingle: int,
     The token array is materialized in its OWN projection: inlining the
     split() into the shingle transform() lambda makes Catalyst re-evaluate
     tokenization per shingle — O(doc_len · n_shingles) per doc. A small
-    input (one parquet split) is also re-spread so the string-heavy
-    projection isn't single-task."""
+    FILE-BACKED input (few parquet splits) is re-spread so the
+    string-heavy projection isn't single-task; the heuristic reads
+    ``inputFiles()`` (pure DataFrame API — no RDD conversion), and inputs
+    that aren't file scans (post-shuffle frames, in-memory test frames)
+    already carry their upstream parallelism."""
     sc = docs.sparkSession.sparkContext
-    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+    try:
+        nfiles = len(docs.inputFiles())
+    except Exception:
+        nfiles = 0
+    if 0 < nfiles < sc.defaultParallelism:
         docs = docs.repartition(sc.defaultParallelism)
     df = docs.withColumn("_toks", F.expr(_tokens_expr(text_col)))
     return (df.withColumn(out, F.expr(

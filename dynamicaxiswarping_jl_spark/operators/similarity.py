@@ -120,10 +120,10 @@ def ivf_cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     Scale path for ANN when the corpus doesn't fit a crossJoin:
 
     1. *Train* (driver): seeded k-means on a bounded deterministic
-       sample (xxhash64 residue-class predicate + top-k by hash over the
-       tiny survivor set — no corpus sort, no RNG, partition-layout
-       independent) over L2-normalized vectors — centroids are tiny and
-       broadcast.
+       sample (global top-train_sample by xxhash64 over a (hash, id)
+       projection — no corpus sort, no count job, no RNG,
+       partition-layout independent) over L2-normalized vectors —
+       centroids are tiny and broadcast.
     2. *Assign* (executors): every vector → nearest centroid, one matmul
        per Arrow batch; the assignment is the partition key of the
        inverted lists, so the candidate join shuffles corpus-side data
@@ -134,24 +134,25 @@ def ivf_cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     Recall < 1 by construction (a true neighbor can live in an unprobed
     list); raise ``nprobe`` toward n_centroids to converge on exact.
     """
-    # Deterministic, sort-free training sample: keep rows whose
-    # xxhash64(id) lands in a 1/p residue class (a scan-level predicate —
-    # no shuffle, no RNG state, independent of partition layout, unlike
-    # .sample()), then order the ~2·train_sample survivors by (hash, id).
-    # The corpus-wide work is one count + one predicate scan; the top-k
-    # runs over the tiny filtered subset only.
+    # Deterministic, count-free training sample: global top-train_sample
+    # by xxhash64(id) over the 16-byte (hash, id) projection only — a
+    # TakeOrderedAndProject (per-partition heap top-k + merge; no full
+    # sort, no RNG state, no corpus count job, partition-layout
+    # independent, and the vector column never rides through the top-k).
+    # One broadcast semi-join then fetches just those train_sample
+    # vectors. Same sample as the old residue-class scheme whenever the
+    # corpus fits 2·train_sample (p=1 there), so goldens are unaffected.
     pool = embeddings.select(id_col, vec_col)
-    n_corpus = pool.count()
-    if n_corpus == 0:
-        raise ValueError("ivf_cosine_topk: empty embeddings corpus")
-    p = max(1, n_corpus // (2 * train_sample))
     h = F.xxhash64(F.col(id_col))
-    sample = (pool.filter(F.pmod(h, F.lit(p)) == 0)
-              .orderBy(h.asc(), F.col(id_col).asc())
-              .limit(train_sample).collect())
-    if not sample:  # degenerate residue class on a tiny corpus
-        sample = (pool.orderBy(h.asc(), F.col(id_col).asc())
-                  .limit(train_sample).collect())
+    ids = (pool.select(h.alias("_h"), id_col)
+           .orderBy(F.col("_h").asc(), F.col(id_col).asc())
+           .limit(train_sample))
+    sample = (pool.join(F.broadcast(ids.select(id_col)), id_col)
+              .withColumn("_h", h)
+              .orderBy(F.col("_h").asc(), F.col(id_col).asc())
+              .collect())
+    if not sample:
+        raise ValueError("ivf_cosine_topk: empty embeddings corpus")
     X = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)

@@ -652,22 +652,16 @@ def xxh64_long_signed(v: int, seed: int = 42) -> int:
 
 def g_ivf_ann_topk(sf_dir):
     """Mirror ivf_cosine_topk(k=5, n_centroids=16, nprobe=8,
-    train_sample=2048, kmeans_iters=10, seed=42): deterministic
-    hash-residue training sample, seeded k-means, nearest-centroid
-    assignment, nprobe probing, exact cosine rerank with id tie-break."""
+    train_sample=2048, kmeans_iters=10, seed=42): deterministic top-k-by-
+    hash training sample, seeded k-means, nearest-centroid assignment,
+    nprobe probing, exact cosine rerank with id tie-break."""
     emb = _load(sf_dir, "embeddings")
     ids = emb["vec_id"].astype(int).to_numpy()
     V = np.stack([np.asarray(e, dtype=np.float64) for e in emb["embedding"]])
-    n = len(ids)
     train_sample, n_centroids, nprobe, kmeans_iters, seed, k = \
         2048, 16, 8, 10, 42, 5
-    p = max(1, n // (2 * train_sample))
     hv = np.array([xxh64_long_signed(int(v)) for v in ids], dtype=np.int64)
-    sel = np.flatnonzero(hv % p == 0)  # pmod of int64: sign follows divisor
-    order = np.lexsort((ids[sel], hv[sel]))
-    sel = sel[order][:train_sample]
-    if len(sel) == 0:
-        sel = np.lexsort((ids, hv))[:train_sample]
+    sel = np.lexsort((ids, hv))[:train_sample]  # global top-k by (hash, id)
     X = V[sel].copy()
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
