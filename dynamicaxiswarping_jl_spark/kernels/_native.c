@@ -38,6 +38,63 @@ void dtw_full_sq(const double *s1, long n, const double *s2, long m,
         dv = s2[r] - s1[0];
         D[r * n] = D[(r - 1) * n] + dv * dv;
     }
+    if (tc == 1.0) {
+        /* tc == 1 specialization: x*1.0 == x, so dropping the tc
+         * multiplies is bit-identical — and the kernel's cost is the
+         * loop-carried min+add latency chain, so rows are processed as a
+         * 4-row WAVEFRONT with columns staggered by 2: cell (r+1, c-2)
+         * needs (r, c-2), (r, c-3), (r+1, c-3), all already written when
+         * row r is at column c. Four independent chains in flight give
+         * the out-of-order core ~4x ILP; every cell still evaluates the
+         * exact same expression on the same operands, so results are
+         * bit-identical to the single-row loop. */
+        long r = 1;
+        for (; r + 3 < m; r += 4) {
+            const double *pv = D + (r - 1) * n;
+            double *w0 = D + r * n, *w1 = w0 + n, *w2 = w1 + n,
+                   *w3 = w2 + n;
+            const double b0 = s2[r], b1 = s2[r + 1], b2 = s2[r + 2],
+                         b3 = s2[r + 3];
+            double l0 = w0[0], l1 = w1[0], l2 = w2[0], l3 = w3[0];
+            long c;
+            for (c = 1; c < n + 6; c++) {
+                long c0 = c, c1 = c - 2, c2 = c - 4, c3 = c - 6;
+                if (c0 < n) {
+                    double d0 = b0 - s1[c0];
+                    l0 = dmin(dmin(pv[c0], pv[c0 - 1]), l0) + d0 * d0;
+                    w0[c0] = l0;
+                }
+                if (c1 >= 1 && c1 < n) {
+                    double d1 = b1 - s1[c1];
+                    l1 = dmin(dmin(w0[c1], w0[c1 - 1]), l1) + d1 * d1;
+                    w1[c1] = l1;
+                }
+                if (c2 >= 1 && c2 < n) {
+                    double d2 = b2 - s1[c2];
+                    l2 = dmin(dmin(w1[c2], w1[c2 - 1]), l2) + d2 * d2;
+                    w2[c2] = l2;
+                }
+                if (c3 >= 1 && c3 < n) {
+                    double d3 = b3 - s1[c3];
+                    l3 = dmin(dmin(w2[c3], w2[c3 - 1]), l3) + d3 * d3;
+                    w3[c3] = l3;
+                }
+            }
+        }
+        for (; r < m; r++) {
+            const double *prev = D + (r - 1) * n;
+            double *row = D + r * n;
+            const double br = s2[r];
+            double left = row[0];
+            for (long c = 1; c < n; c++) {
+                dv = br - s1[c];
+                double b = dmin(prev[c], prev[c - 1]);
+                left = dmin(b, left) + dv * dv;
+                row[c] = left;
+            }
+        }
+        return;
+    }
     for (long r = 1; r < m; r++) {
         const double *prev = D + (r - 1) * n;
         double *row = D + r * n;
@@ -50,6 +107,103 @@ void dtw_full_sq(const double *s1, long n, const double *s2, long m,
             row[c] = left;
         }
     }
+}
+
+/* Trackback from D[m-1, n-1] (reference src/dtw.jl:123-152 via the
+ * src/utils.jl:1-15 tie rule: diagonal, then up, then left). Fills ti1
+ * (cols into seq1) / ti2 (rows into seq2), both 1-based, in REVERSE
+ * order (end -> start); the caller reverses. Returns the path length
+ * (<= m + n). Works on banded dense matrices too: out-of-band +inf
+ * cells lose every <= comparison exactly like the NumPy path. */
+long dtw_trackback(const double *D, long m, long n,
+                   long long *ti1, long long *ti2)
+{
+    long r = m - 1, c = n - 1, k = 0;
+    ti2[k] = r + 1; ti1[k] = c + 1; k++;
+    while (r > 0 && c > 0) {
+        double a = D[(r - 1) * n + (c - 1)];
+        double b = D[(r - 1) * n + c];
+        double cc = D[r * n + (c - 1)];
+        if (a <= b) { if (a <= cc) { r--; c--; } else c--; }
+        else { if (b <= cc) r--; else c--; }
+        ti2[k] = r + 1; ti1[k] = c + 1; k++;
+    }
+    while (r > 0) { r--; ti2[k] = r + 1; ti1[k] = 1; k++; }
+    while (c > 0) { c--; ti1[k] = c + 1; ti2[k] = 1; k++; }
+    return k;
+}
+
+static inline double band_get(const double *band, const long *off,
+                              const long *lo, const long *hi,
+                              long r, long c)
+{
+    return (r >= lo[c] && r <= hi[c]) ? band[off[c] + r - lo[c]] : INF;
+}
+
+/* Banded DTW cost + path WITHOUT the dense (m, n) matrix: the DP runs on
+ * compact per-column band storage (off[c] = start of column c's segment,
+ * total sum(hi-lo+1) doubles — for radiuslimits(r) that is O((2r+1+d)*n)
+ * instead of O(m*n)), then the trackback reads through band_get with
+ * out-of-band = +inf. Same recurrence, boundary rules, and fp operation
+ * order as dtw_banded_sq, so costs and paths are bit-identical to the
+ * dense path. Caller guarantees lo[0] == 0 and hi[n-1] == m-1. */
+double dtw_banded_path_sq(const double *s1, long n, const double *s2,
+                          long m, const long *lo, const long *hi,
+                          const long *off, double tc, double *band,
+                          long long *ti1, long long *ti2, long long *plen)
+{
+    double acc = 0.0;
+    for (long r = 0; r <= hi[0]; r++) {
+        double dv = s1[0] - s2[r];
+        acc += dv * dv;
+        band[off[0] + r] = acc;
+    }
+    for (long c = 1; c < n; c++) {
+        const long l = lo[c], h = hi[c];
+        const long pl = lo[c - 1], ph = hi[c - 1];
+        const double *pcol = band + off[c - 1];
+        double *cur = band + off[c];
+        const double ac = s1[c];
+        double up = INF;
+        if (tc == 1.0) {
+            for (long r = l; r <= h; r++) {
+                double dv = ac - s2[r];
+                dv *= dv;
+                double dg = (r - 1 >= pl && r - 1 <= ph)
+                            ? pcol[r - 1 - pl] : INF;
+                double lf = (r >= pl && r <= ph) ? pcol[r - pl] : INF;
+                double best = dmin(dmin(dg, lf), up);
+                up = best + dv;
+                cur[r - l] = up;
+            }
+        } else {
+            for (long r = l; r <= h; r++) {
+                double dv = ac - s2[r];
+                dv *= dv;
+                double dg = (r - 1 >= pl && r - 1 <= ph)
+                            ? pcol[r - 1 - pl] : INF;
+                double lf = (r >= pl && r <= ph) ? pcol[r - pl] : INF;
+                double best = dmin(dmin(dg, tc * lf), tc * up);
+                up = best + dv;
+                cur[r - l] = up;
+            }
+        }
+    }
+    long r = m - 1, c = n - 1, k = 0;
+    double cost = band_get(band, off, lo, hi, r, c);
+    ti2[k] = r + 1; ti1[k] = c + 1; k++;
+    while (r > 0 && c > 0) {
+        double a = band_get(band, off, lo, hi, r - 1, c - 1);
+        double b = band_get(band, off, lo, hi, r - 1, c);
+        double cc = band_get(band, off, lo, hi, r, c - 1);
+        if (a <= b) { if (a <= cc) { r--; c--; } else c--; }
+        else { if (b <= cc) r--; else c--; }
+        ti2[k] = r + 1; ti1[k] = c + 1; k++;
+    }
+    while (r > 0) { r--; ti2[k] = r + 1; ti1[k] = 1; k++; }
+    while (c > 0) { c--; ti1[k] = c + 1; ti2[k] = 1; k++; }
+    *plen = k;
+    return cost;
 }
 
 /* Banded (m, n) matrix with 0-based per-column windows lo[c]..hi[c].

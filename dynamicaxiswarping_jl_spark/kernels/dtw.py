@@ -116,6 +116,26 @@ def dtw_cost_matrix(seq1, seq2, dist=None, transportcost: float = 1.0,
     return D
 
 
+def _validate_band(i2min, i2max, n: int, m: int):
+    """Shared window validation (reference src/dtw.jl:84-89 endpoints plus
+    full-range checks): the C band kernels write D cells for every lo..hi
+    unchecked, and the NumPy paths would silently wrap negative indices —
+    reject out-of-range windows for every execution path."""
+    i2min = np.asarray(i2min, dtype=np.int64)
+    i2max = np.asarray(i2max, dtype=np.int64)
+    if len(i2min) != n or len(i2max) != n:
+        raise ValueError("i2min/i2max must match length of seq1")
+    if i2min[0] != 1:
+        raise ValueError("i2min must start at 1")
+    if i2max[-1] != m:
+        raise ValueError(
+            f"i2max must end at length(seq2), was {i2max[-1]} != {m}")
+    if (i2min < 1).any() or (i2max > m).any() or (i2min > i2max).any():
+        raise ValueError(
+            "i2min/i2max must satisfy 1 <= i2min[c] <= i2max[c] <= len(seq2)")
+    return i2min, i2max
+
+
 def banded_dtw_cost_matrix(seq1, seq2, dist=None, i2min=None, i2max=None,
                            transportcost: float = 1.0) -> np.ndarray:
     """Windowed DTW cost matrix (reference src/dtw.jl:74-111).
@@ -129,22 +149,7 @@ def banded_dtw_cost_matrix(seq1, seq2, dist=None, i2min=None, i2max=None,
     seq1 = np.asarray(seq1, dtype=np.float64)
     seq2 = np.asarray(seq2, dtype=np.float64)
     m, n = _lastlen(seq2), _lastlen(seq1)
-    i2min = np.asarray(i2min, dtype=np.int64)
-    i2max = np.asarray(i2max, dtype=np.int64)
-    if len(i2min) != n or len(i2max) != n:
-        raise ValueError("i2min/i2max must match length of seq1")
-    if i2min[0] != 1:
-        raise ValueError("i2min must start at 1")
-    if i2max[-1] != m:
-        raise ValueError(f"i2max must end at length(seq2), was {i2max[-1]} != {m}")
-    # Full-range validation (not just the endpoints): the C band kernel
-    # writes D[r*n+c] for every lo..hi unchecked, and the NumPy paths would
-    # silently wrap negative indices — reject out-of-range windows for
-    # every execution path.
-    if (i2min < 1).any() or (i2max > m).any() or (i2min > i2max).any():
-        raise ValueError(
-            "i2min/i2max must satisfy 1 <= i2min[c] <= i2max[c] <= len(seq2)")
-
+    i2min, i2max = _validate_band(i2min, i2max, n, m)
     tc = float(transportcost)
     lo0 = i2min - 1  # 0-based inclusive lower rows per column
     hi0 = i2max - 1
@@ -240,6 +245,12 @@ def trackback(D: np.ndarray):
     (src/utils.jl:1-15).
     """
     m, n = D.shape
+    if (m > 0 and n > 0 and D.dtype == np.float64
+            and D.flags["C_CONTIGUOUS"]):
+        from . import native
+        if native.available():
+            cost, cols, rows = native.trackback(D)
+            return cost, cols, rows
     r, c = m - 1, n - 1  # 0-based
     rows = [r + 1]
     cols = [c + 1]
@@ -276,6 +287,18 @@ def dtw(seq1, seq2, dist=None, i2min=None, i2max=None,
     """Full DTW: ``(cost, i1, i2)`` with 1-based warp paths
     (reference src/dtw.jl:25-28). Banded when ``i2min/i2max`` given."""
     if i2min is not None or i2max is not None:
+        d = get_dist(dist)
+        s1 = np.asarray(seq1, dtype=np.float64)
+        s2 = np.asarray(seq2, dtype=np.float64)
+        if (s1.ndim == 1 and s2.ndim == 1 and len(s1) and len(s2)
+                and d.name == "sqeuclidean"):
+            from . import native
+            if native.available():
+                # compact-band DP + in-band trackback: O(band) memory,
+                # no dense (m, n) inf-fill; bit-identical costs/paths
+                imin, imax = _validate_band(i2min, i2max, len(s1), len(s2))
+                return native.banded_path(s1, s2, imin - 1, imax - 1,
+                                          float(transportcost))
         D = banded_dtw_cost_matrix(seq1, seq2, dist, i2min, i2max,
                                    transportcost=transportcost)
     else:

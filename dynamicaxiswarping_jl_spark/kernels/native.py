@@ -118,6 +118,13 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.dtw_cost_band_sq.argtypes = [dp, dp, ctypes.c_long, ctypes.c_long,
                                      ctypes.c_double, ctypes.c_double, dp, dp]
     lib.dtw_cost_band_sq.restype = ctypes.c_double
+    llp = ctypes.POINTER(ctypes.c_longlong)
+    lib.dtw_trackback.argtypes = [dp, ctypes.c_long, ctypes.c_long, llp, llp]
+    lib.dtw_trackback.restype = ctypes.c_long
+    lib.dtw_banded_path_sq.argtypes = [dp, ctypes.c_long, dp, ctypes.c_long,
+                                       lp, lp, lp, ctypes.c_double, dp,
+                                       llp, llp, llp]
+    lib.dtw_banded_path_sq.restype = ctypes.c_double
     lib.dtw_cost_batch_sq_f64.argtypes = [
         dp, ctypes.c_int, dp, ctypes.c_long, ctypes.c_long, ctypes.c_long,
         ctypes.c_double, dp, dp]
@@ -200,6 +207,46 @@ def banded_matrix(s1: np.ndarray, s2: np.ndarray, lo0: np.ndarray,
                     _ptr(lo0, ctypes.c_long), _ptr(hi0, ctypes.c_long),
                     tc, _ptr(D, ctypes.c_double))
     return D
+
+
+def trackback(D: np.ndarray):
+    """(cost, cols, rows) trackback on a dense C-contiguous float64
+    matrix — same tie rule as dtw.trackback."""
+    L = lib()
+    m, n = D.shape
+    ti1 = np.empty(m + n, dtype=np.int64)
+    ti2 = np.empty(m + n, dtype=np.int64)
+    ll = ctypes.c_longlong
+    k = L.dtw_trackback(_ptr(D, ctypes.c_double), m, n,
+                        _ptr(ti1, ll), _ptr(ti2, ll))
+    return float(D[-1, -1]), ti1[:k][::-1].copy(), ti2[:k][::-1].copy()
+
+
+def banded_path(s1: np.ndarray, s2: np.ndarray, lo0: np.ndarray,
+                hi0: np.ndarray, tc: float):
+    """Banded DTW (cost, cols, rows) without materializing the dense
+    matrix: compact band storage + in-band trackback."""
+    L = lib()
+    s1 = np.ascontiguousarray(s1, dtype=np.float64)
+    s2 = np.ascontiguousarray(s2, dtype=np.float64)
+    lo0 = np.ascontiguousarray(lo0, dtype=np.int64)
+    hi0 = np.ascontiguousarray(hi0, dtype=np.int64)
+    widths = hi0 - lo0 + 1
+    off = np.zeros(len(lo0), dtype=np.int64)
+    np.cumsum(widths[:-1], out=off[1:])
+    band = np.empty(int(widths.sum()), dtype=np.float64)
+    n, m = len(s1), len(s2)
+    ti1 = np.empty(m + n, dtype=np.int64)
+    ti2 = np.empty(m + n, dtype=np.int64)
+    plen = np.zeros(1, dtype=np.int64)
+    ll = ctypes.c_longlong
+    cost = L.dtw_banded_path_sq(
+        _ptr(s1, ctypes.c_double), n, _ptr(s2, ctypes.c_double), m,
+        _ptr(lo0, ctypes.c_long), _ptr(hi0, ctypes.c_long),
+        _ptr(off, ctypes.c_long), tc, _ptr(band, ctypes.c_double),
+        _ptr(ti1, ll), _ptr(ti2, ll), _ptr(plen, ll))
+    k = int(plen[0])
+    return float(cost), ti1[:k][::-1].copy(), ti2[:k][::-1].copy()
 
 
 def cost_band(a: np.ndarray, b: np.ndarray, r: int, tc: float,

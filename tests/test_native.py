@@ -268,3 +268,43 @@ class TestGorillaCorruptGuards:
         by = bytes(int(bits[i:i + 8].ljust(8, "0"), 2)
                    for i in range(0, len(bits), 8))
         assert native.gorilla_decode(2, 0, 1.0, by) is None
+
+
+@needs_native
+class TestNativePathParity:
+    def _pairs(self):
+        rng = np.random.default_rng(17)
+        yield rng.normal(size=200), rng.normal(size=200)
+        yield rng.normal(size=150), rng.normal(size=210)  # unequal
+        yield np.zeros(80), np.zeros(80)                  # all-ties
+        yield np.repeat([1.0, 2.0], 40), np.repeat([1.0, 2.0], 45)
+
+    def test_trackback_matches_python(self):
+        for a, b in self._pairs():
+            D = K.dtw_cost_matrix(a, b)
+            got = K.trackback(D)
+            with _numpy_only():
+                want = K.trackback(D)
+            assert got[0] == want[0]
+            np.testing.assert_array_equal(got[1], want[1])
+            np.testing.assert_array_equal(got[2], want[2])
+
+    def test_banded_path_matches_dense(self):
+        for a, b in self._pairs():
+            for r in (0, 3, 25):
+                imin, imax = K.radiuslimits(r, len(a), len(b))
+                got = K.dtw(a, b, i2min=imin, i2max=imax)
+                with _numpy_only():
+                    want = K.dtw(a, b, i2min=imin, i2max=imax)
+                assert got[0] == want[0]  # bit-identical, not approx
+                np.testing.assert_array_equal(got[1], want[1])
+                np.testing.assert_array_equal(got[2], want[2])
+
+    def test_banded_path_matches_full_when_unconstrained(self):
+        a, b = next(self._pairs())
+        n = len(a)
+        got = K.dtw(a, b, i2min=[1] * n, i2max=[n] * n)
+        want = K.dtw(a, b)
+        assert got[0] == pytest.approx(want[0], rel=1e-12)
+        np.testing.assert_array_equal(got[1], want[1])
+        np.testing.assert_array_equal(got[2], want[2])
