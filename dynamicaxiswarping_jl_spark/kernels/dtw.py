@@ -493,6 +493,16 @@ def dtw_cost(a, b, dist=None, r: int = 0, transportcost: float = 1.0,
     """O(r)-memory banded DTW cost with early abandon
     (reference src/dtw.jl:176-237, UCR-suite style).
 
+    KNOWN DEVIATION (user-facing, see README "Known deviations"): with
+    ``transportcost != 1`` this function penalizes the two NON-diagonal
+    moves (the reference's own ``dtw_cost_matrix`` placement,
+    src/dtw.jl:61), whereas the reference's ``dtw_cost`` penalizes the
+    diagonal + advance-``a`` moves (src/dtw.jl:213-215) — the reference is
+    internally inconsistent and no golden pins its placement. Here
+    ``dtw_cost(a, b, r=len(a), transportcost=tc) == dtw(a, b,
+    transportcost=tc).cost`` holds for every tc (pinned by
+    tests/test_kernels_dtw.py::TestTransportcostPlacement).
+
     Requires equal lengths (src/dtw.jl:195). ``cumulative_bound`` is the
     reverse-cumulative LB_Keogh bound consumed by the abandon test
     (src/dtw.jl:227-229): when the running row minimum plus the remaining

@@ -167,6 +167,30 @@ class TestWindowedGolden:
             dtw_cost_batch(a, b[None, :], -1)
 
 
+class TestTransportcostPlacement:
+    """Pin the engine's transportcost placement so it cannot drift
+    silently (README "Known deviations"): dtw_cost uses the
+    dtw_cost_matrix placement (non-diagonal moves penalized,
+    src/dtw.jl:61), NOT the reference dtw_cost's diagonal+advance-a
+    placement (src/dtw.jl:213-215), so full-band dtw_cost == dtw().cost
+    for EVERY tc. Values below are engine goldens on a tc-sensitive
+    input (the optimal path is genuinely non-diagonal)."""
+
+    a = np.array([0.0, 2.0, 1.0, 3.0, 0.5, 2.5, 1.5, 4.0])
+    b = np.array([0.5, 0.0, 2.5, 1.0, 3.5, 1.0, 2.0, 3.0])
+
+    @pytest.mark.parametrize("tc,want", [
+        (1.0, 2.5), (1.3, 2.875), (2.0, 3.75)])
+    def test_pinned_values_and_equality(self, tc, want):
+        c_full, _, _ = dtw(self.a, self.b, transportcost=tc)
+        assert c_full == pytest.approx(want, rel=1e-12)
+        assert dtw_cost(self.a, self.b, SqEuclidean(), len(self.a),
+                        transportcost=tc) == pytest.approx(want, rel=1e-12)
+        # banded r=2 stays on the same placement (same golden input)
+        assert dtw_cost(self.a, self.b, SqEuclidean(), 2,
+                        transportcost=tc) == pytest.approx(want, rel=1e-12)
+
+
 class TestRadiuslimits:
     def test_unequal_lengths(self):
         # runtests.jl:10-27
