@@ -32,6 +32,13 @@ _lock = threading.Lock()
 _lib = None
 _tried = False
 
+# -ffp-contract=off: forbid FMA contraction of `best + dv*dv` so the C DPs
+# are bit-identical to the scalar second-source oracle (scripts/naive_dtw.py)
+# and the committed golden parquet does not depend on which path computed
+# them. Tie-sensitive integer outputs (trackback paths → align delays, NN
+# loc) flip on 1-ulp cost differences, so "close" is not enough here.
+_CFLAGS = ["-O3", "-march=native", "-ffp-contract=off", "-fPIC", "-shared"]
+
 
 def _source() -> bytes:
     """_native.c bytes — via importlib.resources so it also resolves when
@@ -73,7 +80,7 @@ def _cache_dir() -> str:
 
 def _compile() -> str | None:
     src = _source()
-    key = hashlib.sha256(src).hexdigest()[:16]
+    key = hashlib.sha256(src + " ".join(_CFLAGS).encode()).hexdigest()[:16]
     so = os.path.join(_cache_dir(), f"dtwnative_{key}_{_host_tag()}.so")
     if os.path.exists(so):
         return so
@@ -87,8 +94,7 @@ def _compile() -> str | None:
             fd, tmp = tempfile.mkstemp(suffix=".so", dir=_cache_dir())
             os.close(fd)
             res = subprocess.run(
-                [cc, "-O3", "-march=native", "-fPIC", "-shared",
-                 "-o", tmp, csrc, "-lm"],
+                [cc, *_CFLAGS, "-o", tmp, csrc, "-lm"],
                 capture_output=True, timeout=120)
             if res.returncode == 0:
                 os.replace(tmp, so)  # atomic: racing workers converge

@@ -4,19 +4,22 @@
 DuckDB cannot express DTW/DBA/LSH, so those driver queries were rows-only
 checked. This script computes their expected outputs WITHOUT the Spark
 operators — pandas/pyarrow for all relational plumbing (rollup, gap-fill,
-series assembly, joins, top-k) plus the pytest-pinned NumPy kernels for
-the DTW math (the same oracle pattern the reference uses: golden values
-produced by a trusted scalar implementation, test/runtests.jl:491-575) —
-and writes them to golden/sf0.01/<query>.parquet. ``oracle_sql()`` then
-exposes each as ``SELECT * FROM read_parquet(...)`` so the driver's
-rows+schema+hash check covers the DTW half of the engine too.
+series assembly, joins, top-k) plus a deliberately NAIVE scalar-Python
+oracle (scripts/naive_dtw.py) for the DTW math (the same oracle pattern
+the reference uses: golden values produced by a trusted scalar
+implementation, test/runtests.jl:491-575) — and writes them to
+golden/sf0.01/<query>.parquet. ``oracle_sql()`` then exposes each as
+``SELECT * FROM read_parquet(...)`` so the driver's rows+schema+hash
+check covers the DTW half of the engine too.
 
 What is independent vs shared:
 - rollup/gapfill/assembly/banding/top-k/connected-components: re-derived
   here in pandas/NumPy — fully independent of the Spark operators.
 - DTW-family numerics (dtw, dtw_cost, dtw_cost_batch, dtwnn, dba, softdtw,
-  fastdtw, gdtw, matrix/distance profile): the NumPy kernels, which are
-  themselves pinned by reference golden values in tests/.
+  fastdtw, gdtw, matrix/distance profile): scripts/naive_dtw.py — a
+  straight-line scalar second source sharing NO code with the engine
+  kernels, cross-checked against the reference's runtests.jl golden
+  vectors and the engine in tests/test_naive_oracle.py.
 - xxhash64: reimplemented here in pure Python from the public XXH64 spec
   and asserted against Spark's implementation in tests.
 
@@ -29,6 +32,11 @@ from __future__ import annotations
 import os
 import sys
 
+# Belt and braces: golden bytes must not depend on whether the generating
+# machine has a C compiler (ADVICE r02) — the naive oracle never touches
+# the engine kernels, but shared helpers imported below must not either.
+os.environ.setdefault("SPARK_TSWARP_NO_NATIVE", "1")
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -36,15 +44,13 @@ import pyarrow.parquet as pq
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from dynamicaxiswarping_jl_spark.kernels import (  # noqa: E402
-    dtw, dtw_cost, dtwnn, dba, soft_dtw_cost, fastdtw,
-    distance_profile, matrix_profile,
+from naive_dtw import (  # noqa: E402 — the scalar second-source oracle
+    dtw, dtw_cost, dtw_cost_batch, dtwnn, dba, dba_iteration,
+    soft_dtw_cost, fastdtw, gdtw, distance_profile, matrix_profile,
+    lb_endpoints,
 )
-from dynamicaxiswarping_jl_spark.kernels.dtw import dtw_cost_batch  # noqa: E402
-from dynamicaxiswarping_jl_spark.kernels.dtwnn import lb_endpoints  # noqa: E402
-from dynamicaxiswarping_jl_spark.kernels.dba import dba_iteration  # noqa: E402
-from dynamicaxiswarping_jl_spark.kernels.gdtw import gdtw  # noqa: E402
 from dynamicaxiswarping_jl_spark.operators.dedup import _hash_params, _MERSENNE  # noqa: E402
 from dynamicaxiswarping_jl_spark.sources.transcripts import generate_transcripts_pandas  # noqa: E402
 
