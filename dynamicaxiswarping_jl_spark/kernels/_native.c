@@ -383,6 +383,187 @@ void NAME(const T *y, long m, const T *l, const T *u,                    \
 LB_ENV_IMPL(lb_env_subset_f64, double)
 LB_ENV_IMPL(lb_env_subset_f32, float)
 
+/* Whole-cascade subsequence NN search for one (query, series) pair —
+ * the C analog of the batched strategy in dtwnn.py:284-386 (reference
+ * src/dtwnn.jl:162-238). One ctypes call replaces ~40 NumPy dispatches
+ * per (query, series), which dominated the short-query/many-series
+ * workload (dtwnn_search over rolled-up conversations).
+ *
+ * RESULT parity contract (tests/test_kernels_dtwnn.py): cost and loc are
+ * identical to the Python batched path — every window whose true cost
+ * equals the final minimum has lb <= cost <= running threshold at every
+ * point of any sound scan, so it is always computed; the DP below is the
+ * exact BATCH_IMPL loop (full evaluation, no early abandon) on the same
+ * normalized operands, hence bit-equal costs; the scan runs in window
+ * order, so the earliest minimum wins ties exactly like
+ * flatnonzero(dists == best)[0]. Prune counters keep the deterministic
+ * final-threshold semantics (count windows NOT computed whose stored LB
+ * exceeds bsf_mult * final_best) but the computed SET differs from the
+ * LB-ordered chunk scan, so counter VALUES may differ from the NumPy
+ * path — both are observability metrics, not golden values (dtwnn.py
+ * docstring caveat).
+ *
+ * qn: normalized query (znorm already applied by the caller when
+ * use_znorm); lenv/uenv: its envelopes; mu/sd: per-window-start sliding
+ * stats (length nw, sd zero-replaced), NULL when !use_znorm. avoid_lo/hi:
+ * 1-based inclusive window-start mask (0,0 = none). Returns 0, or -1 on
+ * allocation failure (caller falls back to NumPy). */
+#define NN_SEARCH_IMPL(NAME, T)                                          \
+int NAME(const T *qn, long m, const T *y, long n, long rad,              \
+         const T *lenv, const T *uenv, const T *mu, const T *sd,         \
+         int use_znorm, int use_end, int use_env,                        \
+         double bsf_in, double bsf_mult,                                 \
+         long avoid_lo, long avoid_hi,                                   \
+         double *out_cost, long long *out_loc,                           \
+         long long *out_prune_end, long long *out_prune_env)             \
+{                                                                        \
+    const long nw = n - m + 1;                                           \
+    long w = 2 * rad + 1;                                                \
+    if (w > m) w = m;                                                    \
+    double *lbe = NULL, *lbv = NULL;                                     \
+    unsigned char *comp = NULL;                                          \
+    T *scratch = NULL;                                                   \
+    lbe = (double *)calloc((size_t)nw, sizeof(double));                  \
+    lbv = (double *)calloc((size_t)nw, sizeof(double));                  \
+    comp = (unsigned char *)calloc((size_t)nw, 1);                       \
+    scratch = (T *)malloc((size_t)(2 * w + m) * sizeof(T));              \
+    if (!lbe || !lbv || !comp || !scratch) {                             \
+        free(lbe); free(lbv); free(comp); free(scratch);                 \
+        return -1;                                                       \
+    }                                                                    \
+    T *prev_b = scratch, *cur_b = scratch + w, *wn = scratch + 2 * w;    \
+    long mask_lo = avoid_lo > 0 ? avoid_lo - 1 : nw;                     \
+    long mask_hi = avoid_hi > 0 ? (avoid_hi - 1 < nw - 1                 \
+                                   ? avoid_hi - 1 : nw - 1) : -1;        \
+    if (mask_lo < 0) mask_lo = 0;                                        \
+    /* endpoint LB for every window — the full (non-early-out) sum of    \
+     * _lb_endpoints_all, src/dtwnn.jl:99-119 */                         \
+    if (use_end) {                                                       \
+        const T q0 = qn[0], qm = qn[m - 1];                              \
+        const T q1 = m > 2 ? qn[1] : (T)0;                               \
+        const T qm2 = m > 2 ? qn[m - 2] : (T)0;                          \
+        for (long i = 0; i < nw; i++) {                                  \
+            T x1 = y[i], ylast = y[i + m - 1];                           \
+            if (use_znorm) {                                             \
+                x1 = (x1 - mu[i]) / sd[i];                               \
+                ylast = (ylast - mu[i]) / sd[i];                         \
+            }                                                            \
+            T d1 = q0 - x1, d2 = qm - ylast;                             \
+            T lb = d1 * d1 + d2 * d2;                                    \
+            if (m > 2) {                                                 \
+                T x2 = y[i + 1], y2 = y[i + m - 2];                      \
+                if (use_znorm) {                                         \
+                    x2 = (x2 - mu[i]) / sd[i];                           \
+                    y2 = (y2 - mu[i]) / sd[i];                           \
+                }                                                        \
+                T a = x2 - q0, b = x1 - q1, c = x2 - q1;                 \
+                a *= a; b *= b; c *= c;                                  \
+                T mn = a < b ? a : b;                                    \
+                if (c < mn) mn = c;                                      \
+                lb += mn;                                                \
+                a = y2 - qm; b = ylast - qm2; c = y2 - qm2;              \
+                a *= a; b *= b; c *= c;                                  \
+                mn = a < b ? a : b;                                      \
+                if (c < mn) mn = c;                                      \
+                lb += mn;                                                \
+            }                                                            \
+            lbe[i] = (double)lb;                                         \
+        }                                                                \
+    }                                                                    \
+    double bsf = bsf_in;                                                 \
+    double best = (double)INF;                                           \
+    long long loc = 1;                                                   \
+    for (long i = 0; i < nw; i++) {                                      \
+        if (i >= mask_lo && i <= mask_hi) continue;                      \
+        double thresh = bsf_mult * bsf;                                  \
+        if (use_end && lbe[i] > thresh) continue;                        \
+        const T *x = y + i;                                              \
+        if (use_env) {                                                   \
+            T acc = (T)0;                                                \
+            if (use_znorm) {                                             \
+                const T scale = sd[i], off = mu[i];                      \
+                for (long j = 0; j < m; j++) {                           \
+                    T ur = uenv[j] * scale + off;                        \
+                    T lr = lenv[j] * scale + off;                        \
+                    T e = x[j] > ur ? x[j] - ur                          \
+                        : (lr > x[j] ? lr - x[j] : (T)0);                \
+                    e /= scale;                                          \
+                    acc += e * e;                                        \
+                }                                                        \
+            } else {                                                     \
+                for (long j = 0; j < m; j++) {                           \
+                    T e = x[j] > uenv[j] ? x[j] - uenv[j]                \
+                        : (lenv[j] > x[j] ? lenv[j] - x[j] : (T)0);      \
+                    acc += e * e;                                        \
+                }                                                        \
+            }                                                            \
+            lbv[i] = (double)acc;                                        \
+            if (lbv[i] > thresh) continue;                               \
+        }                                                                \
+        const T *b = x;                                                  \
+        if (use_znorm) {                                                 \
+            const T scale = sd[i], off = mu[i];                          \
+            for (long j = 0; j < m; j++)                                 \
+                wn[j] = (x[j] - off) / scale;                            \
+            b = wn;                                                      \
+        }                                                                \
+        /* full band DP, no abandon — the BATCH_IMPL loop with tc == 1   \
+         * (multiplies by 1.0 dropped: bit-identical) */                 \
+        T *prev = prev_b, *cur = cur_b;                                  \
+        long plo = 0, phi = -1, lo = 0, hi = 0;                          \
+        for (long ii = 0; ii < m; ii++) {                                \
+            lo = ii - rad > 0 ? ii - rad : 0;                            \
+            hi = ii + rad < m - 1 ? ii + rad : m - 1;                    \
+            const T ai = qn[ii];                                         \
+            if (ii == 0) {                                               \
+                T s = (T)0;                                              \
+                for (long j = lo; j <= hi; j++) {                        \
+                    T dv = ai - b[j];                                    \
+                    s += dv * dv;                                        \
+                    cur[j - lo] = s;                                     \
+                }                                                        \
+            } else {                                                     \
+                T acc2 = (T)INF;                                         \
+                for (long j = lo; j <= hi; j++) {                        \
+                    T dv = ai - b[j];                                    \
+                    dv *= dv;                                            \
+                    T up = (j >= plo && j <= phi) ? prev[j - plo]        \
+                                                  : (T)INF;              \
+                    T dg = (j - 1 >= plo && j - 1 <= phi)                \
+                           ? prev[j - 1 - plo] : (T)INF;                 \
+                    T bst = up < dg ? up : dg;                           \
+                    if (j > lo && acc2 < bst) bst = acc2;                \
+                    acc2 = bst + dv;                                     \
+                    cur[j - lo] = acc2;                                  \
+                }                                                        \
+            }                                                            \
+            T *t = prev; prev = cur; cur = t;                            \
+            plo = lo; phi = hi;                                          \
+        }                                                                \
+        double cost = (double)prev[hi - lo];                             \
+        comp[i] = 1;                                                     \
+        if (cost < best) { best = cost; loc = i + 1; }                   \
+        if (best < bsf) bsf = best;                                      \
+    }                                                                    \
+    /* deterministic final-threshold counters (dtwnn.py:369-384) */      \
+    double thresh = bsf_mult * best;                                     \
+    long long pe = 0, pv = 0;                                            \
+    for (long i = 0; i < nw; i++) {                                      \
+        if (comp[i] || (i >= mask_lo && i <= mask_hi)) continue;         \
+        if (use_end && lbe[i] > thresh) { pe++; continue; }              \
+        if (use_env && lbv[i] > thresh) pv++;                            \
+    }                                                                    \
+    *out_cost = best;                                                    \
+    *out_loc = loc;                                                      \
+    *out_prune_end = pe;                                                 \
+    *out_prune_env = pv;                                                 \
+    free(lbe); free(lbv); free(comp); free(scratch);                     \
+    return 0;                                                            \
+}
+
+NN_SEARCH_IMPL(nn_search_sq_f64, double)
+NN_SEARCH_IMPL(nn_search_sq_f32, float)
+
 /* ---------------------------------------------------------------------
  * Gorilla / delta-of-delta codec (operators/compression.py bit format,
  * per the Gorilla paper VLDB'15 §4.1/4.2). MSB-first bit stream,

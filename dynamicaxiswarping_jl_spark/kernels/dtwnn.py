@@ -252,6 +252,40 @@ def dtwnn(q, y, dist=None, rad: int = 5, normalizer: Optional[str] = None, *,
         mu = mu.astype(dtype)
         sd = sd.astype(dtype)
 
+    # ---- whole-cascade C fast path ----
+    # One C call runs endpoint LB + LB_Keogh + full band DP for the whole
+    # series: cost/loc are identical to the batched path below (every
+    # window tying the final minimum survives any sound LB filter and the
+    # DP loop is the same BATCH_IMPL recurrence — see nn_search_sq in
+    # _native.c); prune counters keep the final-threshold rule but may
+    # differ in value from the chunk-ordered scan (metrics, not goldens).
+    # saveall needs the dense profile and multichannel/other metrics need
+    # the generic paths, so those fall through.
+    if (onedim and not saveall and d.name == "sqeuclidean"
+            and transportcost == 1.0
+            and (avoid is None or (isinstance(avoid, tuple)
+                                   and len(avoid) == 2))):
+        from . import native
+        if native.available():
+            if prune_envelope:
+                l_env, u_env = (envs if envs is not None
+                                else lower_upper_envs(qn, rad))
+            else:
+                l_env = u_env = qn  # unused by C when use_env == 0
+            a_lo = a_hi = 0
+            if avoid is not None:
+                a_lo = max(1, int(avoid[0]))
+                a_hi = min(nw, int(avoid[1]))
+                if a_lo > a_hi:
+                    a_lo = a_hi = 0
+            got = native.nn_search(qn, y, int(rad), l_env, u_env, mu, sd,
+                                   float(initial_bsf), float(bsf_multiplier),
+                                   a_lo, a_hi, prune_endpoints,
+                                   prune_envelope)
+            if got is not None:
+                cost, loc, pe, pv = got
+                return DTWSearchResult(cost, loc, pe, pv, None)
+
     # ---- stage-1/2 lower bounds, vectorized over all windows ----
     lb_end = None
     if prune_endpoints and not saveall and onedim:

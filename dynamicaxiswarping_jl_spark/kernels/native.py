@@ -147,6 +147,19 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         fp, ctypes.c_long, fp, fp, fp, fp, ctypes.c_int, ctypes.c_int,
         lp, ctypes.c_long, fp]
     lib.lb_env_subset_f32.restype = None
+    for nm, tptr in (("nn_search_sq_f64", dp), ("nn_search_sq_f32", fp)):
+        fn = getattr(lib, nm)
+        fn.argtypes = [
+            tptr, ctypes.c_long, tptr, ctypes.c_long, ctypes.c_long,
+            tptr, tptr, tptr, tptr,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_double, ctypes.c_double,
+            ctypes.c_long, ctypes.c_long,
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_longlong),
+            ctypes.POINTER(ctypes.c_longlong),
+            ctypes.POINTER(ctypes.c_longlong)]
+        fn.restype = ctypes.c_int
     ub = ctypes.POINTER(ctypes.c_ubyte)
     ll = ctypes.POINTER(ctypes.c_longlong)
     lib.gorilla_encode_c.argtypes = [ll, dp, ctypes.c_long, ub,
@@ -294,6 +307,46 @@ def lb_env_subset(y: np.ndarray, m: int, l: np.ndarray, u: np.ndarray,
        use_norm, 1 if squared else 0,
        _ptr(cand, ctypes.c_long), len(cand), _ptr(out, ct))
     return out
+
+
+def nn_search(qn: np.ndarray, y: np.ndarray, rad: int, lenv: np.ndarray,
+              uenv: np.ndarray, mu, sd, bsf_in: float, bsf_mult: float,
+              avoid_lo: int, avoid_hi: int, use_end: bool, use_env: bool):
+    """Whole-cascade subsequence NN for one (query, series) pair — one C
+    call instead of ~40 NumPy/ctypes dispatches. Returns (cost, loc,
+    prune_end, prune_env) with cost/loc identical to the Python batched
+    cascade, or None on C-side allocation failure. ``qn`` is the
+    (already normalized) query; ``mu``/``sd`` are per-window sliding
+    stats (None for no normalization); ``avoid_lo/hi`` a 1-based
+    inclusive masked window range (0, 0 = none)."""
+    L = lib()
+    dt = np.float32 if np.asarray(y).dtype == np.float32 else np.float64
+    ct = ctypes.c_float if dt == np.float32 else ctypes.c_double
+    fn = L.nn_search_sq_f32 if dt == np.float32 else L.nn_search_sq_f64
+    qn = np.ascontiguousarray(qn, dtype=dt)
+    y = np.ascontiguousarray(y, dtype=dt)
+    lenv = np.ascontiguousarray(lenv, dtype=dt)
+    uenv = np.ascontiguousarray(uenv, dtype=dt)
+    use_znorm = 1 if mu is not None else 0
+    if use_znorm:
+        mu = np.ascontiguousarray(mu, dtype=dt)
+        sd = np.ascontiguousarray(sd, dtype=dt)
+        mp, sp = _ptr(mu, ct), _ptr(sd, ct)
+    else:
+        mp = sp = _ptr(y, ct)  # unused by C when use_znorm == 0
+    cost = ctypes.c_double()
+    loc = ctypes.c_longlong()
+    pe = ctypes.c_longlong()
+    pv = ctypes.c_longlong()
+    rc = fn(_ptr(qn, ct), len(qn), _ptr(y, ct), len(y), rad,
+            _ptr(lenv, ct), _ptr(uenv, ct), mp, sp,
+            use_znorm, 1 if use_end else 0, 1 if use_env else 0,
+            float(bsf_in), float(bsf_mult), int(avoid_lo), int(avoid_hi),
+            ctypes.byref(cost), ctypes.byref(loc), ctypes.byref(pe),
+            ctypes.byref(pv))
+    if rc != 0:
+        return None
+    return float(cost.value), int(loc.value), int(pe.value), int(pv.value)
 
 
 def gorilla_encode(ts: np.ndarray, vals: np.ndarray):

@@ -39,7 +39,7 @@ from ..kernels.dtwnn import lb_endpoints
 from .topk import topk_per_key
 
 
-def _spread(df: DataFrame) -> DataFrame:
+def _spread(df: DataFrame, factor: int = 2) -> DataFrame:
     """Repartition before a CPU-heavy pandas UDF.
 
     AQE coalesces shuffle outputs by *bytes*; assembled-series frames are
@@ -47,9 +47,32 @@ def _spread(df: DataFrame) -> DataFrame:
     the kernel stage can collapse onto one task. Explicit fan-out restores
     CPU parallelism (round-robin keeps it deterministic enough — kernel
     outputs are per-row, order-independent).
+
+    ``factor`` × parallelism tasks: 2 is the skew-tolerant default for
+    stages whose per-row cost varies (pair DPs of very different lengths);
+    1 suits stages with uniform per-row cost and cross-row state — in
+    dtwnn_search fewer, larger tasks mean more series share one task's
+    running best-so-far (better pruning) and each Python-worker task
+    round-trip (~10 ms locally) is paid fewer times.
+
+    When the input already has >= target partitions, a narrow ``coalesce``
+    reaches the target without the repartition's shuffle AND without a
+    stage boundary — the scan, the merge, and the pandas UDF fuse into one
+    stage (each stage costs ~0.2-0.4 s of fixed latency in local mode; on
+    a cluster it is a full shuffle of the series payloads). Reading the
+    physical partition count needs ``df.rdd`` — plan compilation only, no
+    job — and is what makes the narrow plan safe: coalesce below the
+    target would silently LOSE parallelism.
     """
     sc = df.sparkSession.sparkContext
-    return df.repartition(sc.defaultParallelism * 2)
+    target = sc.defaultParallelism * factor
+    try:
+        p = df.rdd.getNumPartitions()
+    except Exception:  # noqa: BLE001 — unresolvable plans keep the shuffle
+        p = 0
+    if p >= target:
+        return df.coalesce(target)
+    return df.repartition(target)
 
 
 __all__ = ["dtw_pairs", "drift_scores", "dtwnn_search", "knn_topk",
@@ -336,9 +359,24 @@ def dtwnn_search(queries: DataFrame, series: DataFrame, radius: int = 5,
                                      "cost": res.cost, "loc": res.loc,
                                      "prune_end": res.prune_end,
                                      "prune_env": res.prune_env})
-            yield pd.DataFrame(recs, columns=[f.name for f in schema.fields])
+            if not recs:
+                continue
+            # map-side combine: only this task's per-query winner (by the
+            # same lexicographic (cost, key, loc) rule as the struct-min
+            # below — min of per-task minima ≡ global min) plus summed
+            # counters cross the shuffle: <= |queries| rows per task
+            # instead of one row per improving series.
+            part = pd.DataFrame(recs, columns=[f.name for f in schema.fields])
+            best = (part.sort_values(["cost", key, "loc"])
+                    .groupby("query_id", sort=False).head(1))
+            sums = part.groupby("query_id", sort=False, as_index=False)[
+                ["prune_end", "prune_env"]].sum()
+            out = best.drop(columns=["prune_end", "prune_env"]).merge(
+                sums, on="query_id")
+            yield out[[f.name for f in schema.fields]]
 
-    per_series = _spread(series.select(F.col(key), F.col("points"))).mapInPandas(run, schema)
+    per_series = _spread(series.select(F.col(key), F.col("points")),
+                         factor=1).mapInPandas(run, schema)
     # struct-min: lexicographic (cost, key, loc) — deterministic winner even
     # when several series tie on the exact minimum cost (min_by alone picks
     # an arbitrary tied row, which breaks golden-value checks)

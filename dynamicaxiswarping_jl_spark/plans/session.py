@@ -41,6 +41,9 @@ def get_spark(app: str = "dynamicaxiswarping_jl_spark",
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # local mode: every cached partition is PROCESS_LOCAL, so any
+        # locality wait only idles cores between task waves
+        .config("spark.locality.wait", "0")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )

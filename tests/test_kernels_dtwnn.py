@@ -314,3 +314,54 @@ class TestFallbackSeedContract:
         seeded = dtwnn(q, y, "sqeuclidean", 5,
                        initial_bsf=cold.cost + 100.0)
         assert seeded.cost == cold.cost and seeded.loc == cold.loc
+
+
+class TestNativeCascadeParity:
+    """nn_search_sq (the whole-cascade C fast path) must return cost/loc
+    identical to the Python batched cascade backed by the same native
+    dtw_cost_batch — across metrics of series shape, radius, znorm, bsf
+    seeding, avoid ranges, and both dtypes."""
+
+    def _py_dtwnn(self, *a, **kw):
+        from dynamicaxiswarping_jl_spark.kernels import native
+        real = native.nn_search
+        native.nn_search = lambda *aa, **kk: None  # force the batched path
+        try:
+            return dtwnn(*a, **kw)
+        finally:
+            native.nn_search = real
+
+    def test_cost_loc_parity_fuzz(self):
+        from dynamicaxiswarping_jl_spark.kernels import native
+        if not native.available():
+            pytest.skip("no C compiler")
+        rng = np.random.default_rng(42)
+        for trial in range(40):
+            m = int(rng.integers(8, 40))
+            n = int(rng.integers(m + 1, 600))
+            kind = trial % 3
+            if kind == 0:
+                y = rng.normal(size=n)
+                q = rng.normal(size=m)
+            elif kind == 1:  # integer grid: exact fp ties everywhere
+                y = rng.integers(0, 3, size=n).astype(float)
+                q = rng.integers(0, 3, size=m).astype(float)
+            else:  # zero-heavy event-rate shape
+                y = np.zeros(n)
+                y[rng.integers(0, n, size=5)] = rng.normal(size=5)
+                q = np.zeros(m)
+            rad = int(rng.integers(0, 8))
+            norm = "znorm" if (trial % 4 == 0 and kind == 0) else None
+            bsf = float(rng.choice([np.inf, 0.5, 0.0, 3.0]))
+            avoid = None
+            if trial % 5 == 0:
+                lo = int(rng.integers(1, max(2, n - m)))
+                avoid = (lo, lo + int(rng.integers(0, 10)))
+            for dt in (np.float64, np.float32):
+                r1 = dtwnn(q, y, "sqeuclidean", rad, norm, initial_bsf=bsf,
+                           avoid=avoid, dtype=dt)
+                r2 = self._py_dtwnn(q, y, "sqeuclidean", rad, norm,
+                                    initial_bsf=bsf, avoid=avoid, dtype=dt)
+                assert r1.cost == r2.cost and r1.loc == r2.loc, (
+                    trial, dt, m, n, rad, norm, bsf, avoid,
+                    (r1.cost, r1.loc), (r2.cost, r2.loc))
