@@ -72,45 +72,31 @@ def dtw_cost_matrix(seq1, seq2, dist=None, transportcost: float = 1.0,
     D[1:, 0] = np.cumsum(D[:, 0])[1:]
     D[0, 1:] = np.cumsum(D[0, :])[1:]
     tc = float(transportcost)
-    if tc == 1.0:
-        # Row-major min-plus scan: within a row,
-        #   D[r,c] = L[c] + min(b[c], D[r,c-1]),  b[c] = min(D[r-1,c], D[r-1,c-1])
-        # unrolls to a cumsum + running-min (same trick as dtw_cost rows) —
-        # contiguous memory, a handful of vector ops per row, no per-cell
-        # Python and no strided gathers.
-        nm1 = n - 1
-        b = np.empty(nm1)
-        g = np.empty(n)
-        T = np.empty(nm1)
-        for r in range(1, m):
-            prev = D[r - 1]
-            row = D[r]
-            np.minimum(prev[1:], prev[:-1], out=b)
-            np.cumsum(row[1:], out=T)
-            g[0] = row[0]           # column-0 boundary (already cumulative)
-            g[1:] = b
-            g[2:] -= T[:-1]         # g[c] = b[c] - T[c-1]  (T[0] = 0)
-            np.minimum.accumulate(g, out=g)
-            np.add(T, g[1:], out=row[1:])
-    else:
-        # transportcost breaks the scan (affine recurrence) → anti-diagonal
-        # sweep over zero-copy strided views (an anti-diagonal of a
-        # C-contiguous matrix is a constant-stride walk).
-        sr, sc = D.strides
-        step = sr - sc
-        base = np.lib.stride_tricks.as_strided
-        for k in range(2, m + n - 1):
-            r0 = max(1, k - n + 1)
-            r1 = min(m - 1, k - 1)
-            if r0 > r1:
-                continue
-            ln = r1 - r0 + 1
-            c0 = k - r0
-            cur = base(D[r0:, c0:], shape=(ln,), strides=(step,))
-            up = base(D[r0 - 1:, c0:], shape=(ln,), strides=(step,))
-            left = base(D[r0:, c0 - 1:], shape=(ln,), strides=(step,))
-            dg = base(D[r0 - 1:, c0 - 1:], shape=(ln,), strides=(step,))
-            cur += np.minimum(np.minimum(tc * up, dg), tc * left)
+    # Anti-diagonal sweep over zero-copy strided views (an anti-diagonal of
+    # a C-contiguous matrix is a constant-stride walk). Bit-exactness
+    # contract: each cell is exactly `local + min(tc*up, diag, tc*left)` —
+    # one fp add after exact mins (and tc*x is exact for tc == 1) — so this
+    # fallback is bit-identical to the scalar oracle (scripts/naive_dtw.py)
+    # and to the C kernel, including trackback tie plateaus. A row-major
+    # cumsum/running-min scan is ~2x faster but reassociates the sums,
+    # which flips tie-sensitive integer outputs (align delays, NN loc) on
+    # the zero plateaus gap-filled series are full of. Do not "optimize"
+    # this back into a prefix scan.
+    sr, sc = D.strides
+    step = sr - sc
+    base = np.lib.stride_tricks.as_strided
+    for k in range(2, m + n - 1):
+        r0 = max(1, k - n + 1)
+        r1 = min(m - 1, k - 1)
+        if r0 > r1:
+            continue
+        ln = r1 - r0 + 1
+        c0 = k - r0
+        cur = base(D[r0:, c0:], shape=(ln,), strides=(step,))
+        up = base(D[r0 - 1:, c0:], shape=(ln,), strides=(step,))
+        left = base(D[r0:, c0 - 1:], shape=(ln,), strides=(step,))
+        dg = base(D[r0 - 1:, c0 - 1:], shape=(ln,), strides=(step,))
+        cur += np.minimum(np.minimum(tc * up, dg), tc * left)
     if postprocess is not None:
         D = postprocess(D)
     return D
@@ -472,18 +458,17 @@ def dtw_cost_batch(q: np.ndarray, W: np.ndarray, r: int,
                 if lo == 0:
                     up_s[:, 0] = up[:, 0]
                 bvec = np.minimum(up_s, diag)
-            if tc == 1.0:
-                S = np.cumsum(dloc, axis=1)
-                g = bvec.copy()
-                g[:, 1:] -= S[:, :-1]
-                cur = S + np.minimum.accumulate(g, axis=1)
-            else:
-                cur = np.empty((k, w), dtype=dt)
-                acc = np.full(k, _INF, dtype=dt)
-                for j in range(w):
-                    y = tc * acc if j > 0 else np.full(k, _INF, dtype=dt)
-                    acc = np.minimum(y, bvec[:, j]) + dloc[:, j]
-                    cur[:, j] = acc
+            # Per-column running-min loop, NOT a cumsum prefix scan: each
+            # cell is exactly `min(tc*left, bvec) + local` (tc*x is exact
+            # for tc == 1), keeping this fallback bit-identical to the
+            # scalar oracle and the C kernel — a scan reassociates the
+            # sums and flips tie-sensitive NN locs on zero plateaus.
+            cur = np.empty((k, w), dtype=dt)
+            acc = np.full(k, _INF, dtype=dt)
+            for j in range(w):
+                y = tc * acc if j > 0 else np.full(k, _INF, dtype=dt)
+                acc = np.minimum(y, bvec[:, j]) + dloc[:, j]
+                cur[:, j] = acc
         prev, plo, phi = cur, lo, hi
     return cur[:, -1]
 
@@ -509,10 +494,10 @@ def dtw_cost(a, b, dist=None, r: int = 0, transportcost: float = 1.0,
     bound already exceeds ``best_so_far``, that partial sum is returned (a
     lower bound on the true cost, matching reference behavior exactly).
 
-    Each band row is vectorized: with tc == 1 the within-row recurrence
-    ``cost[j] = min(b[j], cost[j-1]) + d[j]`` is solved by a min-plus
-    prefix scan (cumsum + minimum.accumulate); with tc != 1 a short Python
-    loop over the 2r+1 band is used.
+    All fallback paths (scalar small-band, vectorized wide-band) compute
+    each cell as exactly ``min(...) + local`` so they are bit-identical to
+    the C kernel and the scalar second-source oracle (scripts/naive_dtw.py)
+    — including trackback-tie and NN-loc outcomes on tied plateaus.
     """
     d = get_dist(dist)
     a = np.asarray(a, dtype=np.float64)
@@ -571,17 +556,14 @@ def dtw_cost(a, b, dist=None, r: int = 0, transportcost: float = 1.0,
             if lo == 0:
                 up_scaled[0] = up[0]
             bvec = np.minimum(up_scaled, diag)
-            if tc == 1.0:
-                S = np.cumsum(dloc)
-                g = bvec - np.concatenate(([0.0], S[:-1]))
-                cost = S + np.minimum.accumulate(g)
-            else:
-                cost = np.empty(w)
-                acc = _INF
-                for j in range(w):
-                    y = tc * acc if j > 0 else _INF  # left move (i, j-1)
-                    acc = min(y, bvec[j]) + dloc[j]
-                    cost[j] = acc
+            # per-cell running min, not a prefix scan — bit-identical to
+            # the scalar oracle / C kernel (see dtw_cost_batch note)
+            cost = np.empty(w)
+            acc = _INF
+            for j in range(w):
+                y = tc * acc if j > 0 else _INF  # left move (i, j-1)
+                acc = min(y, bvec[j]) + dloc[j]
+                cost[j] = acc
         min_cost = cost.min()
         # early abandon (src/dtw.jl:227-229)
         if (i + r) < (m - 1) and min_cost + cb[i + r] >= best_so_far:

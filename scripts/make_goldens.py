@@ -32,10 +32,14 @@ from __future__ import annotations
 import os
 import sys
 
-# Belt and braces: golden bytes must not depend on whether the generating
-# machine has a C compiler (ADVICE r02) — the naive oracle never touches
-# the engine kernels, but shared helpers imported below must not either.
-os.environ.setdefault("SPARK_TSWARP_NO_NATIVE", "1")
+# Golden bytes must not depend on whether the generating machine has a C
+# compiler (ADVICE r02): all DTW math below comes from the naive scalar
+# oracle (naive_dtw), which never touches the engine kernels, and the
+# engine's own NumPy/C paths are pinned bit-identical to it
+# (tests/test_native.py::TestCrossPathBitParity). Do NOT set
+# SPARK_TSWARP_NO_NATIVE at import time here: pytest imports this module
+# at collection (test_golden_freshness) and a mutated os.environ leaks
+# into the JVM/worker environment of every later Spark test.
 
 import numpy as np
 import pandas as pd

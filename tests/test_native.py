@@ -308,3 +308,88 @@ class TestNativePathParity:
         assert got[0] == pytest.approx(want[0], rel=1e-12)
         np.testing.assert_array_equal(got[1], want[1])
         np.testing.assert_array_equal(got[2], want[2])
+
+
+@needs_native
+class TestCrossPathBitParity:
+    """The NumPy fallback, the C kernels, and the scalar second-source
+    oracle (scripts/naive_dtw.py) must agree BIT-FOR-BIT — not approx.
+
+    The committed golden parquet pins tie-sensitive integer outputs
+    (trackback-path medians -> align delays, NN loc) that flip on 1-ulp
+    cost differences over the zero plateaus gap-filled series are full
+    of. Any prefix-scan 'optimization' of a fallback DP reassociates the
+    sums and breaks this (found in round 3: a leaked
+    SPARK_TSWARP_NO_NATIVE env flipped 3 driver oracles)."""
+
+    @pytest.fixture(autouse=True)
+    def _scripts_on_path(self):
+        import sys
+        p = os.path.join(os.path.dirname(__file__), "..", "scripts")
+        sys.path.insert(0, p)
+        yield
+        sys.path.remove(p)
+
+    def _inputs(self):
+        # sparse spikes over zero plateaus — the shape assembled
+        # gap-filled tier series actually have, and the worst case for
+        # tie-break sensitivity
+        for seed in range(5):
+            rng = np.random.default_rng(seed)
+            n = int(rng.integers(80, 220))
+            m2 = int(rng.integers(80, 220))
+            a = np.zeros(n)
+            a[rng.integers(0, n, n // 6)] = rng.random(n // 6) * 3
+            b = np.zeros(m2)
+            b[rng.integers(0, m2, m2 // 7)] = rng.random(m2 // 7) * 3
+            yield a, b
+
+    def test_full_dtw_and_path(self):
+        import naive_dtw
+        for a, b in self._inputs():
+            nv_c, nv_i1, nv_i2 = naive_dtw.dtw(a, b)
+            c_c, c_i1, c_i2 = K.dtw(a, b)
+            assert nv_c == c_c
+            np.testing.assert_array_equal(nv_i1, c_i1)
+            np.testing.assert_array_equal(nv_i2, c_i2)
+            with _numpy_only():
+                n_c, n_i1, n_i2 = K.dtw(a, b)
+            assert nv_c == n_c
+            np.testing.assert_array_equal(nv_i1, n_i1)
+            np.testing.assert_array_equal(nv_i2, n_i2)
+
+    def test_banded_cost_all_widths(self):
+        import naive_dtw
+        for a, b in self._inputs():
+            L = min(len(a), len(b))
+            # r=25 exceeds the scalar small-band limit (2r+1 > 32) so the
+            # vectorized wide-band row loop is exercised too
+            for r in (3, 10, 25):
+                want = naive_dtw.dtw_cost(a[:L], b[:L], r=r)
+                got_c = K.dtw_cost(a[:L], b[:L], r=r)
+                assert repr(want) == repr(got_c), (r, want, got_c)
+                with _numpy_only():
+                    got_np = K.dtw_cost(a[:L], b[:L], r=r)
+                assert repr(want) == repr(got_np), (r, want, got_np)
+
+    def test_batch_and_profiles(self):
+        import naive_dtw
+        from dynamicaxiswarping_jl_spark.kernels.dtwnn import (
+            distance_profile, matrix_profile)
+        for a, b in self._inputs():
+            m = 24
+            W = np.lib.stride_tricks.sliding_window_view(b, m).copy()
+            q = b[5:5 + m].copy()
+            want = np.asarray(naive_dtw.dtw_cost_batch(q, W, 5))
+            np.testing.assert_array_equal(
+                want, np.asarray(K.dtw_cost_batch(q, W, 5)))
+            wp = np.asarray(naive_dtw.distance_profile(q, b, rad=5))
+            wP, wI = naive_dtw.matrix_profile(b, m, rad=5)
+            with _numpy_only():
+                np.testing.assert_array_equal(
+                    want, np.asarray(K.dtw_cost_batch(q, W, 5)))
+                np.testing.assert_array_equal(
+                    wp, np.asarray(distance_profile(q, b, rad=5)))
+                gP, gI = matrix_profile(b, m, rad=5)
+            np.testing.assert_array_equal(np.asarray(wP), np.asarray(gP))
+            np.testing.assert_array_equal(np.asarray(wI), np.asarray(gI))
