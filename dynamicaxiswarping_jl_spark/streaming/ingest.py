@@ -36,17 +36,31 @@ def streaming_rollup_1m(stream: DataFrame, key: str = "conv_id",
 
 
 def start_file_ingest(spark: SparkSession, src_dir: str, tier_dir: str,
-                      checkpoint_dir: str, schema) -> "StreamingQuery":
-    """File-source ingest → per-batch overwrite-by-bucket upsert.
+                      checkpoint_dir: str, schema, catalog=None,
+                      table: str = None) -> "StreamingQuery":
+    """File-source ingest → per-batch MERGE-style upsert.
 
-    foreachBatch gives the MERGE semantics parquet lacks: each micro-batch
-    rewrites only the (key, bucket) rows it touches (partitionOverwriteMode
-    dynamic on the bucket date). On Iceberg this becomes a true MERGE INTO.
+    foreachBatch gives the MERGE semantics parquet lacks. With a
+    ``catalog`` (sources.storage.TableCatalog), each micro-batch's
+    ``update``-mode re-emissions upsert into ``table`` keyed on
+    (conv_id, bucket) — a bucket updated across micro-batches converges to
+    its final value instead of appearing twice (on Iceberg this call site
+    becomes MERGE INTO). ``tier_dir`` then serves as an append-only CHANGE
+    FEED for downstream streams (start_chunk_compress): it may hold stale
+    re-emissions of the same bucket, so it marks *which* rows changed while
+    the catalog table stays the source of truth.
+
+    Without a catalog (the append-only fast path), ``tier_dir`` is the
+    tier itself and readers must tolerate only the single-batch case (one
+    emission per bucket) — the streaming tests' original shape.
     """
     stream = spark.readStream.schema(schema).parquet(src_dir)
     agg = streaming_rollup_1m(stream)
 
     def upsert(batch_df: DataFrame, batch_id: int):
+        if catalog is not None:
+            batch_df = batch_df.localCheckpoint()  # cut the source lineage
+            catalog.merge(table, batch_df, ["conv_id", "bucket"])
         (batch_df.withColumn("day", F.to_date("bucket"))
          .write.mode("append").partitionBy("day").parquet(tier_dir))
 
@@ -60,7 +74,8 @@ def start_file_ingest(spark: SparkSession, src_dir: str, tier_dir: str,
 def start_chunk_compress(spark: SparkSession, tier_dir: str, catalog,
                          table: str, checkpoint_dir: str, tier: str = "1m",
                          chunk: str = "1 day",
-                         value_col: str = "turn_rate") -> "StreamingQuery":
+                         value_col: str = "turn_rate",
+                         source_table: str = None) -> "StreamingQuery":
     """Streaming continuous-aggregate → Gorilla chunk maintenance: the
     tail of the north-star pipeline (turns → tier → compressed chunks),
     kept incrementally fresh.
@@ -72,6 +87,12 @@ def start_chunk_compress(spark: SparkSession, tier_dir: str, catalog,
     itself is the source of truth) — and MERGEs them into the catalog's
     chunk table, so time travel over chunk snapshots works and readers
     always see whole chunks, never torn ones.
+
+    When the tier is catalog-backed (start_file_ingest with a catalog),
+    pass ``source_table``: touched windows are then re-read from the
+    catalog's current snapshot instead of ``tier_dir``, which in that
+    setup is only an append-only change feed and may hold stale
+    re-emissions of merged buckets.
     """
     from ..operators.compression import compress_chunks
     from ..operators.rollup import TIERS
@@ -87,7 +108,9 @@ def start_chunk_compress(spark: SparkSession, tier_dir: str, catalog,
                    .distinct())
         if touched.isEmpty():
             return
-        full = (spark.read.parquet(tier_dir)
+        tier_rows = (catalog.read(source_table) if source_table is not None
+                     else spark.read.parquet(tier_dir))
+        full = (tier_rows
                 .withColumn("_chunk_start",
                             F.window("bucket", chunk)["start"])
                 .join(F.broadcast(touched), ["conv_id", "_chunk_start"])

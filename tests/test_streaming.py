@@ -52,6 +52,60 @@ class TestStreamingIngest:
         assert n2 > n1
 
 
+class TestCatalogBackedIngest:
+    def test_cross_tranche_bucket_converges_via_merge(self, spark, tmp_path):
+        """A 1m bucket whose turns arrive split across two availableNow
+        runs of the same checkpointed query must converge in the catalog
+        table to its final value (MERGE on (conv_id, bucket)), not appear
+        twice — while the append-only feed dir legitimately holds both
+        the stale and the fresh emission (it is a change feed, not the
+        tier). The chunk stream, pointed at the catalog via
+        ``source_table``, must compress the merged value."""
+        import datetime as dt
+        from dynamicaxiswarping_jl_spark.sources.storage import TableCatalog
+        from dynamicaxiswarping_jl_spark.streaming import start_chunk_compress
+        from dynamicaxiswarping_jl_spark.operators import decompress_chunks
+
+        src = str(tmp_path / "src")
+        feed = str(tmp_path / "feed")
+        ck_i = str(tmp_path / "ck_i")
+        ck_c = str(tmp_path / "ck_c")
+        cat = TableCatalog(spark, str(tmp_path / "cat"))
+        t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+        schema = ("conv_id string, turn_idx long, role string, "
+                  "text string, tool string, ts timestamp")
+
+        def turn(i, sec):
+            return ("c1", i, "user", "hi", None, t0 + dt.timedelta(seconds=sec))
+
+        def run_once():
+            start_file_ingest(spark, src, feed, ck_i, TRANSCRIPT_SCHEMA,
+                              catalog=cat, table="tier_1m").awaitTermination(120)
+            start_chunk_compress(spark, feed, cat, "chunks_1m", ck_c,
+                                 tier="1m", chunk="1 day",
+                                 source_table="tier_1m").awaitTermination(120)
+
+        spark.createDataFrame([turn(0, 0), turn(1, 10)], schema) \
+            .coalesce(1).write.mode("overwrite").parquet(src)
+        run_once()
+        # tranche 2: a third turn lands in the SAME minute bucket
+        spark.createDataFrame([turn(2, 20), turn(3, 300)], schema) \
+            .coalesce(1).write.mode("append").parquet(src)
+        run_once()
+
+        tier = {(r["bucket"], r["n_turns"])
+                for r in cat.read("tier_1m").collect()}
+        assert tier == {(t0, 3), (t0 + dt.timedelta(minutes=5), 1)}
+        # the feed holds the t0 bucket twice (stale n=2 + merged n=3)
+        feed_rows = [r["n_turns"] for r in spark.read.parquet(feed)
+                     .filter(F.col("bucket") == t0).collect()]
+        assert sorted(feed_rows) == [2, 3]
+        # chunks were rebuilt from the catalog snapshot, not the feed
+        got = {(r["bucket"], r["turn_rate"]) for r in decompress_chunks(
+            cat.read("chunks_1m"), "turn_rate").collect()}
+        assert got == {(t0, 3.0), (t0 + dt.timedelta(minutes=5), 1.0)}
+
+
 class TestStatefulSessionize:
     def test_sessions_close_on_watermark(self, spark, tmp_path):
         """Two micro-batch runs over a file source with a shared
