@@ -25,7 +25,7 @@ key hash; skewed long series are pre-chunked by the rollup tiers themselves
 
 from __future__ import annotations
 
-from typing import Iterator
+from typing import Iterator, Optional
 
 import numpy as np
 import pandas as pd
@@ -393,7 +393,8 @@ def dtwnn_search(queries: DataFrame, series: DataFrame, radius: int = 5,
 def knn_topk(series: DataFrame, k: int = 4, radius: int = 5,
              dist: str = "sqeuclidean", key: str = "conv_id",
              lb_prefilter: bool = True, oversample: int = 4,
-             grid_cells: int = 1024) -> DataFrame:
+             grid_cells: int = 1024,
+             stats_out: Optional[dict] = None) -> DataFrame:
     """k nearest neighbors among series (sparse_distmat, src/dtwnn.jl:261-297).
 
     Exact top-k via window row_number — identical to the dense-matrix
@@ -432,6 +433,12 @@ def knn_topk(series: DataFrame, k: int = 4, radius: int = 5,
     grids / windowed assembly).
 
     ``lb_prefilter=False``: legacy all-pairs enumeration (testing oracle).
+
+    ``stats_out``: pass a dict to record measured candidate-set sizes
+    (grid cells, phase-1/phase-2/bootstrap/residue pair counts) for
+    scale validation against the PLANS.md sizing model. Probe-only: the
+    counts run extra Spark jobs (intermediates are localCheckpointed so
+    nothing is computed twice); leave ``None`` in production plans.
     """
     left = series.select(F.col(key).alias("id_a"), F.col("points").alias("a"))
     right = series.select(F.col(key).alias("id_b"), F.col("points").alias("b"))
@@ -538,6 +545,13 @@ def knn_topk(series: DataFrame, k: int = 4, radius: int = 5,
             .withColumn("_lbe", lbe))
     cand = (topk_per_key(nbhd, "id_a", "_lbe", k * oversample)
             .select("id_a", "id_b"))
+    if stats_out is not None:
+        cand = cand.localCheckpoint(eager=True)
+        stats_out["n_series"] = st.count()
+        stats_out["n_grid_eligible"] = g["cnt"]
+        stats_out["grid_cells_per_axis"] = G
+        stats_out["phase1_enum_pairs"] = nbhd.count()
+        stats_out["phase1_pairs"] = cand.count()
     arr_a = series.select(F.col(key).alias("id_a"), F.col("points").alias("a"))
     arr_b = series.select(F.col(key).alias("id_b"), F.col("points").alias("b"))
     # localCheckpoint (not cache): exact1 feeds both the τ bound and the
@@ -604,6 +618,9 @@ def knn_topk(series: DataFrame, k: int = 4, radius: int = 5,
                              .withColumn("_lbr", lb_resid),
                              "id_a", "_lbr", k * oversample, tie_col="id_b")
                 .select("id_a", "id_b"))
+        if stats_out is not None:
+            boot = boot.localCheckpoint(eager=True)
+            stats_out["boot_pairs"] = boot.count()
         exact_boot = _spread(boot.join(arr_a, "id_a").join(arr_b, "id_b")
                              .select("id_a", "a", "id_b", "b")).mapInPandas(
             run, schema).localCheckpoint(eager=True)
@@ -637,6 +654,9 @@ def knn_topk(series: DataFrame, k: int = 4, radius: int = 5,
             .filter(F.col("_tau").isNull() | (lbe <= F.col("_tau")))
             .join(cand, ["id_a", "id_b"], "left_anti")
             .select("id_a", "id_b"))
+    if stats_out is not None:
+        rest = rest.localCheckpoint(eager=True)
+        stats_out["phase2_pairs"] = rest.count()
     phase2 = (rest.join(arr_a, "id_a").join(arr_b, "id_b")
               .select("id_a", "a", "id_b", "b"))
     exact2 = _spread(phase2).mapInPandas(run, schema)
@@ -683,11 +703,16 @@ def knn_topk(series: DataFrame, k: int = 4, radius: int = 5,
         # bytes/id, so the non-equi enumeration plans as a scalar
         # BroadcastNestedLoopJoin (vectorized compare-and-filter, no
         # shuffle, no array payload) instead of a CartesianProduct
-        resid = (_sc("a").join(F.broadcast(_sc("b")), resid_cond)
-                 .join(tau, "id_a", "left")
-                 .filter(F.col("_tau").isNull() | (lb_resid <= F.col("_tau")))
-                 .join(boot, ["id_a", "id_b"], "left_anti")
-                 .select("id_a", "id_b", F.col("_tau").alias("tau"))
+        resid_pairs = (_sc("a").join(F.broadcast(_sc("b")), resid_cond)
+                       .join(tau, "id_a", "left")
+                       .filter(F.col("_tau").isNull()
+                               | (lb_resid <= F.col("_tau")))
+                       .join(boot, ["id_a", "id_b"], "left_anti")
+                       .select("id_a", "id_b", F.col("_tau").alias("tau")))
+        if stats_out is not None:
+            resid_pairs = resid_pairs.localCheckpoint(eager=True)
+            stats_out["residue_pairs"] = resid_pairs.count()
+        resid = (resid_pairs
                  .join(arr_a, "id_a").join(arr_b, "id_b")
                  .select("id_a", "a", "id_b", "b", "tau"))
         exact_resid = _spread(resid).mapInPandas(run_resid, schema)

@@ -284,6 +284,35 @@ class TestKnnLbPrefilter:
         assert set(pk.id_b) == {"cont0", "cont1"}
         np.testing.assert_allclose(pk.cost, [0.0, 0.0], atol=1e-12)
 
+    def test_stats_out_probe_does_not_change_results(self, spark):
+        """stats_out (the scale-probe instrumentation) must be a pure
+        observer: identical neighbor sets with and without it, and the
+        recorded candidate counts must be present and consistent on a
+        mixed-length corpus (all four stages exercised)."""
+        import numpy as np
+        from dynamicaxiswarping_jl_spark.operators import knn_topk
+        rng = np.random.default_rng(41)
+        rows = []
+        for i in range(24):
+            L = 16 if i % 2 == 0 else 20  # mixed lengths → residue active
+            v = np.cumsum(rng.normal(size=L))
+            rows.append((f"s{i:02d}", [float(x) for x in v]))
+        series = spark.createDataFrame(
+            rows, "conv_id string, points array<double>")
+        plain = knn_topk(series, k=3, radius=4).toPandas()
+        stats: dict = {}
+        probed = knn_topk(series, k=3, radius=4,
+                          stats_out=stats).toPandas()
+        for key in sorted(plain.id_a.unique()):
+            pc = sorted(round(c, 9) for c in plain[plain.id_a == key].cost)
+            qc = sorted(round(c, 9) for c in probed[probed.id_a == key].cost)
+            assert pc == qc, key
+        assert stats["n_series"] == 24
+        for k_ in ("phase1_enum_pairs", "phase1_pairs", "phase2_pairs",
+                   "boot_pairs", "residue_pairs"):
+            assert stats[k_] >= 0, stats
+        assert stats["phase1_pairs"] <= stats["phase1_enum_pairs"]
+
     def test_mixed_length_no_array_nested_loop(self, spark):
         """Mixed-length corpus: the residue may enumerate SCALAR stats with
         a nested-loop join, but no array column may ever sit under a
