@@ -75,6 +75,128 @@ def _spread(df: DataFrame, factor: int = 2) -> DataFrame:
     return df.repartition(target)
 
 
+def _dp_pairs_tiled(pairs: DataFrame, series: DataFrame, key: str,
+                    run_pdf, schema: T.StructType, n_blocks: int,
+                    with_tau: bool = False,
+                    fast_batch=None,
+                    chunk_rows: int = 32768) -> DataFrame:
+    """Exact-DP an (id_a, id_b[, tau]) pair list without shipping arrays
+    per pair.
+
+    The naive plan (pairs ⋈ arrays ⋈ arrays → mapInPandas) moves BOTH
+    full series across the shuffle and Arrow for EVERY candidate pair —
+    O(pairs × series_bytes). Measured at 1e5 × 128-pt series
+    (scripts/scale_probe.py): 273M phase-2 pairs × ~2 KB ≈ 0.5 TB of
+    array traffic for a 100 MB corpus, ~60× over the C kernel's DP rate.
+
+    Block-tiled evaluation instead (block-nested-loop layout for
+    similarity joins): series hash into ``n_blocks`` blocks; each
+    (block_a, block_b) tile that actually contains pairs receives its
+    two array blocks ONCE plus its pair ids, and a single applyInPandas
+    group evaluates all the tile's pairs from in-memory dicts, chunked
+    through the batched C kernel. Array traffic is O(n_series × B) rows
+    corpus-wide — independent of the pair count — and no task ever holds
+    more than 2/B-th of the corpus, so (unlike a corpus broadcast) the
+    layout survives corpora that cannot fit on one executor.
+
+    ``run_pdf``: pandas DataFrame (id_a, a, id_b, b[, tau]) → DataFrame
+    matching ``schema``. ``with_tau`` forwards a per-pair ``tau`` column
+    for seeded/bounded kernels. ``fast_batch`` (optional): a
+    ``(A_matrix, B_matrix) -> costs`` batch kernel used when every array
+    in a tile shares one length — the hot loop then runs on stacked
+    block matrices with index gathers, no per-chunk DataFrames.
+    """
+    B = int(max(1, n_blocks))
+    pts_type = series.schema["points"].dataType
+
+    def blk(c):
+        return F.pmod(F.xxhash64(F.col(c)), F.lit(B)).cast("int")
+
+    # arrays go to ALL B² tiles unconditionally: deriving the live-tile
+    # list from `pairs` re-evaluates the (expensive) pair enumeration
+    # once per broadcast — measured as 3 identical 2k-cpu-sec stages at
+    # 1e5 series. The all-tiles fanout is the already-budgeted O(n·B)
+    # array rows, produced by a joinless explode(sequence); `pairs` is
+    # consumed exactly once (the pair rows).
+    fan = F.explode(F.sequence(F.lit(0), F.lit(B - 1)))
+    arr = series.select(F.col(key).alias("id"), "points")
+    a_rows = (arr.withColumn("ta", blk("id"))
+              .withColumn("tb", fan)
+              .select("ta", "tb", F.lit(0).alias("role"),
+                      F.col("id").alias("id_a"),
+                      F.lit(None).cast("string").alias("id_b"),
+                      F.col("points").alias("pts"),
+                      F.lit(None).cast("double").alias("tau")))
+    b_rows = (arr.withColumn("tb", blk("id"))
+              .withColumn("ta", fan)
+              .select("ta", "tb", F.lit(1).alias("role"),
+                      F.lit(None).cast("string").alias("id_a"),
+                      F.col("id").alias("id_b"),
+                      F.col("points").alias("pts"),
+                      F.lit(None).cast("double").alias("tau")))
+    tau_col = (F.col("tau") if with_tau
+               else F.lit(None).cast("double"))
+    p_rows = pairs.select(blk("id_a").alias("ta"), blk("id_b").alias("tb"),
+                          F.lit(2).alias("role"), "id_a", "id_b",
+                          F.lit(None).cast(pts_type).alias("pts"),
+                          tau_col.alias("tau"))
+    union = a_rows.unionByName(b_rows).unionByName(p_rows)
+
+    def eval_tile(pdf: pd.DataFrame) -> pd.DataFrame:
+        # numpy object-array extraction throughout: a tile holds millions
+        # of pair rows, and pandas scalar .iloc / assign / boolean-iloc
+        # copies cost more CPU than the DP kernel itself (measured 53
+        # µs/pair vs the kernel's ~2 µs at 1e5 series before this shape)
+        roles = pdf["role"].to_numpy()
+        ids_a = pdf["id_a"].to_numpy()
+        ids_b = pdf["id_b"].to_numpy()
+        pts = pdf["pts"].to_numpy()
+        amap = dict(zip(ids_a[roles == 0], pts[roles == 0]))
+        bmap = dict(zip(ids_b[roles == 1], pts[roles == 1]))
+        pmask = roles == 2
+        p_a, p_b = ids_a[pmask], ids_b[pmask]
+        p_tau = pdf["tau"].to_numpy()[pmask]
+        if len(p_a) == 0:
+            return pd.DataFrame({"id_a": pd.Series(dtype=object),
+                                 "id_b": pd.Series(dtype=object),
+                                 "cost": pd.Series(dtype=np.float64)})
+        if fast_batch is not None and amap and bmap:
+            lens = {len(v) for v in amap.values()}
+            lens |= {len(v) for v in bmap.values()}
+            if len(lens) == 1:
+                # uniform-length tile: stack each block once, gather rows
+                # by index per chunk — the per-chunk DataFrame build was
+                # ~2× the kernel cost (local microbench: 9.0 vs 2.8
+                # µs/pair)
+                aidx = {kk: i for i, kk in enumerate(amap)}
+                bidx = {kk: i for i, kk in enumerate(bmap)}
+                Ablk = np.stack(list(amap.values()))
+                Bblk = np.stack(list(bmap.values()))
+                costs = np.empty(len(p_a))
+                for lo in range(0, len(p_a), chunk_rows):
+                    hi = min(lo + chunk_rows, len(p_a))
+                    ia = np.fromiter((aidx[i] for i in p_a[lo:hi]),
+                                     np.intp, hi - lo)
+                    ib = np.fromiter((bidx[i] for i in p_b[lo:hi]),
+                                     np.intp, hi - lo)
+                    costs[lo:hi] = fast_batch(Ablk[ia], Bblk[ib])
+                return pd.DataFrame({"id_a": p_a, "id_b": p_b,
+                                     "cost": costs})
+        outs = []
+        # chunked: bound the stacked kernel batches to chunk_rows at a time
+        for lo in range(0, len(p_a), chunk_rows):
+            hi = lo + chunk_rows
+            sl = pd.DataFrame({
+                "id_a": p_a[lo:hi], "id_b": p_b[lo:hi],
+                "tau": p_tau[lo:hi],
+                "a": [amap[i] for i in p_a[lo:hi]],
+                "b": [bmap[i] for i in p_b[lo:hi]]})
+            outs.append(run_pdf(sl))
+        return pd.concat(outs, ignore_index=True)
+
+    return union.groupBy("ta", "tb").applyInPandas(eval_tile, schema)
+
+
 __all__ = ["dtw_pairs", "drift_scores", "dtwnn_search", "knn_topk",
            "distance_profile_op", "matrix_profile_op", "align_to_master"]
 
@@ -448,34 +570,42 @@ def knn_topk(series: DataFrame, k: int = 4, radius: int = 5,
         T.StructField("cost", T.DoubleType()),
     ])
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def run_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
         from ..kernels import dtw_cost_batch
 
+        # object-ndarray access only: per-element pandas .iloc in this
+        # loop once cost ~25× the DP kernel (scale_probe stage report)
+        a_objs = pdf["a"].to_numpy()
+        b_objs = pdf["b"].to_numpy()
+        n_rows = len(a_objs)
+        lens_a = np.fromiter((len(x) for x in a_objs), np.int64, n_rows)
+        lens_b = np.fromiter((len(x) for x in b_objs), np.int64, n_rows)
+        costs = np.empty(n_rows)
+        # equal-length pairs batch through the vectorized pairwise DP,
+        # grouped by length (amortizes the python DP rows across pairs)
+        eq = lens_a == lens_b
+        if (dist in ("sqeuclidean", None)) and eq.any():
+            for L in np.unique(lens_a[eq]):
+                sel = np.flatnonzero(eq & (lens_a == L))
+                A = np.stack(a_objs[sel].tolist())
+                B = np.stack(b_objs[sel].tolist())
+                costs[sel] = dtw_cost_batch(A, B, radius)
+            rest = np.flatnonzero(~eq)
+        else:
+            rest = np.arange(n_rows)
+        for i in rest:
+            a = np.asarray(a_objs[i], dtype=np.float64)
+            b = np.asarray(b_objs[i], dtype=np.float64)
+            costs[i] = dtw_cost(a, b, dist, radius) if len(a) == len(b) \
+                else dtwnn(*(sorted((a, b), key=len)), dist, radius,
+                           prune_endpoints=False).cost
+        return pd.DataFrame({"id_a": pdf["id_a"].to_numpy(),
+                             "id_b": pdf["id_b"].to_numpy(),
+                             "cost": costs})
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            lens_a = pdf["a"].map(len).to_numpy()
-            lens_b = pdf["b"].map(len).to_numpy()
-            costs = np.empty(len(pdf))
-            # equal-length pairs batch through the vectorized pairwise DP,
-            # grouped by length (amortizes the python DP rows across pairs)
-            eq = lens_a == lens_b
-            if (dist in ("sqeuclidean", None)) and eq.any():
-                for L in np.unique(lens_a[eq]):
-                    sel = np.flatnonzero(eq & (lens_a == L))
-                    A = np.stack([np.asarray(pdf["a"].iloc[i]) for i in sel])
-                    B = np.stack([np.asarray(pdf["b"].iloc[i]) for i in sel])
-                    costs[sel] = dtw_cost_batch(A, B, radius)
-                rest = np.flatnonzero(~eq)
-            else:
-                rest = np.arange(len(pdf))
-            for i in rest:
-                a = np.asarray(pdf["a"].iloc[i], dtype=np.float64)
-                b = np.asarray(pdf["b"].iloc[i], dtype=np.float64)
-                costs[i] = dtw_cost(a, b, dist, radius) if len(a) == len(b) \
-                    else dtwnn(*(sorted((a, b), key=len)), dist, radius,
-                               prune_endpoints=False).cost
-            yield pd.DataFrame({"id_a": pdf["id_a"].to_numpy(),
-                                "id_b": pdf["id_b"].to_numpy(),
-                                "cost": costs})
+            yield run_pdf(pdf)
 
     def final_topk(costs_df: DataFrame) -> DataFrame:
         # deterministic k-NN: ties on exact cost break by id_b, so the
@@ -490,8 +620,30 @@ def knn_topk(series: DataFrame, k: int = 4, radius: int = 5,
         return final_topk(costs)
 
     # --- grid-bucketed two-phase exact k-NN (see docstring) ---
+    # per-series scalar stats + 8-segment PAA/envelope sketches, all
+    # whole-stage codegen. The sketches power a sound segment-mean
+    # Keogh-envelope lower bound (LB_PAA ≤ LB_Keogh ≤ banded DTW via
+    # Cauchy–Schwarz per segment: Σ_t x_t² ≥ w·(Σ_t x_t / w)²), which
+    # discriminates SHAPE where the endpoint LB cannot — measured 7×
+    # fewer phase-2 DP survivors on cluster-structured corpora.
+    # The sketch pass runs in ONE vectorized mapInPandas over the series
+    # (not Catalyst higher-order functions: nested transform/slice/
+    # aggregate evaluate interpreted per element — measured ~39 ms/series
+    # at 1e5 series, ~400× this NumPy path). One Arrow pass over the
+    # corpus to build a build-once stats table is the right trade.
     # per-series scalar stats; localCheckpoint: this tiny table anchors one
-    # pre-scan agg plus four joins — don't recompute the series lineage 5×
+    # pre-scan agg plus four joins — don't recompute the series lineage 5×.
+    # SCALARS ONLY, deliberately: a round-3 experiment attached 8-segment
+    # PAA/Keogh-envelope sketches here and admitted phase-2 pairs with
+    # max(endpoint LB, segment-mean envelope LB). Measured at 1e5
+    # cluster-structured series (scripts/scale_probe.py) the extra bound
+    # pruned 1.84× of phase-2 pairs (274M → 148M) but made the ~10⁹-row
+    # enumeration join 10× more expensive (20,567 vs 1,950 cpu·s): every
+    # joined row copies the four 8-double array payloads whether or not
+    # the bound fires, and the enumeration stream is ~7× larger than the
+    # survivor set it was trimming. Net total CPU 45k vs 17k cpu·s in
+    # favour of scalars — candidate enumeration stays on 8-byte scalars
+    # and the saved pairs are cheaper to DP than to pre-screen.
     st = (series.select(F.col(key).alias("id"),
                         F.element_at("points", 1).alias("p1"),
                         F.element_at("points", -1).alias("pm"),
@@ -510,7 +662,8 @@ def knn_topk(series: DataFrame, k: int = 4, radius: int = 5,
         F.min(F.when(ok, F.col("pm"))).alias("lom"),
         F.max(F.when(ok, F.col("pm"))).alias("him"),
         F.countDistinct(F.when(ok, F.col("n"))).alias("nlens"),
-        F.min("n").alias("minn")).first()
+        F.min("n").alias("minn"),
+        F.sum("n").alias("totn")).first()
     n_short = 1 if (g["minn"] is not None and g["minn"] < 2) else 0
     if g["cnt"] == 0:  # nothing with a valid LB: pure residue
         pairs = left.join(right, F.col("id_a") != F.col("id_b"))
@@ -521,6 +674,12 @@ def knn_topk(series: DataFrame, k: int = 4, radius: int = 5,
     # neighborhood usually holds ≥ k·oversample candidates (finite τ)
     G = max(1, min(grid_cells,
                    int(np.ceil(np.sqrt(g["cnt"] / max(4 * k, 16))))))
+    # tile-block count for the pair-DP stages: blocks of ~32 MB of array
+    # payload, but at least enough tiles (B²) to use 2× the cores
+    sc = series.sparkSession.sparkContext
+    n_blocks = int(min(64, max(
+        np.ceil((g["totn"] or 0) * 8 / (32 << 20)),
+        np.ceil(np.sqrt(2.0 * sc.defaultParallelism)))))
     w1 = max((g["hi1"] - g["lo1"]) / G, 1e-300)
     wm = max((g["him"] - g["lom"]) / G, 1e-300)
     cell = (lambda p, lo, w: F.least(F.lit(G - 1), F.greatest(F.lit(0),
@@ -537,29 +696,46 @@ def knn_topk(series: DataFrame, k: int = 4, radius: int = 5,
     lbe = ((F.col("p1a") - F.col("p1b")) ** 2
            + (F.col("pma") - F.col("pmb")) ** 2)
     off = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
-    nbhd = (sta.withColumn("dx", off).withColumn("dy", off)
-            .join(stb, (F.col("c1a") + F.col("dx") == F.col("c1b"))
-                  & (F.col("cma") + F.col("dy") == F.col("cmb"))
-                  & (F.col("na") == F.col("nb"))
-                  & (F.col("id_a") != F.col("id_b")))
+    # explicit equi-keys + fixed-width repartition on them: the stats
+    # tables are byte-tiny, so AQE coalesces the join shuffle to a
+    # handful of tasks — and the ~900×n-row join OUTPUT (the expensive
+    # part) is then produced on those few threads. A user repartition
+    # with an explicit partition count is not coalesced.
+    p_join = sc.defaultParallelism * 2
+    nb_l = (sta.withColumn("dx", off).withColumn("dy", off)
+            .withColumn("k1", F.col("c1a") + F.col("dx"))
+            .withColumn("k2", F.col("cma") + F.col("dy"))
+            .repartition(p_join, "k1", "k2"))
+    nb_r = (stb.withColumn("k1", F.col("c1b"))
+            .withColumn("k2", F.col("cmb"))
+            .repartition(p_join, "k1", "k2"))
+    nbhd = (nb_l.join(nb_r, ["k1", "k2"])
+            .filter((F.col("na") == F.col("nb"))
+                    & (F.col("id_a") != F.col("id_b")))
             .withColumn("_lbe", lbe))
+    # cand is small (≤ k·oversample·n rows) but its lineage is the 9-cell
+    # neighborhood join + top-k window over it — checkpoint so neither
+    # exact1 nor phase 2's left_anti re-runs that window
     cand = (topk_per_key(nbhd, "id_a", "_lbe", k * oversample)
-            .select("id_a", "id_b"))
+            .select("id_a", "id_b")
+            .localCheckpoint(eager=True))
     if stats_out is not None:
-        cand = cand.localCheckpoint(eager=True)
         stats_out["n_series"] = st.count()
         stats_out["n_grid_eligible"] = g["cnt"]
         stats_out["grid_cells_per_axis"] = G
         stats_out["phase1_enum_pairs"] = nbhd.count()
         stats_out["phase1_pairs"] = cand.count()
-    arr_a = series.select(F.col(key).alias("id_a"), F.col("points").alias("a"))
-    arr_b = series.select(F.col(key).alias("id_b"), F.col("points").alias("b"))
+
+    def fast_batch(A, Bm):
+        from ..kernels import dtw_cost_batch
+        return dtw_cost_batch(A, Bm, radius)
     # localCheckpoint (not cache): exact1 feeds both the τ bound and the
     # final union; eager materialization avoids recompute without pinning
     # an entry in the session cache registry for the session's lifetime
-    exact1 = _spread(cand.join(arr_a, "id_a").join(arr_b, "id_b")
-                     .select("id_a", "a", "id_b", "b")).mapInPandas(
-        run, schema).localCheckpoint(eager=True)
+    exact1 = _dp_pairs_tiled(cand, series, key, run_pdf, schema,
+                             n_blocks,
+                             fast_batch=fast_batch).localCheckpoint(
+                                 eager=True)
 
     # --- residue bootstrap (cross-length + short series) ---------------
     # Length-diverse corpora (the engine's own per-conv-span assembly)
@@ -617,24 +793,30 @@ def knn_topk(series: DataFrame, k: int = 4, radius: int = 5,
                              .filter(resid_cond)
                              .withColumn("_lbr", lb_resid),
                              "id_a", "_lbr", k * oversample, tie_col="id_b")
-                .select("id_a", "id_b"))
+                .select("id_a", "id_b")
+                .localCheckpoint(eager=True))  # small; reused by the
+        # residue left_anti — don't re-run the banded bootstrap window
         if stats_out is not None:
-            boot = boot.localCheckpoint(eager=True)
             stats_out["boot_pairs"] = boot.count()
-        exact_boot = _spread(boot.join(arr_a, "id_a").join(arr_b, "id_b")
-                             .select("id_a", "a", "id_b", "b")).mapInPandas(
-            run, schema).localCheckpoint(eager=True)
+        exact_boot = _dp_pairs_tiled(boot, series, key, run_pdf, schema,
+                                     n_blocks,
+                                     fast_batch=fast_batch).localCheckpoint(
+                                         eager=True)
         tau_src = exact1.unionByName(exact_boot)
     else:
         tau_src = exact1
     # τ = k-th best exact cost; NULL (→ unbounded full-grid range) when
     # fewer than k candidates were computed — exactness never depends on
     # grid/bucket occupancy
+    # one row per id — checkpoint: three consumers (phase-2 range join,
+    # the exact2 post-filter broadcast, the residue filter) would each
+    # re-run the top-k window over the exact costs otherwise
     tau = (topk_per_key(tau_src, "id_a", "cost", k)
            .groupBy("id_a").agg(F.max("cost").alias("_t"),
                                 F.count(F.lit(1)).alias("_c"))
            .select("id_a", F.when(F.col("_c") >= k, F.col("_t"))
-                   .alias("_tau")))
+                   .alias("_tau"))
+           .localCheckpoint(eager=True))
     # phase 2: explode only the cells within √τ on each axis (necessary
     # for LBE ≤ τ), equi-join on cell ids, exact-filter on scalars
     rad = F.sqrt(F.col("_tau"))
@@ -642,7 +824,17 @@ def knn_topk(series: DataFrame, k: int = 4, radius: int = 5,
         F.least(F.lit(G - 1), F.greatest(F.lit(0), F.floor(
             (F.col(p) + sgn * rad - F.lit(lo)) / F.lit(w)))).cast("long"),
         F.lit(0) if sgn < 0 else F.lit(G - 1)))
+    # round-robin repartition of the (tiny) query side BEFORE the
+    # explodes: the explode + cell join + LB filter (the ~10⁹-row hot
+    # loop at 1e5 series) otherwise run on a handful of threads —
+    # measured 9 tasks × 770+ s. A repartition ON THE JOIN KEY is not
+    # enough: Catalyst folds it into the join's ENSURE_REQUIREMENTS
+    # exchange, and AQE then swaps in a LOCAL shuffle read under the
+    # broadcast join, putting parallelism back at the map-side count.
+    # Round-robin with an explicit count matches no downstream
+    # requirement, so it can be neither collapsed nor coalesced.
     ranged = (sta.join(tau, "id_a", "left")
+              .repartition(p_join)
               .withColumn("qc1", F.explode(F.sequence(
                   rng("p1a", g["lo1"], w1, -1), rng("p1a", g["lo1"], w1, 1))))
               .withColumn("qcm", F.explode(F.sequence(
@@ -655,11 +847,22 @@ def knn_topk(series: DataFrame, k: int = 4, radius: int = 5,
             .join(cand, ["id_a", "id_b"], "left_anti")
             .select("id_a", "id_b"))
     if stats_out is not None:
-        rest = rest.localCheckpoint(eager=True)
+        # count WITHOUT checkpointing: the phase-2 pair list can be
+        # hundreds of millions of rows (measured 273M at 1e5 series) —
+        # pinning it in the block manager evicts itself mid-stage; the
+        # scalar enumeration is cheap to recompute for the eval pass
         stats_out["phase2_pairs"] = rest.count()
-    phase2 = (rest.join(arr_a, "id_a").join(arr_b, "id_b")
-              .select("id_a", "a", "id_b", "b"))
-    exact2 = _spread(phase2).mapInPandas(run, schema)
+    exact2 = _dp_pairs_tiled(rest, series, key, run_pdf, schema, n_blocks,
+                             fast_batch=fast_batch)
+    # cost > τ can never reach the final top-k (k exact candidates with
+    # cost ≤ τ already exist per id; == τ kept for deterministic ties), so
+    # drop those rows before the global top-k window — the phase-2 cost
+    # table is the largest union input (hundreds of millions of rows at
+    # 1e5 series) and most survivors exceed τ
+    exact2 = (exact2.join(F.broadcast(tau), "id_a", "left")
+              .filter(F.col("_tau").isNull()
+                      | (F.col("cost") <= F.col("_tau")))
+              .drop("_tau"))
     parts = [exact1, exact2]
 
     # --- τ-bounded residue: cross-length pairs + length<2 series -------
@@ -677,27 +880,25 @@ def knn_topk(series: DataFrame, k: int = 4, radius: int = 5,
     # recommended windowed-assembly config).
     if has_residue:
 
-        def run_resid(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                recs = []
-                for row in pdf.itertuples(index=False):
-                    a = np.asarray(row.a, dtype=np.float64)
-                    b = np.asarray(row.b, dtype=np.float64)
-                    tv = row.tau  # "_tau" is aliased: itertuples renames
-                    # underscore-prefixed fields to positional names
-                    seeded = tv is not None and tv == tv  # non-null, non-NaN
-                    seed = np.nextafter(float(tv), np.inf) if seeded else np.inf
-                    if len(a) == len(b):  # only length<2 reaches here
-                        c = dtw_cost(a, b, dist, radius)
-                    else:
-                        s, l = sorted((a, b), key=len)
-                        c = dtwnn(s, l, dist, radius,
-                                  prune_endpoints=len(s) >= 2,
-                                  initial_bsf=seed).cost
-                    if np.isfinite(c) and (not seeded or c <= tv):
-                        recs.append({"id_a": row.id_a, "id_b": row.id_b,
-                                     "cost": c})
-                yield pd.DataFrame(recs, columns=["id_a", "id_b", "cost"])
+        def run_resid_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+            recs = []
+            for row in pdf.itertuples(index=False):
+                a = np.asarray(row.a, dtype=np.float64)
+                b = np.asarray(row.b, dtype=np.float64)
+                tv = row.tau
+                seeded = tv is not None and tv == tv  # non-null, non-NaN
+                seed = np.nextafter(float(tv), np.inf) if seeded else np.inf
+                if len(a) == len(b):  # only length<2 reaches here
+                    c = dtw_cost(a, b, dist, radius)
+                else:
+                    s, l = sorted((a, b), key=len)
+                    c = dtwnn(s, l, dist, radius,
+                              prune_endpoints=len(s) >= 2,
+                              initial_bsf=seed).cost
+                if np.isfinite(c) and (not seeded or c <= tv):
+                    recs.append({"id_a": row.id_a, "id_b": row.id_b,
+                                 "cost": c})
+            return pd.DataFrame(recs, columns=["id_a", "id_b", "cost"])
 
         # broadcast the scalar side: the stats table is a few dozen
         # bytes/id, so the non-equi enumeration plans as a scalar
@@ -710,12 +911,12 @@ def knn_topk(series: DataFrame, k: int = 4, radius: int = 5,
                        .join(boot, ["id_a", "id_b"], "left_anti")
                        .select("id_a", "id_b", F.col("_tau").alias("tau")))
         if stats_out is not None:
-            resid_pairs = resid_pairs.localCheckpoint(eager=True)
+            # count-only, no checkpoint: same block-manager-size reasoning
+            # as the phase-2 count above
             stats_out["residue_pairs"] = resid_pairs.count()
-        resid = (resid_pairs
-                 .join(arr_a, "id_a").join(arr_b, "id_b")
-                 .select("id_a", "a", "id_b", "b", "tau"))
-        exact_resid = _spread(resid).mapInPandas(run_resid, schema)
+        exact_resid = _dp_pairs_tiled(resid_pairs, series, key,
+                                      run_resid_pdf, schema, n_blocks,
+                                      with_tau=True)
         parts += [exact_boot, exact_resid]
 
     out = parts[0]

@@ -90,12 +90,21 @@ def shuffle_totals(spark) -> dict:
         stages = json.load(urllib.request.urlopen(
             f"{ui}/api/v1/applications/{app_id}/stages?status=complete",
             timeout=30))
+        slowest = sorted(stages, key=lambda s: -s.get("executorRunTime", 0))
         return {
             "shuffle_write_bytes": sum(s.get("shuffleWriteBytes", 0)
                                        for s in stages),
             "shuffle_read_bytes": sum(s.get("shuffleReadBytes", 0)
                                       for s in stages),
             "stages": len(stages),
+            "slowest_stages": [
+                {"id": s["stageId"],
+                 "cpu_sec": round(s.get("executorRunTime", 0) / 1000),
+                 "tasks": s.get("numCompleteTasks"),
+                 "in_rows": s.get("inputRecords", 0)
+                 + s.get("shuffleReadRecords", 0),
+                 "name": (s.get("name") or "")[:60]}
+                for s in slowest[:6]],
         }
     except Exception as exc:  # metrics are best-effort evidence
         return {"shuffle_metrics_error": str(exc)[:200]}
@@ -112,6 +121,11 @@ def main(argv=None) -> int:
     p.add_argument("--k", type=int, default=4)
     p.add_argument("--radius", type=int, default=5)
     p.add_argument("--cpus", type=int, default=None)
+    p.add_argument("--no-stats", action="store_true",
+                   help="production-shape run: skip the candidate-count "
+                        "instrumentation (its extra count jobs re-run "
+                        "the enumeration); wall_sec is then the honest "
+                        "operator wall")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -124,6 +138,8 @@ def main(argv=None) -> int:
         if args.cpus:
             builder = builder.master(f"local[{args.cpus}]")
         spark = (builder
+                 .config("spark.driver.memory",
+                         os.environ.get("SPARK_TSWARP_PROBE_MEM", "48g"))
                  .config("spark.sql.shuffle.partitions", "64")
                  .config("spark.sql.adaptive.enabled", "true")
                  .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -140,7 +156,7 @@ def main(argv=None) -> int:
     stats: dict = {}
     t0 = time.time()
     out = knn_topk(series, k=args.k, radius=args.radius,
-                   stats_out=stats)
+                   stats_out=None if args.no_stats else stats)
     n_out = out.count()
     wall = time.time() - t0
 

@@ -284,6 +284,29 @@ class TestKnnLbPrefilter:
         assert set(pk.id_b) == {"cont0", "cont1"}
         np.testing.assert_allclose(pk.cost, [0.0, 0.0], atol=1e-12)
 
+    def test_grid_path_clustered_sine_families(self, spark):
+        """Cluster-structured corpus (the PAA pruning regime: many
+        near-identical shapes per family): grid path ≡ brute force."""
+        import numpy as np
+        from dynamicaxiswarping_jl_spark.operators import knn_topk
+        rng = np.random.default_rng(13)
+        rows = []
+        t = np.arange(24)
+        for fam in range(5):
+            base, amp, freq = fam * 2.0, 1 + fam * 0.5, 0.2 + fam * 0.07
+            for i in range(8):
+                v = (base + amp * np.sin(t * freq)
+                     + rng.normal(scale=0.05, size=24))
+                rows.append((f"f{fam}s{i}", [float(x) for x in v]))
+        series = spark.createDataFrame(
+            rows, "conv_id string, points array<double>")
+        brute = knn_topk(series, k=3, radius=5, lb_prefilter=False).toPandas()
+        fast = knn_topk(series, k=3, radius=5).toPandas()
+        for key in sorted(brute.id_a.unique()):
+            bc = sorted(round(c, 9) for c in brute[brute.id_a == key].cost)
+            fc = sorted(round(c, 9) for c in fast[fast.id_a == key].cost)
+            assert bc == fc, key
+
     def test_stats_out_probe_does_not_change_results(self, spark):
         """stats_out (the scale-probe instrumentation) must be a pure
         observer: identical neighbor sets with and without it, and the
