@@ -28,7 +28,7 @@ from .filters import gaussian, gaussian2, imfilter
 from .datasets import fakedata_gaussian
 from .gdtw import (gdtw, LinearInterpolation, prepare_gdtw,
                    iterative_gdtw, gdtw_warpings)
-from .dtw import dtw_cost_batch
+from .dtw import dtw_cost_batch, dtw_cost_batch_indexed
 from .evaluate import dtw_dist, DTW, SoftDTW, FastDTW, GDTW
 
 __all__ = [
@@ -47,6 +47,7 @@ __all__ = [
     "gaussian", "gaussian2", "imfilter",
     "fakedata_gaussian",
     "gdtw", "prepare_gdtw", "iterative_gdtw", "gdtw_warpings",
-    "LinearInterpolation", "dtw_cost_batch", "dtw_dist",
+    "LinearInterpolation", "dtw_cost_batch", "dtw_cost_batch_indexed",
+    "dtw_dist",
     "DTW", "SoftDTW", "FastDTW", "GDTW",
 ]

@@ -292,18 +292,10 @@ double dtw_cost_band_sq(const double *a, const double *b, long m, long r,
 
 /* Batched banded costs: q is (m,) when pairwise==0 (one query vs k
  * windows) or (k, m) when pairwise==1 (k independent pairs); W is (k, m).
- * No early abandon (batch semantics). */
-#define BATCH_IMPL(NAME, T)                                              \
-void NAME(const T *q, int pairwise, const T *W, long k, long m, long r,  \
-          double tc_, T *out, T *buf)                                    \
-{                                                                        \
-    const T tc = (T)tc_;                                                 \
-    long w0 = 2 * r + 1;                                                 \
-    if (w0 > m) w0 = m;                                                  \
-    T *prev_b = buf, *cur_b = buf + w0;                                  \
-    for (long p = 0; p < k; p++) {                                       \
-        const T *a = pairwise ? q + p * m : q;                           \
-        const T *b = W + p * m;                                          \
+ * No early abandon (batch semantics). The per-pair DP body is
+ * single-sourced in BATCH_PAIR so the contiguous and indexed entry
+ * points are bit-identical operation-for-operation (goldens pin this). */
+#define BATCH_PAIR(T)                                                    \
         T *prev = prev_b, *cur = cur_b;                                  \
         long plo = 0, phi = -1, lo = 0, hi = 0;                          \
         for (long i = 0; i < m; i++) {                                   \
@@ -337,12 +329,48 @@ void NAME(const T *q, int pairwise, const T *W, long k, long m, long r,  \
             T *t = prev; prev = cur; cur = t;                            \
             plo = lo; phi = hi;                                          \
         }                                                                \
-        out[p] = prev[hi - lo];                                          \
+        out[p] = prev[hi - lo];
+
+#define BATCH_IMPL(NAME, T)                                              \
+void NAME(const T *q, int pairwise, const T *W, long k, long m, long r,  \
+          double tc_, T *out, T *buf)                                    \
+{                                                                        \
+    const T tc = (T)tc_;                                                 \
+    long w0 = 2 * r + 1;                                                 \
+    if (w0 > m) w0 = m;                                                  \
+    T *prev_b = buf, *cur_b = buf + w0;                                  \
+    for (long p = 0; p < k; p++) {                                       \
+        const T *a = pairwise ? q + p * m : q;                           \
+        const T *b = W + p * m;                                          \
+        BATCH_PAIR(T)                                                    \
     }                                                                    \
 }
 
 BATCH_IMPL(dtw_cost_batch_sq_f64, double)
 BATCH_IMPL(dtw_cost_batch_sq_f32, float)
+
+/* Indexed batch: pair p reads row ia[p] of A (na rows) and row ib[p] of
+ * B (nb rows), both (·, m) C-contiguous. Saves the caller's per-pair
+ * 2×m×sizeof(T) gather copy — the tiled k-NN eval is memory-bandwidth
+ * bound at full parallelism, where the copy costs as much as the DP. */
+#define BATCH_IDX_IMPL(NAME, T)                                          \
+void NAME(const T *A, const T *B, const long long *ia,                   \
+          const long long *ib, long k, long m, long r,                   \
+          double tc_, T *out, T *buf)                                    \
+{                                                                        \
+    const T tc = (T)tc_;                                                 \
+    long w0 = 2 * r + 1;                                                 \
+    if (w0 > m) w0 = m;                                                  \
+    T *prev_b = buf, *cur_b = buf + w0;                                  \
+    for (long p = 0; p < k; p++) {                                       \
+        const T *a = A + (long)ia[p] * m;                                \
+        const T *b = B + (long)ib[p] * m;                                \
+        BATCH_PAIR(T)                                                    \
+    }                                                                    \
+}
+
+BATCH_IDX_IMPL(dtw_cost_batch_idx_sq_f64, double)
+BATCH_IDX_IMPL(dtw_cost_batch_idx_sq_f32, float)
 
 /* LB_Keogh totals for a subset of window starts (mirrors
  * _lb_env_subset in dtwnn.py): per-step envelope excess

@@ -139,6 +139,14 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         fp, ctypes.c_int, fp, ctypes.c_long, ctypes.c_long, ctypes.c_long,
         ctypes.c_double, fp, fp]
     lib.dtw_cost_batch_sq_f32.restype = None
+    lib.dtw_cost_batch_idx_sq_f64.argtypes = [
+        dp, dp, llp, llp, ctypes.c_long, ctypes.c_long, ctypes.c_long,
+        ctypes.c_double, dp, dp]
+    lib.dtw_cost_batch_idx_sq_f64.restype = None
+    lib.dtw_cost_batch_idx_sq_f32.argtypes = [
+        fp, fp, llp, llp, ctypes.c_long, ctypes.c_long, ctypes.c_long,
+        ctypes.c_double, fp, fp]
+    lib.dtw_cost_batch_idx_sq_f32.restype = None
     lib.lb_env_subset_f64.argtypes = [
         dp, ctypes.c_long, dp, dp, dp, dp, ctypes.c_int, ctypes.c_int,
         lp, ctypes.c_long, dp]
@@ -399,5 +407,32 @@ def cost_batch(q: np.ndarray, W: np.ndarray, r: int, tc: float) -> np.ndarray:
     w = min(2 * int(r) + 1, m)
     buf = np.empty(2 * w, dtype=dt)
     fn(_ptr(q, ct), pairwise, _ptr(W, ct), k, m, int(r), tc,
+       _ptr(out, ct), _ptr(buf, ct))
+    return out
+
+
+def cost_batch_indexed(A: np.ndarray, B: np.ndarray, ia: np.ndarray,
+                       ib: np.ndarray, r: int, tc: float) -> np.ndarray:
+    """Banded costs of pairs (A[ia[p]], B[ib[p]]) without gathering rows:
+    the C kernel reads both operands straight from the (·, m) blocks.
+    Bit-identical to ``cost_batch(A[ia], B[ib], r, tc)`` (shared DP body
+    in _native.c); callers guarantee 0 <= ia < len(A), 0 <= ib < len(B),
+    A.shape[1] == B.shape[1] > 0, r >= 0."""
+    L = lib()
+    if A.dtype == np.float32 and B.dtype == np.float32:
+        dt, ct, fn = np.float32, ctypes.c_float, L.dtw_cost_batch_idx_sq_f32
+    else:
+        dt, ct, fn = np.float64, ctypes.c_double, L.dtw_cost_batch_idx_sq_f64
+    A = np.ascontiguousarray(A, dtype=dt)
+    B = np.ascontiguousarray(B, dtype=dt)
+    ia = np.ascontiguousarray(ia, dtype=np.int64)
+    ib = np.ascontiguousarray(ib, dtype=np.int64)
+    k = ia.shape[0]
+    m = A.shape[1]
+    out = np.empty(k, dtype=dt)
+    w = min(2 * int(r) + 1, m)
+    buf = np.empty(2 * w, dtype=dt)
+    fn(_ptr(A, ct), _ptr(B, ct), _ptr(ia, ctypes.c_longlong),
+       _ptr(ib, ctypes.c_longlong), k, m, int(r), tc,
        _ptr(out, ct), _ptr(buf, ct))
     return out

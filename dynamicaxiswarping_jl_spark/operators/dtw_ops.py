@@ -92,22 +92,29 @@ def _dp_pairs_tiled(pairs: DataFrame, series: DataFrame, key: str,
     Block-tiled evaluation instead (block-nested-loop layout for
     similarity joins): series hash into ``n_blocks`` blocks; each
     (block_a, block_b) tile that actually contains pairs receives its
-    two array blocks ONCE plus its pair ids, and a single applyInPandas
-    group evaluates all the tile's pairs from in-memory dicts, chunked
-    through the batched C kernel. Array traffic is O(n_series × B) rows
+    two array blocks ONCE plus its pair ids, and one COGROUP group
+    evaluates all the tile's pairs from in-memory dicts through the
+    batched C kernel. Array traffic is O(n_series × B) rows
     corpus-wide — independent of the pair count — and no task ever holds
     more than 2/B-th of the corpus, so (unlike a corpus broadcast) the
     layout survives corpora that cannot fit on one executor.
 
+    Cogroup (two per-side schemas), NOT a union into one schema: the
+    union forces a NULL array<double> ``pts`` column onto every pair
+    row, and the JVM Arrow writer spends ~2.5 µs/row on a null array
+    column — measured 5× the entire remaining serialization cost of a
+    pair row, and the dominant cost of the whole eval stage (11.3k
+    cpu·s at 277M pairs, unchanged by any Python-side optimization).
+
     ``run_pdf``: pandas DataFrame (id_a, a, id_b, b[, tau]) → DataFrame
     matching ``schema``. ``with_tau`` forwards a per-pair ``tau`` column
     for seeded/bounded kernels. ``fast_batch`` (optional): a
-    ``(A_matrix, B_matrix) -> costs`` batch kernel used when every array
-    in a tile shares one length — the hot loop then runs on stacked
-    block matrices with index gathers, no per-chunk DataFrames.
+    ``(A_block, B_block, ia, ib) -> costs`` indexed batch kernel used
+    when every array in a tile shares one length — the hot loop then
+    reads pair operands straight out of the two stacked block matrices,
+    no per-pair gather copies or per-chunk DataFrames.
     """
     B = int(max(1, n_blocks))
-    pts_type = series.schema["points"].dataType
 
     def blk(c):
         return F.pmod(F.xxhash64(F.col(c)), F.lit(B)).cast("int")
@@ -123,63 +130,52 @@ def _dp_pairs_tiled(pairs: DataFrame, series: DataFrame, key: str,
     a_rows = (arr.withColumn("ta", blk("id"))
               .withColumn("tb", fan)
               .select("ta", "tb", F.lit(0).alias("role"),
-                      F.col("id").alias("id_a"),
-                      F.lit(None).cast("string").alias("id_b"),
-                      F.col("points").alias("pts"),
-                      F.lit(None).cast("double").alias("tau")))
+                      F.col("id").alias("id"),
+                      F.col("points").alias("pts")))
     b_rows = (arr.withColumn("tb", blk("id"))
               .withColumn("ta", fan)
               .select("ta", "tb", F.lit(1).alias("role"),
-                      F.lit(None).cast("string").alias("id_a"),
-                      F.col("id").alias("id_b"),
-                      F.col("points").alias("pts"),
-                      F.lit(None).cast("double").alias("tau")))
+                      F.col("id").alias("id"),
+                      F.col("points").alias("pts")))
+    arr_rows = a_rows.unionByName(b_rows)
     tau_col = (F.col("tau") if with_tau
                else F.lit(None).cast("double"))
     p_rows = pairs.select(blk("id_a").alias("ta"), blk("id_b").alias("tb"),
-                          F.lit(2).alias("role"), "id_a", "id_b",
-                          F.lit(None).cast(pts_type).alias("pts"),
-                          tau_col.alias("tau"))
-    union = a_rows.unionByName(b_rows).unionByName(p_rows)
+                          "id_a", "id_b", tau_col.alias("tau"))
 
-    def eval_tile(pdf: pd.DataFrame) -> pd.DataFrame:
+    def eval_tile(arrs: pd.DataFrame, prs: pd.DataFrame) -> pd.DataFrame:
         # numpy object-array extraction throughout: a tile holds millions
         # of pair rows, and pandas scalar .iloc / assign / boolean-iloc
         # copies cost more CPU than the DP kernel itself (measured 53
         # µs/pair vs the kernel's ~2 µs at 1e5 series before this shape)
-        roles = pdf["role"].to_numpy()
-        ids_a = pdf["id_a"].to_numpy()
-        ids_b = pdf["id_b"].to_numpy()
-        pts = pdf["pts"].to_numpy()
-        amap = dict(zip(ids_a[roles == 0], pts[roles == 0]))
-        bmap = dict(zip(ids_b[roles == 1], pts[roles == 1]))
-        pmask = roles == 2
-        p_a, p_b = ids_a[pmask], ids_b[pmask]
-        p_tau = pdf["tau"].to_numpy()[pmask]
+        p_a = prs["id_a"].to_numpy()
+        p_b = prs["id_b"].to_numpy()
+        p_tau = prs["tau"].to_numpy()
         if len(p_a) == 0:
             return pd.DataFrame({"id_a": pd.Series(dtype=object),
                                  "id_b": pd.Series(dtype=object),
                                  "cost": pd.Series(dtype=np.float64)})
+        roles = arrs["role"].to_numpy()
+        ids = arrs["id"].to_numpy()
+        pts = arrs["pts"].to_numpy()
+        amap = dict(zip(ids[roles == 0], pts[roles == 0]))
+        bmap = dict(zip(ids[roles == 1], pts[roles == 1]))
         if fast_batch is not None and amap and bmap:
             lens = {len(v) for v in amap.values()}
             lens |= {len(v) for v in bmap.values()}
             if len(lens) == 1:
-                # uniform-length tile: stack each block once, gather rows
-                # by index per chunk — the per-chunk DataFrame build was
-                # ~2× the kernel cost (local microbench: 9.0 vs 2.8
-                # µs/pair)
-                aidx = {kk: i for i, kk in enumerate(amap)}
-                bidx = {kk: i for i, kk in enumerate(bmap)}
+                # uniform-length tile: stack each block once, ONE
+                # vectorized pd.Index.get_indexer over all pairs (C-hash
+                # lookups), then hand the blocks + index arrays to the
+                # indexed batch kernel — no per-pair row gather at all.
+                # The eval stage is memory-bandwidth bound at full
+                # parallelism; the 2×m×8 B/pair gather copy cost as much
+                # as the DP itself.
                 Ablk = np.stack(list(amap.values()))
                 Bblk = np.stack(list(bmap.values()))
-                costs = np.empty(len(p_a))
-                for lo in range(0, len(p_a), chunk_rows):
-                    hi = min(lo + chunk_rows, len(p_a))
-                    ia = np.fromiter((aidx[i] for i in p_a[lo:hi]),
-                                     np.intp, hi - lo)
-                    ib = np.fromiter((bidx[i] for i in p_b[lo:hi]),
-                                     np.intp, hi - lo)
-                    costs[lo:hi] = fast_batch(Ablk[ia], Bblk[ib])
+                ia_all = pd.Index(list(amap)).get_indexer(p_a)
+                ib_all = pd.Index(list(bmap)).get_indexer(p_b)
+                costs = fast_batch(Ablk, Bblk, ia_all, ib_all)
                 return pd.DataFrame({"id_a": p_a, "id_b": p_b,
                                      "cost": costs})
         outs = []
@@ -194,7 +190,9 @@ def _dp_pairs_tiled(pairs: DataFrame, series: DataFrame, key: str,
             outs.append(run_pdf(sl))
         return pd.concat(outs, ignore_index=True)
 
-    return union.groupBy("ta", "tb").applyInPandas(eval_tile, schema)
+    return (arr_rows.groupBy("ta", "tb")
+            .cogroup(p_rows.groupBy("ta", "tb"))
+            .applyInPandas(eval_tile, schema))
 
 
 __all__ = ["dtw_pairs", "drift_scores", "dtwnn_search", "knn_topk",
@@ -726,9 +724,9 @@ def knn_topk(series: DataFrame, k: int = 4, radius: int = 5,
         stats_out["phase1_enum_pairs"] = nbhd.count()
         stats_out["phase1_pairs"] = cand.count()
 
-    def fast_batch(A, Bm):
-        from ..kernels import dtw_cost_batch
-        return dtw_cost_batch(A, Bm, radius)
+    def fast_batch(Ablk, Bblk, ia, ib):
+        from ..kernels import dtw_cost_batch_indexed
+        return dtw_cost_batch_indexed(Ablk, Bblk, ia, ib, radius)
     # localCheckpoint (not cache): exact1 feeds both the τ bound and the
     # final union; eager materialization avoids recompute without pinning
     # an entry in the session cache registry for the session's lifetime
