@@ -592,6 +592,64 @@ int NAME(const T *qn, long m, const T *y, long n, long rad,              \
 NN_SEARCH_IMPL(nn_search_sq_f64, double)
 NN_SEARCH_IMPL(nn_search_sq_f32, float)
 
+/* Batched cross-length pair costs for the k-NN residue: pair p reads
+ * row ia[p] of flat-packed block A and ib[p] of block B (offsets offA/
+ * offB, lengths lenA/lenB). Unequal lengths run the full nn_search
+ * cascade (shorter = query, envelopes computed here with the
+ * lower_upper_envs semantics: inclusive +-r window min/max clamped to
+ * bounds; use_end only when the query has >= 2 points) seeded with
+ * seeds[p]; equal lengths run the banded DP (dtw_cost_band_sq,
+ * unseeded) — both choices mirror the per-pair Python residue loop
+ * bit-for-bit, which this entry replaces because its ~100 us/pair of
+ * wrapper overhead dominated the residue stage. Caller scratch:
+ * env_buf 2*max_len doubles, band_buf 2*(2*rad+1) doubles, cb_zero
+ * max_len ZEROED doubles (dtw_cost_band_sq reads the cumulative bound
+ * unconditionally — zeros = no bound, matching the unseeded Python
+ * dtw_cost call). Returns 0, -1 on allocation failure inside
+ * nn_search. */
+int nn_search_pairs_sq_f64(const double *flatA, const long long *offA,
+                           const long long *lenA, const double *flatB,
+                           const long long *offB, const long long *lenB,
+                           const long long *ia, const long long *ib,
+                           long k, long rad, const double *seeds,
+                           double *env_buf, double *band_buf,
+                           const double *cb_zero, double *out)
+{
+    for (long p = 0; p < k; p++) {
+        const double *a = flatA + offA[ia[p]];
+        const double *b = flatB + offB[ib[p]];
+        long la = (long)lenA[ia[p]], lb = (long)lenB[ib[p]];
+        if (la == lb) {
+            out[p] = dtw_cost_band_sq(a, b, la, rad, 1.0, INF,
+                                      cb_zero, band_buf);
+            continue;
+        }
+        const double *q = la < lb ? a : b;
+        const double *y = la < lb ? b : a;
+        long m = la < lb ? la : lb;
+        long n = la < lb ? lb : la;
+        double *lo = env_buf, *hi = env_buf + m;
+        for (long i = 0; i < m; i++) {
+            long s = i - rad > 0 ? i - rad : 0;
+            long e = i + rad < m - 1 ? i + rad : m - 1;
+            double mn = q[s], mx = q[s];
+            for (long j = s + 1; j <= e; j++) {
+                if (q[j] < mn) mn = q[j];
+                if (q[j] > mx) mx = q[j];
+            }
+            lo[i] = mn; hi[i] = mx;
+        }
+        double cost; long long loc, pe, pv;
+        if (nn_search_sq_f64(q, m, y, n, rad, lo, hi, y, y,
+                             0, m >= 2 ? 1 : 0, 1,
+                             seeds[p], 1.0, 0, 0,
+                             &cost, &loc, &pe, &pv) != 0)
+            return -1;
+        out[p] = cost;
+    }
+    return 0;
+}
+
 /* ---------------------------------------------------------------------
  * Gorilla / delta-of-delta codec (operators/compression.py bit format,
  * per the Gorilla paper VLDB'15 §4.1/4.2). MSB-first bit stream,

@@ -147,6 +147,10 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         fp, fp, llp, llp, ctypes.c_long, ctypes.c_long, ctypes.c_long,
         ctypes.c_double, fp, fp]
     lib.dtw_cost_batch_idx_sq_f32.restype = None
+    lib.nn_search_pairs_sq_f64.argtypes = [
+        dp, llp, llp, dp, llp, llp, llp, llp,
+        ctypes.c_long, ctypes.c_long, dp, dp, dp, dp, dp]
+    lib.nn_search_pairs_sq_f64.restype = ctypes.c_int
     lib.lb_env_subset_f64.argtypes = [
         dp, ctypes.c_long, dp, dp, dp, dp, ctypes.c_int, ctypes.c_int,
         lp, ctypes.c_long, dp]
@@ -408,6 +412,47 @@ def cost_batch(q: np.ndarray, W: np.ndarray, r: int, tc: float) -> np.ndarray:
     buf = np.empty(2 * w, dtype=dt)
     fn(_ptr(q, ct), pairwise, _ptr(W, ct), k, m, int(r), tc,
        _ptr(out, ct), _ptr(buf, ct))
+    return out
+
+
+def nn_search_pairs(flatA: np.ndarray, offA: np.ndarray, lenA: np.ndarray,
+                    flatB: np.ndarray, offB: np.ndarray, lenB: np.ndarray,
+                    ia: np.ndarray, ib: np.ndarray, rad: int,
+                    seeds: np.ndarray) -> np.ndarray:
+    """Batched cross-length residue costs over flat-packed blocks: pair p
+    is (A-row ia[p], B-row ib[p]); unequal lengths run the seeded
+    nn_search cascade (shorter = query), equal lengths the unseeded
+    banded DP — result-identical to the per-pair Python residue loop
+    (see kernels/dtwnn.dtwnn and dtw.dtw_cost), whose ~100 µs/pair of
+    wrapper overhead this call amortizes away. Returns costs (Inf where
+    the seed pruned everything); None on C-side allocation failure."""
+    L = lib()
+    cll = ctypes.c_longlong
+    flatA = np.ascontiguousarray(flatA, dtype=np.float64)
+    flatB = np.ascontiguousarray(flatB, dtype=np.float64)
+    offA = np.ascontiguousarray(offA, dtype=np.int64)
+    offB = np.ascontiguousarray(offB, dtype=np.int64)
+    lenA = np.ascontiguousarray(lenA, dtype=np.int64)
+    lenB = np.ascontiguousarray(lenB, dtype=np.int64)
+    ia = np.ascontiguousarray(ia, dtype=np.int64)
+    ib = np.ascontiguousarray(ib, dtype=np.int64)
+    seeds = np.ascontiguousarray(seeds, dtype=np.float64)
+    k = len(ia)
+    max_len = int(max(lenA.max() if len(lenA) else 1,
+                      lenB.max() if len(lenB) else 1, 1))
+    env_buf = np.empty(2 * max_len, dtype=np.float64)
+    band_buf = np.empty(2 * (2 * int(rad) + 1), dtype=np.float64)
+    cb_zero = np.zeros(max_len, dtype=np.float64)
+    out = np.empty(k, dtype=np.float64)
+    rc = L.nn_search_pairs_sq_f64(
+        _ptr(flatA, ctypes.c_double), _ptr(offA, cll), _ptr(lenA, cll),
+        _ptr(flatB, ctypes.c_double), _ptr(offB, cll), _ptr(lenB, cll),
+        _ptr(ia, cll), _ptr(ib, cll), k, int(rad),
+        _ptr(seeds, ctypes.c_double), _ptr(env_buf, ctypes.c_double),
+        _ptr(band_buf, ctypes.c_double), _ptr(cb_zero, ctypes.c_double),
+        _ptr(out, ctypes.c_double))
+    if rc != 0:
+        return None
     return out
 
 

@@ -661,7 +661,9 @@ def knn_topk(series: DataFrame, k: int = 4, radius: int = 5,
         F.max(F.when(ok, F.col("pm"))).alias("him"),
         F.countDistinct(F.when(ok, F.col("n"))).alias("nlens"),
         F.min("n").alias("minn"),
-        F.sum("n").alias("totn")).first()
+        F.sum("n").alias("totn"),
+        F.min("vmin").alias("vlo"),
+        F.max("vmax").alias("vhi")).first()
     n_short = 1 if (g["minn"] is not None and g["minn"] < 2) else 0
     if g["cnt"] == 0:  # nothing with a valid LB: pure residue
         pairs = left.join(right, F.col("id_a") != F.col("id_b"))
@@ -816,12 +818,20 @@ def knn_topk(series: DataFrame, k: int = 4, radius: int = 5,
                    .alias("_tau"))
            .localCheckpoint(eager=True))
     # phase 2: explode only the cells within √τ on each axis (necessary
-    # for LBE ≤ τ), equi-join on cell ids, exact-filter on scalars
+    # for LBE ≤ τ), equi-join on cell ids, exact-filter on scalars.
+    # τ NULL (an id with fewer than k phase-1 candidates — isolated grid
+    # region) must widen to the FULL axis, and the null test must be
+    # EXPLICIT: Spark's greatest/least skip nulls, so floor(NULL) inside
+    # them collapses to cell 0 rather than reaching a coalesce — which
+    # silently shrank a τ-less id's probe window to cell (0,0) and lost
+    # its true neighbors (caught by
+    # test_tau_less_isolated_id_full_grid_scan).
     rad = F.sqrt(F.col("_tau"))
-    rng = (lambda p, lo, w, sgn: F.coalesce(
+    rng = (lambda p, lo, w, sgn: F.when(
+        F.col("_tau").isNull(),
+        F.lit(0) if sgn < 0 else F.lit(G - 1)).otherwise(
         F.least(F.lit(G - 1), F.greatest(F.lit(0), F.floor(
-            (F.col(p) + sgn * rad - F.lit(lo)) / F.lit(w)))).cast("long"),
-        F.lit(0) if sgn < 0 else F.lit(G - 1)))
+            (F.col(p) + sgn * rad - F.lit(lo)) / F.lit(w))))).cast("long"))
     # round-robin repartition of the (tiny) query side BEFORE the
     # explodes: the explode + cell join + LB filter (the ~10⁹-row hot
     # loop at 1e5 series) otherwise run on a handful of threads —
@@ -879,35 +889,110 @@ def knn_topk(series: DataFrame, k: int = 4, radius: int = 5,
     if has_residue:
 
         def run_resid_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
-            recs = []
-            for row in pdf.itertuples(index=False):
-                a = np.asarray(row.a, dtype=np.float64)
-                b = np.asarray(row.b, dtype=np.float64)
-                tv = row.tau
-                seeded = tv is not None and tv == tv  # non-null, non-NaN
-                seed = np.nextafter(float(tv), np.inf) if seeded else np.inf
-                if len(a) == len(b):  # only length<2 reaches here
-                    c = dtw_cost(a, b, dist, radius)
-                else:
-                    s, l = sorted((a, b), key=len)
-                    c = dtwnn(s, l, dist, radius,
-                              prune_endpoints=len(s) >= 2,
-                              initial_bsf=seed).cost
-                if np.isfinite(c) and (not seeded or c <= tv):
-                    recs.append({"id_a": row.id_a, "id_b": row.id_b,
-                                 "cost": c})
-            return pd.DataFrame(recs, columns=["id_a", "id_b", "cost"])
+            a_objs = pdf["a"].to_numpy()
+            b_objs = pdf["b"].to_numpy()
+            n_rows = len(a_objs)
+            taus = pdf["tau"].to_numpy(dtype=np.float64, na_value=np.nan)
+            seeded = np.isfinite(taus)
+            seeds = np.where(seeded, np.nextafter(taus, np.inf), np.inf)
+            costs = None
+            if dist in ("sqeuclidean", None) and n_rows:
+                # batched C path: one call per chunk instead of one
+                # dtwnn wrapper per pair — the per-pair Python/ctypes
+                # overhead (~100 µs: envelope recompute + dispatch) was
+                # the dominant cost of the whole residue stage
+                from ..kernels import native
+                if native.available():
+                    lens_a = np.fromiter((len(x) for x in a_objs),
+                                         np.int64, n_rows)
+                    lens_b = np.fromiter((len(x) for x in b_objs),
+                                         np.int64, n_rows)
+                    flat_a = np.concatenate(
+                        [np.asarray(x, dtype=np.float64) for x in a_objs])
+                    flat_b = np.concatenate(
+                        [np.asarray(x, dtype=np.float64) for x in b_objs])
+                    offs_a = np.concatenate(([0], np.cumsum(lens_a)[:-1]))
+                    offs_b = np.concatenate(([0], np.cumsum(lens_b)[:-1]))
+                    idx = np.arange(n_rows, dtype=np.int64)
+                    costs = native.nn_search_pairs(
+                        flat_a, offs_a, lens_a, flat_b, offs_b, lens_b,
+                        idx, idx, radius, seeds)
+            if costs is None:  # non-sqeuclidean metric or no C compiler
+                costs = np.empty(n_rows)
+                for i in range(n_rows):
+                    a = np.asarray(a_objs[i], dtype=np.float64)
+                    b = np.asarray(b_objs[i], dtype=np.float64)
+                    if len(a) == len(b):  # only length<2 reaches here
+                        costs[i] = dtw_cost(a, b, dist, radius)
+                    else:
+                        s, l = sorted((a, b), key=len)
+                        costs[i] = dtwnn(s, l, dist, radius,
+                                         prune_endpoints=len(s) >= 2,
+                                         initial_bsf=seeds[i]).cost
+            keep = np.isfinite(costs) & (~seeded | (costs <= taus))
+            return pd.DataFrame({"id_a": pdf["id_a"].to_numpy()[keep],
+                                 "id_b": pdf["id_b"].to_numpy()[keep],
+                                 "cost": costs[keep]})
 
-        # broadcast the scalar side: the stats table is a few dozen
-        # bytes/id, so the non-equi enumeration plans as a scalar
-        # BroadcastNestedLoopJoin (vectorized compare-and-filter, no
-        # shuffle, no array payload) instead of a CartesianProduct
-        resid_pairs = (_sc("a").join(F.broadcast(_sc("b")), resid_cond)
-                       .join(tau, "id_a", "left")
+        # Value-grid equi-join enumeration, NOT a broadcast nested loop:
+        # the BNLJ form evaluates all n² row combinations — measured
+        # 10¹⁰ probe rows at 1e5 mixed-length series with the per-row τ
+        # hash lookup dominating entire probe walls (~27 cpu·s per 10⁸
+        # rows). lb_resid ≤ τ requires its FIRST term alone to pass:
+        #   d(s_p1, [l_lo, l_hi])² ≤ τ_a
+        # i.e. the shorter side's first value must land inside the
+        # longer side's [vmin, vmax] padded by √τ_a — an interval
+        # condition on one value axis. Bucketize that axis into the
+        # adaptive G cells: any admissible pair shares ≥1 cell between
+        # the padded probe interval and the candidate interval, so an
+        # equi-join on cell ids enumerates an exact SUPERSET with
+        # O(n × interval_cells) compute, never O(n²). τ NULL (no finite
+        # bound for that id) degrades that id — and only it — to a
+        # full-axis interval, preserving exactness.
+        wv = max((g["vhi"] - g["vlo"]) / G, 1e-300)
+        vcell = (lambda c: F.least(F.lit(G - 1), F.greatest(F.lit(0),
+                 F.floor((c - F.lit(g["vlo"])) / F.lit(wv)))).cast("long"))
+        # cell span of [lo_expr, hi_expr]; a NULL bound (τ-less id: no
+        # finite radius) must widen to the FULL axis. The null test is
+        # explicit — Spark's greatest/least SKIP nulls, so a NULL inside
+        # vcell silently collapses to cell 0 instead of propagating to a
+        # coalesce, shrinking the probe window and missing neighbors.
+        vspan = (lambda lo_e, hi_e: F.explode(F.sequence(
+            F.when(lo_e.isNull(), F.lit(0)).otherwise(vcell(lo_e)),
+            F.when(hi_e.isNull(), F.lit(G - 1)).otherwise(vcell(hi_e)))))
+        rad_v = F.sqrt(F.col("_tau"))
+        vlo_cell = (lambda lo_e: F.when(lo_e.isNull(), F.lit(0))
+                    .otherwise(vcell(lo_e)))
+        qa = (_sc("a").join(tau, "id_a", "left")
+              .repartition(p_join))  # same AQE local-read trap as phase 2
+        # case A (na <= nb: a is the shorter/query side): probe interval
+        # is p1a ± √τ_a, candidate interval is b's [vminb, vmaxb]. Both
+        # sides are multi-cell, so a pair can share several cells — keep
+        # only the CANONICAL one (max of the two lo cells = the leftmost
+        # shared cell of two contiguous spans): every admissible pair is
+        # emitted exactly once and no dedupe shuffle is needed.
+        caseA = (qa.withColumn("alo", vlo_cell(F.col("p1a") - rad_v))
+                 .withColumn("vc", vspan(F.col("p1a") - rad_v,
+                                         F.col("p1a") + rad_v))
+                 .join(_sc("b").withColumn("blo", vcell(F.col("vminb")))
+                       .withColumn("vc", vspan(F.col("vminb"),
+                                               F.col("vmaxb"))),
+                       "vc")
+                 .filter(F.col("vc") == F.greatest("alo", "blo"))
+                 .filter(F.col("na") <= F.col("nb")))
+        # case B (na > nb: b is the shorter side): probe interval is a's
+        # [vmina, vmaxa] padded by √τ_a, candidate point is p1b — the b
+        # side is a single cell, so each pair matches at most once
+        caseB = (qa.withColumn("vc", vspan(F.col("vmina") - rad_v,
+                                           F.col("vmaxa") + rad_v))
+                 .join(_sc("b").withColumn("vc", vcell(F.col("p1b"))), "vc")
+                 .filter(F.col("na") > F.col("nb")))
+        resid_pairs = (caseA.drop("alo", "blo").unionByName(caseB)
+                       .filter(resid_cond)
                        .filter(F.col("_tau").isNull()
                                | (lb_resid <= F.col("_tau")))
-                       .join(boot, ["id_a", "id_b"], "left_anti")
-                       .select("id_a", "id_b", F.col("_tau").alias("tau")))
+                       .select("id_a", "id_b", F.col("_tau").alias("tau"))
+                       .join(boot, ["id_a", "id_b"], "left_anti"))
         if stats_out is not None:
             # count-only, no checkpoint: same block-manager-size reasoning
             # as the phase-2 count above

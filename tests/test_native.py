@@ -439,3 +439,45 @@ class TestIndexedBatchParity:
         out = K.dtw_cost_batch_indexed(A, B, np.array([], dtype=np.int64),
                                        np.array([], dtype=np.int64), 2)
         assert len(out) == 0
+
+
+class TestResiduePairBatchParity:
+    """nn_search_pairs must be result-identical to the per-pair Python
+    residue loop: seeded dtwnn for cross-length pairs (shorter = query,
+    prune_endpoints only when len >= 2), unseeded banded dtw_cost for
+    equal lengths, Inf where the seed prunes every window."""
+
+    def test_matches_python_loop(self):
+        import dynamicaxiswarping_jl_spark.kernels as K
+        rng = np.random.default_rng(3)
+        arrs_a, arrs_b = [], []
+        for i in range(40):
+            la = int(rng.integers(1, 50))
+            arrs_a.append(np.cumsum(rng.normal(size=la)))
+            lb = int(rng.integers(1, 50))
+            arrs_b.append(np.cumsum(rng.normal(size=lb)))
+        ia = rng.integers(0, 40, 500).astype(np.int64)
+        ib = rng.integers(0, 40, 500).astype(np.int64)
+        # seeds: mix of Inf (unseeded), generous, and brutally tight
+        seeds = rng.choice([np.inf, 50.0, 1e-6], size=500)
+        lens_a = np.array([len(x) for x in arrs_a], dtype=np.int64)
+        lens_b = np.array([len(x) for x in arrs_b], dtype=np.int64)
+        flat_a = np.concatenate(arrs_a)
+        flat_b = np.concatenate(arrs_b)
+        offs_a = np.concatenate(([0], np.cumsum(lens_a)[:-1]))
+        offs_b = np.concatenate(([0], np.cumsum(lens_b)[:-1]))
+        got = native.nn_search_pairs(flat_a, offs_a, lens_a,
+                                     flat_b, offs_b, lens_b,
+                                     ia, ib, 5, seeds)
+        assert got is not None
+        for p in range(500):
+            a, b = arrs_a[ia[p]], arrs_b[ib[p]]
+            if len(a) == len(b):
+                want = K.dtw_cost(a, b, "sqeuclidean", 5)
+            else:
+                s, l = sorted((a, b), key=len)
+                want = K.dtwnn(s, l, "sqeuclidean", 5,
+                               prune_endpoints=len(s) >= 2,
+                               initial_bsf=seeds[p]).cost
+            assert repr(float(want)) == repr(float(got[p])), \
+                (p, want, got[p], len(a), len(b), seeds[p])

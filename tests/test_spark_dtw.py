@@ -284,6 +284,38 @@ class TestKnnLbPrefilter:
         assert set(pk.id_b) == {"cont0", "cont1"}
         np.testing.assert_allclose(pk.cost, [0.0, 0.0], atol=1e-12)
 
+    def test_tau_less_isolated_id_full_grid_scan(self, spark):
+        """An id whose 3×3 grid neighborhood holds fewer than k candidates
+        gets a NULL τ, and phase 2 must then scan the FULL grid for it.
+        Regression: Spark's greatest/least skip NULLs, so floor(NULL)
+        inside the cell-range clamp used to collapse the τ-less window to
+        cell (0,0) instead of widening it — the isolated id silently lost
+        its true neighbors."""
+        import numpy as np
+        from dynamicaxiswarping_jl_spark.operators import knn_topk
+        rng = np.random.default_rng(5)
+        rows = []
+        # 99 series clustered at HIGH values (top-right grid corner), one
+        # isolated id at LOW values (cell (0,0)): the isolated id's 3x3
+        # neighborhood is empty, so its tau is NULL
+        for i in range(99):
+            v = 100.0 + np.cumsum(rng.normal(size=16)) * 0.1
+            rows.append((f"c{i:02d}", [float(x) for x in v]))
+        rows.append(("iso", [float(x) for x in np.linspace(0, 1, 16)]))
+        series = spark.createDataFrame(
+            rows, "conv_id string, points array<double>")
+        brute = knn_topk(series, k=4, radius=5, lb_prefilter=False).toPandas()
+        fast = knn_topk(series, k=4, radius=5).toPandas()
+        bi = brute[brute.id_a == "iso"]
+        fi = fast[fast.id_a == "iso"]
+        assert len(fi) == len(bi) == 4, (len(fi), len(bi))
+        assert sorted(round(c, 9) for c in fi.cost) \
+            == sorted(round(c, 9) for c in bi.cost)
+        for key in sorted(brute.id_a.unique()):
+            bc = sorted(round(c, 9) for c in brute[brute.id_a == key].cost)
+            fc = sorted(round(c, 9) for c in fast[fast.id_a == key].cost)
+            assert bc == fc, key
+
     def test_grid_path_clustered_sine_families(self, spark):
         """Cluster-structured corpus (the PAA pruning regime: many
         near-identical shapes per family): grid path ≡ brute force."""
