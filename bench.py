@@ -186,7 +186,11 @@ def run_scaling(sf_dir: str, low: int = 8, high: int = 32, n_queries: int = 96):
     searched across every per-user series — minutes of parallel kernel CPU,
     the regime the efficiency rule is about. Each session is warmed (JVM +
     Python workers + parquet footers) before the timed run so fixed startup
-    cost doesn't masquerade as poor scaling.
+    cost doesn't masquerade as poor scaling. The kernel-stage task count is
+    pinned to the same value at both levels (cluster analogy: 4N executors
+    re-schedule the same task decomposition, they don't re-plan the job —
+    and the NN search's in-task best-so-far prunes more in bigger tasks,
+    so unequal decompositions would measure different DP work).
     """
     from pyspark.sql import functions as F
 
@@ -217,7 +221,8 @@ def run_scaling(sf_dir: str, low: int = 8, high: int = 32, n_queries: int = 96):
             warm_python_workers(spark)
             series.count()
             t0 = time.time()
-            dtwnn_search(queries, series, radius=5).write.format(
+            dtwnn_search(queries, series, radius=5,
+                         partitions=4 * high).write.format(
                 "noop").mode("overwrite").save()
             results[cpus] = time.time() - t0
             per_sec[cpus] = nq / results[cpus]

@@ -39,7 +39,8 @@ from ..kernels.dtwnn import lb_endpoints
 from .topk import topk_per_key
 
 
-def _spread(df: DataFrame, factor: int = 2) -> DataFrame:
+def _spread(df: DataFrame, factor: int = 2,
+            target: Optional[int] = None) -> DataFrame:
     """Repartition before a CPU-heavy pandas UDF.
 
     AQE coalesces shuffle outputs by *bytes*; assembled-series frames are
@@ -63,9 +64,17 @@ def _spread(df: DataFrame, factor: int = 2) -> DataFrame:
     physical partition count needs ``df.rdd`` — plan compilation only, no
     job — and is what makes the narrow plan safe: coalesce below the
     target would silently LOSE parallelism.
+
+    An explicit ``target`` pins the task decomposition independently of
+    ``defaultParallelism``. The bsf threading above makes per-task work
+    depend on task SIZE, so comparing runs at two core counts is only
+    apples-to-apples when both use the same task count — on a real
+    cluster that is the normal situation (shuffle partitioning is job
+    config; scaling N -> 4N executors does not re-plan the job).
     """
     sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism * factor
+    if target is None:
+        target = sc.defaultParallelism * factor
     try:
         p = df.rdd.getNumPartitions()
     except Exception:  # noqa: BLE001 — unresolvable plans keep the shuffle
@@ -414,7 +423,8 @@ def drift_scores(fine: DataFrame, coarse: DataFrame, radius: int = 5,
 
 def dtwnn_search(queries: DataFrame, series: DataFrame, radius: int = 5,
                  normalizer: str | None = None, dist: str = "sqeuclidean",
-                 key: str = "conv_id", float32: bool = False) -> DataFrame:
+                 key: str = "conv_id", float32: bool = False,
+                 partitions: Optional[int] = None) -> DataFrame:
     """NN of each query subsequence across every series.
 
     Plan: queries are collected (small by construction — the short
@@ -428,6 +438,11 @@ def dtwnn_search(queries: DataFrame, series: DataFrame, radius: int = 5,
     each task saw first (the best-so-far seeding order), i.e. on task
     scheduling — treat them as observability metrics, not golden values
     (same caveat as the reference's scan-order-dependent prunestats).
+
+    ``partitions`` pins the series task count (default: one task per
+    core). Because the running bsf tightens within a task, per-task work
+    depends on task size — pin this when comparing walls across
+    different core counts so both runs prune identically.
     """
     qlist = [(r["query_id"], np.asarray(r["q"], dtype=np.float64))
              for r in queries.select("query_id", "q").collect()]
@@ -496,7 +511,7 @@ def dtwnn_search(queries: DataFrame, series: DataFrame, radius: int = 5,
             yield out[[f.name for f in schema.fields]]
 
     per_series = _spread(series.select(F.col(key), F.col("points")),
-                         factor=1).mapInPandas(run, schema)
+                         factor=1, target=partitions).mapInPandas(run, schema)
     # struct-min: lexicographic (cost, key, loc) — deterministic winner even
     # when several series tie on the exact minimum cost (min_by alone picks
     # an arbitrary tied row, which breaks golden-value checks)

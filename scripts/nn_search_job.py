@@ -27,6 +27,12 @@ def main(argv=None):
     p.add_argument("--n-queries", type=int, default=32)
     p.add_argument("--radius", type=int, default=5)
     p.add_argument("--cpus", type=int, default=None)
+    p.add_argument("--partitions", type=int, default=None,
+                   help="pin the series task count (use the SAME value at "
+                        "both parallelism levels for scaling evidence — "
+                        "the in-task best-so-far makes pruning depend on "
+                        "task size, so unequal decompositions measure "
+                        "different amounts of DP work)")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -66,7 +72,8 @@ def main(argv=None):
     warm_python_workers(spark)
 
     t0 = time.time()
-    (dtwnn_search(queries, series, radius=args.radius)
+    (dtwnn_search(queries, series, radius=args.radius,
+                  partitions=args.partitions)
      .write.format("noop").mode("overwrite").save())
     elapsed = time.time() - t0
     print(json.dumps({

@@ -33,16 +33,24 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def run_level(spark_submit: str, zip_path: str, cores: int, n_conv: int,
               seed: int, job: str = "pipeline", sf_dir: str = "",
-              n_queries: int = 32) -> dict:
+              n_queries: int = 32, partitions: int = 32) -> dict:
+    # The job config (shuffle partitions, kernel-stage task count) is
+    # PINNED across levels: on a real cluster, going from N to 4N
+    # executors re-schedules the same task decomposition onto more slots
+    # — it does not re-plan the job. Letting the decomposition follow the
+    # core count would compare two different jobs (the NN search's
+    # in-task best-so-far prunes more in bigger tasks, so the low leg
+    # would measure genuinely less DP work).
     cmd = [
         spark_submit, "--master", f"local[{cores}]",
-        "--conf", "spark.sql.shuffle.partitions=%d" % max(cores * 2, 8),
+        "--conf", "spark.sql.shuffle.partitions=%d" % partitions,
         "--conf", "spark.sql.session.timeZone=UTC",
         "--py-files", zip_path,
     ]
     if job == "nn":
         cmd += [os.path.join(REPO, "scripts", "nn_search_job.py"),
-                "--sf-dir", sf_dir, "--n-queries", str(n_queries)]
+                "--sf-dir", sf_dir, "--n-queries", str(n_queries),
+                "--partitions", str(partitions)]
     else:
         workdir = tempfile.mkdtemp(prefix=f"scaling-{cores}-")
         cmd += [os.path.join(REPO, "scripts", "run_pipeline.py"),
@@ -68,8 +76,14 @@ def main() -> int:
                         "rule is about; 'pipeline': the rollup pipeline "
                         "(stage fixed costs dominate at sandbox sizes)")
     p.add_argument("--sf-dir", default="/root/testdata/sf0.1")
-    p.add_argument("--n-queries", type=int, default=128,
-                   help="probe size: longer jobs amortize fixed stage costs (measured efficiency 0.80/0.83/0.92 at 32/64/128)")
+    p.add_argument("--n-queries", type=int, default=512,
+                   help="probe size: longer jobs amortize fixed stage "
+                        "costs; >= 512 keeps kernel CPU dominant now that "
+                        "the cascade is C-batched")
+    p.add_argument("--partitions", type=int, default=32,
+                   help="task decomposition, identical at both levels "
+                        "(cluster analogy: job config does not change "
+                        "with executor count)")
     args = p.parse_args()
 
     spark_submit = shutil.which("spark-submit")
@@ -80,9 +94,9 @@ def main() -> int:
     zip_path = os.path.join(REPO, "dist", "engine.zip")
 
     lo = run_level(spark_submit, zip_path, args.low, args.n_conv, args.seed,
-                   args.job, args.sf_dir, args.n_queries)
+                   args.job, args.sf_dir, args.n_queries, args.partitions)
     hi = run_level(spark_submit, zip_path, args.high, args.n_conv, args.seed,
-                   args.job, args.sf_dir, args.n_queries)
+                   args.job, args.sf_dir, args.n_queries, args.partitions)
     assert lo["turns"] == hi["turns"], "levels must process identical input"
     speedup = lo["elapsed_sec"] / hi["elapsed_sec"]
     eff = speedup / (args.high / args.low)
