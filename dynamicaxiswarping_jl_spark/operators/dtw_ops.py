@@ -424,7 +424,8 @@ def drift_scores(fine: DataFrame, coarse: DataFrame, radius: int = 5,
 def dtwnn_search(queries: DataFrame, series: DataFrame, radius: int = 5,
                  normalizer: str | None = None, dist: str = "sqeuclidean",
                  key: str = "conv_id", float32: bool = False,
-                 partitions: Optional[int] = None) -> DataFrame:
+                 partitions: Optional[int] = None,
+                 seed_sample: int = 8) -> DataFrame:
     """NN of each query subsequence across every series.
 
     Plan: queries are collected (small by construction — the short
@@ -443,6 +444,19 @@ def dtwnn_search(queries: DataFrame, series: DataFrame, radius: int = 5,
     core). Because the running bsf tightens within a task, per-task work
     depends on task size — pin this when comparing walls across
     different core counts so both runs prune identically.
+
+    ``seed_sample`` (default 8): a deterministic xxhash64-ordered sample
+    of series is searched driver-side first and every task starts its
+    best-so-far at that global seed instead of Inf — per-task DP work
+    stops depending on which series a task happened to see first, which
+    both cuts total work and evens out the slowest-task tail that bounds
+    wall time at high parallelism. Exact: the LB gates compare with <=,
+    so a series whose true optimum EQUALS the seed still computes and
+    reports it (the seed is an achievable cost from a corpus series, and
+    that series' own task re-reports it) — the same invariant the
+    intra-task bsf threading below already relies on for cross-series
+    ties. Only the observability prune counters shift. The sample is one
+    TakeOrdered pass (per-partition heap, no sort); 0 disables.
     """
     qlist = [(r["query_id"], np.asarray(r["q"], dtype=np.float64))
              for r in queries.select("query_id", "q").collect()]
@@ -455,6 +469,32 @@ def dtwnn_search(queries: DataFrame, series: DataFrame, radius: int = 5,
         T.StructField("prune_env", T.LongType()),
     ])
 
+    seed_bsf: dict = {}
+    if seed_sample and qlist:
+        from ..kernels.normalizers import lower_upper_envs as _lue
+        from ..kernels.normalizers import znorm as _zn0
+
+        _dt = np.float32 if float32 else np.float64
+        _uz = normalizer in ("znorm", "z", "ZNormalizer")
+        _envs = {}
+        for srow in (series.select(key, "points")
+                     .orderBy(F.xxhash64(key), key)
+                     .limit(seed_sample).collect()):
+            y = np.asarray(srow["points"], dtype=_dt)
+            for qid, q in qlist:
+                if len(y) < len(q):
+                    continue
+                if qid not in _envs:
+                    qd = q.astype(_dt)
+                    _envs[qid] = _lue(_zn0(qd).astype(_dt) if _uz else qd,
+                                      radius)
+                res = dtwnn(q.astype(_dt), y, dist, radius, normalizer,
+                            initial_bsf=seed_bsf.get(qid, np.inf),
+                            dtype=_dt, envs=_envs[qid])
+                if np.isfinite(res.cost):
+                    seed_bsf[qid] = min(seed_bsf.get(qid, np.inf),
+                                        float(res.cost))
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # Per-query best-so-far threads ACROSS series within this task
         # (the distributed analog of the reference's sequential bsf,
@@ -465,7 +505,7 @@ def dtwnn_search(queries: DataFrame, series: DataFrame, radius: int = 5,
         from ..kernels.normalizers import lower_upper_envs, znorm as _zn
 
         dt = np.float32 if float32 else np.float64
-        task_bsf: dict = {}
+        task_bsf: dict = dict(seed_bsf)
         env_cache: dict = {}  # envelopes depend only on the query — once
         # per task, not once per (query, series): the short-query workload
         # is numpy-dispatch-bound

@@ -84,6 +84,14 @@ def main() -> int:
                    help="task decomposition, identical at both levels "
                         "(cluster analogy: job config does not change "
                         "with executor count)")
+    p.add_argument("--repeats", type=int, default=2,
+                   help="runs per level, best wall kept — this host "
+                        "carries external background load with 2-3x "
+                        "spikes (CLAUDE.md), and a single-shot sample "
+                        "lands the spike in whichever leg was unlucky; "
+                        "best-of-N measures capacity, the quantity the "
+                        "efficiency rule is about (same methodology as "
+                        "bench.py's best-of-2 query walls)")
     args = p.parse_args()
 
     spark_submit = shutil.which("spark-submit")
@@ -93,10 +101,15 @@ def main() -> int:
                    check=True, capture_output=True)
     zip_path = os.path.join(REPO, "dist", "engine.zip")
 
-    lo = run_level(spark_submit, zip_path, args.low, args.n_conv, args.seed,
-                   args.job, args.sf_dir, args.n_queries, args.partitions)
-    hi = run_level(spark_submit, zip_path, args.high, args.n_conv, args.seed,
-                   args.job, args.sf_dir, args.n_queries, args.partitions)
+    def best_of(cores: int) -> dict:
+        runs = [run_level(spark_submit, zip_path, cores, args.n_conv,
+                          args.seed, args.job, args.sf_dir, args.n_queries,
+                          args.partitions)
+                for _ in range(max(1, args.repeats))]
+        return min(runs, key=lambda r: r["elapsed_sec"])
+
+    lo = best_of(args.low)
+    hi = best_of(args.high)
     assert lo["turns"] == hi["turns"], "levels must process identical input"
     speedup = lo["elapsed_sec"] / hi["elapsed_sec"]
     eff = speedup / (args.high / args.low)
