@@ -456,7 +456,10 @@ def dtwnn_search(queries: DataFrame, series: DataFrame, radius: int = 5,
     that series' own task re-reports it) — the same invariant the
     intra-task bsf threading below already relies on for cross-series
     ties. Only the observability prune counters shift. The sample is one
-    TakeOrdered pass (per-partition heap, no sort); 0 disables.
+    TakeOrdered pass (per-partition heap, no sort); 0 disables. The seed
+    DPs run driver-side at O(seed_sample x n_queries) — the same
+    small-query-set assumption the operator already makes by shipping
+    the collected queries in the UDF closure.
     """
     qlist = [(r["query_id"], np.asarray(r["q"], dtype=np.float64))
              for r in queries.select("query_id", "q").collect()]
