@@ -79,6 +79,40 @@ class TestDtwnnSearch:
         assert got["loc"] == best[2]
         assert got["prune_end"] + got["prune_env"] >= 0
 
+    def test_seeded_bsf_identical_under_exact_ties(self, spark):
+        # The global bsf seed must not change cost/conv_id/loc even when
+        # several series tie EXACTLY at the seeded value (the knife-edge:
+        # a series whose optimum equals the seed must still report, since
+        # every LB gate compares with <=). Zero plateaus + duplicated
+        # series make exact cross-series ties certain, including cost 0
+        # at the seed itself.
+        base = [0.0] * 8 + [1.0, 3.0, 1.0] + [0.0] * 9
+        rng = np.random.default_rng(7)
+        rows = [("t%02d" % i, list(base)) for i in range(4)]  # 4 exact copies
+        rows += [("u%02d" % i,
+                  [float(v) for v in
+                   np.round(np.cumsum(rng.integers(-1, 2, size=20)))]
+                  ) for i in range(8)]
+        series = spark.createDataFrame(rows, SERIES_SCHEMA)
+        queries = spark.createDataFrame(
+            [("q0", base[4:16]), ("q1", [0.0] * 9),
+             ("q2", [float(v) for v in rows[6][1][2:14]])],
+            "query_id string, q array<double>")
+        cols = ["query_id", "cost", "conv_id", "loc"]
+        unseeded = (dtwnn_search(queries, series, radius=3, seed_sample=0)
+                    .select(*cols).toPandas()
+                    .sort_values("query_id").reset_index(drop=True))
+        seeded = (dtwnn_search(queries, series, radius=3, seed_sample=8)
+                  .select(*cols).toPandas()
+                  .sort_values("query_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(unseeded, seeded)
+        # the duplicated-series queries must land on the lexicographically
+        # smallest copy with cost exactly 0 — a tie AT the seed value
+        for qid in ("q0", "q1"):
+            row = seeded[seeded.query_id == qid].iloc[0]
+            assert row["cost"] == 0.0
+            assert row["conv_id"] == "t00"
+
 
 class TestKnn:
     def test_matches_dense_topk(self, spark, series):
