@@ -15,7 +15,8 @@ from .dtw import (
     dtw_cost,
     radiuslimits,
 )
-from .softdtw import softmin, soft_dtw_cost_matrix, soft_dtw_cost
+from .softdtw import (softmin, soft_dtw_cost_matrix, soft_dtw_cost,
+                      soft_dtw_cost_exact)
 from .normalizers import (znorm, diagonal_znorm, norm_normalize,
                           sliding_znorm_stats, lower_upper_envs)
 from .dtwnn import dtwnn, DTWSearchResult, sparse_distmat, distance_profile, matrix_profile
@@ -36,6 +37,7 @@ __all__ = [
     "dtw", "dtw_cost_matrix", "banded_dtw_cost_matrix", "trackback",
     "dtw_cost", "radiuslimits",
     "softmin", "soft_dtw_cost_matrix", "soft_dtw_cost",
+    "soft_dtw_cost_exact",
     "znorm", "diagonal_znorm", "norm_normalize",
     "sliding_znorm_stats", "lower_upper_envs",
     "dtwnn", "DTWSearchResult", "sparse_distmat", "distance_profile",

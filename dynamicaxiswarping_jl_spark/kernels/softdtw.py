@@ -12,7 +12,8 @@ import numpy as np
 
 from .distances import get_dist
 
-__all__ = ["softmin", "soft_dtw_cost_matrix", "soft_dtw_cost"]
+__all__ = ["softmin", "soft_dtw_cost_matrix", "soft_dtw_cost",
+           "soft_dtw_cost_exact"]
 
 
 def softmin(a, b, c, gamma: float):
@@ -72,3 +73,65 @@ def soft_dtw_cost(seq1, seq2, dist=None, gamma: float = 1.0,
     D = soft_dtw_cost_matrix(seq1, seq2, dist, gamma=gamma,
                              transportcost=transportcost, radius=radius)
     return float(D[-1, -1])
+
+
+def soft_dtw_cost_exact(seq1, seq2, gamma: float = 1.0, prec: int = 50,
+                        dist: str = "sqeuclidean",
+                        transportcost: float = 1.0, radius=None):
+    """Arbitrary-precision soft-DTW — the analog of the reference's
+    BigFloat path (`SoftDTW(0.01)(big.(a), big.(b))`, test/runtests.jl:119),
+    on ``decimal.Decimal`` at ``prec`` significant digits.
+
+    Same recurrence as :func:`soft_dtw_cost_matrix`, evaluated scalar cell
+    by cell in Decimal arithmetic: inputs convert EXACTLY from their
+    binary-float values (``Decimal(float)`` is lossless), and Decimal's
+    unbounded exponent range means ``exp(-x/gamma)`` never under- or
+    overflows regardless of how small ``gamma`` is — the regime BigFloat
+    exists for. O(n·m) scalar Decimal ops: a parity/verification path
+    (oracle for the float64 kernel, tiny-gamma studies), not a throughput
+    path. Returns a ``decimal.Decimal``.
+    """
+    from decimal import Decimal, localcontext
+
+    a = [Decimal(float(v)) for v in np.asarray(seq1, dtype=np.float64)]
+    b = [Decimal(float(v)) for v in np.asarray(seq2, dtype=np.float64)]
+    if not a or not b:
+        raise ValueError("sequences must be non-empty")
+    name = dist if isinstance(dist, str) else get_dist(dist).name
+    if name == "sqeuclidean":
+        def cell(x, y):
+            return (x - y) * (x - y)
+    elif name in ("euclidean", "cityblock"):  # identical on scalars
+        def cell(x, y):
+            return abs(x - y)
+    else:
+        raise ValueError(f"unsupported distance for exact path: {name}")
+
+    with localcontext() as ctx:
+        ctx.prec = int(prec)
+        g = -Decimal(float(gamma))
+        tc = Decimal(float(transportcost))
+        inv_g = Decimal(1) / -g
+
+        def smin(u, v, w):
+            # same max-shifted form as the float softmin (src/dtw.jl:311-317)
+            xs = (u / g, v / g, w / g)
+            mx = max(xs)
+            s = sum((x - mx).exp() for x in xs)
+            return g * (s.ln() + mx)
+
+        n, m = len(a), len(b)  # columns follow seq1, rows seq2 (D[r][c])
+        D = [[None] * n for _ in range(m)]
+        D[0][0] = cell(b[0], a[0])
+        for r in range(1, m):
+            D[r][0] = D[r - 1][0] + cell(b[r], a[0])
+        for c in range(1, n):
+            D[0][c] = D[0][c - 1] + cell(b[0], a[c])
+        for r in range(1, m):
+            for c in range(1, n):
+                v = cell(b[r], a[c])
+                if radius is not None and abs(c - r) > radius:
+                    v += inv_g  # crude band penalty, src/dtw.jl:270-278
+                D[r][c] = v + smin(tc * D[r - 1][c], D[r - 1][c - 1],
+                                   tc * D[r][c - 1])
+        return +D[m - 1][n - 1]  # unary + rounds to the context precision

@@ -281,6 +281,37 @@ class TestSoftDtwGolden:
         # runtests.jl:93
         assert soft_dtw_cost(A, B, gamma=0.001) > -0.01
 
+    def test_exact_path_matches_float64(self):
+        # the Decimal path is the BigFloat analog (runtests.jl:119 runs
+        # SoftDTW(0.01)(big.(a), big.(b))): where float64 is adequate the
+        # two must agree to float64 accuracy, banded and not, any tc
+        from dynamicaxiswarping_jl_spark.kernels import soft_dtw_cost_exact
+        rng = np.random.default_rng(11)
+        a = np.cumsum(rng.normal(size=12))
+        b = np.cumsum(rng.normal(size=10))
+        for kw in ({"gamma": 1.0}, {"gamma": 0.01}, {"gamma": 0.5,
+                                                     "transportcost": 1.1},
+                   {"gamma": 0.01, "radius": 3}):
+            want = soft_dtw_cost(a, b, None, **kw)
+            got = float(soft_dtw_cost_exact(a, b, prec=40, **kw))
+            assert got == pytest.approx(want, rel=1e-9), kw
+
+    def test_exact_path_precision_beyond_float64(self):
+        # tiny gamma: exp(-x/gamma) reaches e.g. e^{-60000}; Decimal's
+        # unbounded exponent keeps every term (no underflow), and the
+        # result converges as precision grows — prec=40 vs prec=80 agree
+        # far past float64's 16 digits, pinning genuine extra precision
+        from decimal import Decimal
+        from dynamicaxiswarping_jl_spark.kernels import soft_dtw_cost_exact
+        a = np.array([1.0, 2.0, 3.0, 2.0, 1.0])
+        b = np.array([1.0, 2.5, 3.0, 2.0, 1.5])
+        lo = soft_dtw_cost_exact(a, b, gamma=1e-4, prec=40)
+        hi = soft_dtw_cost_exact(a, b, gamma=1e-4, prec=80)
+        assert abs(lo - hi) < Decimal("1e-30") * max(abs(hi), Decimal(1))
+        # gamma -> 0 limit equals the hard-DTW optimum to ~gamma*ln(paths)
+        want, _, _ = dtw(a, b)
+        assert float(hi) == pytest.approx(want, abs=1e-2)
+
     def test_scaling_identity(self):
         # runtests.jl:88-90: doubled channels double the cost matrix
         Dm = dtw_cost_matrix(A, B)
