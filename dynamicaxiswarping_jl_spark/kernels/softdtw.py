@@ -75,8 +75,8 @@ def soft_dtw_cost(seq1, seq2, dist=None, gamma: float = 1.0,
     return float(D[-1, -1])
 
 
-def soft_dtw_cost_exact(seq1, seq2, gamma: float = 1.0, prec: int = 50,
-                        dist: str = "sqeuclidean",
+def soft_dtw_cost_exact(seq1, seq2, dist=None, gamma: float = 1.0,
+                        prec: int = 50,
                         transportcost: float = 1.0, radius=None):
     """Arbitrary-precision soft-DTW — the analog of the reference's
     BigFloat path (`SoftDTW(0.01)(big.(a), big.(b))`, test/runtests.jl:119),
@@ -93,11 +93,18 @@ def soft_dtw_cost_exact(seq1, seq2, gamma: float = 1.0, prec: int = 50,
     """
     from decimal import Decimal, localcontext
 
-    a = [Decimal(float(v)) for v in np.asarray(seq1, dtype=np.float64)]
-    b = [Decimal(float(v)) for v in np.asarray(seq2, dtype=np.float64)]
+    s1 = np.asarray(seq1, dtype=np.float64)
+    s2 = np.asarray(seq2, dtype=np.float64)
+    if s1.ndim != 1 or s2.ndim != 1:
+        raise ValueError("soft_dtw_cost_exact supports 1-D sequences only "
+                         "(the reference's BigFloat test is 1-D; use the "
+                         "float64 soft_dtw_cost for multichannel)")
+    a = [Decimal(float(v)) for v in s1]
+    b = [Decimal(float(v)) for v in s2]
     if not a or not b:
         raise ValueError("sequences must be non-empty")
-    name = dist if isinstance(dist, str) else get_dist(dist).name
+    name = "sqeuclidean" if dist is None else (
+        dist if isinstance(dist, str) else get_dist(dist).name)
     if name == "sqeuclidean":
         def cell(x, y):
             return (x - y) * (x - y)

@@ -36,7 +36,29 @@ from pyspark.sql import types as T
 
 from ..kernels import dtw, dtw_cost, dtwnn, radiuslimits
 from ..kernels.dtwnn import lb_endpoints
+from ..kernels.normalizers import lower_upper_envs as _lower_upper_envs
+from ..kernels.normalizers import znorm as _znorm
 from .topk import topk_per_key
+
+
+def _use_znorm(normalizer) -> bool:
+    """The dtwnn kernel's znorm alias set — keep in ONE place so the
+    operator-side envelope precomputation can never diverge from what the
+    kernel will normalize (kernels/dtwnn.py znorm dispatch)."""
+    return normalizer in ("znorm", "z", "ZNormalizer")
+
+
+def _query_envs(q: np.ndarray, dt, radius: int, use_zn: bool):
+    """Sakoe-Chiba envelopes of a query, in EXACTLY the kernel's own
+    normalization order (cast to dt first, then znorm) — an envelope of a
+    differently-rounded qn could over-prune."""
+    qd = q.astype(dt)
+    qn = _znorm(qd).astype(dt) if use_zn else qd
+    return _lower_upper_envs(qn, radius)
+
+
+# cap on driver-side seed DP calls in dtwnn_search (seed_sample x queries)
+_SEED_DP_BUDGET = 4096
 
 
 def _spread(df: DataFrame, factor: int = 2,
@@ -457,9 +479,11 @@ def dtwnn_search(queries: DataFrame, series: DataFrame, radius: int = 5,
     intra-task bsf threading below already relies on for cross-series
     ties. Only the observability prune counters shift. The sample is one
     TakeOrdered pass (per-partition heap, no sort); 0 disables. The seed
-    DPs run driver-side at O(seed_sample x n_queries) — the same
-    small-query-set assumption the operator already makes by shipping
-    the collected queries in the UDF closure.
+    DPs run driver-side at O(seed_sample x n_queries), capped at
+    ``_SEED_DP_BUDGET`` total calls — past that the sample shrinks (and
+    eventually seeding turns off) so a huge query set can't stall the
+    driver; the same small-query-set assumption the operator already
+    makes by shipping the collected queries in the UDF closure.
     """
     qlist = [(r["query_id"], np.asarray(r["q"], dtype=np.float64))
              for r in queries.select("query_id", "q").collect()]
@@ -473,24 +497,23 @@ def dtwnn_search(queries: DataFrame, series: DataFrame, radius: int = 5,
     ])
 
     seed_bsf: dict = {}
-    if seed_sample and qlist:
-        from ..kernels.normalizers import lower_upper_envs as _lue
-        from ..kernels.normalizers import znorm as _zn0
-
+    # the seed DPs run serially on the driver: bound the total at
+    # _SEED_DP_BUDGET calls so a huge query set degrades to a smaller
+    # sample (and eventually to no seeding) instead of a driver stall
+    eff_sample = min(int(seed_sample), _SEED_DP_BUDGET // max(1, len(qlist)))
+    if eff_sample and qlist:
         _dt = np.float32 if float32 else np.float64
-        _uz = normalizer in ("znorm", "z", "ZNormalizer")
+        _uz = _use_znorm(normalizer)
         _envs = {}
         for srow in (series.select(key, "points")
                      .orderBy(F.xxhash64(key), key)
-                     .limit(seed_sample).collect()):
+                     .limit(eff_sample).collect()):
             y = np.asarray(srow["points"], dtype=_dt)
             for qid, q in qlist:
                 if len(y) < len(q):
                     continue
                 if qid not in _envs:
-                    qd = q.astype(_dt)
-                    _envs[qid] = _lue(_zn0(qd).astype(_dt) if _uz else qd,
-                                      radius)
+                    _envs[qid] = _query_envs(q, _dt, radius, _uz)
                 res = dtwnn(q.astype(_dt), y, dist, radius, normalizer,
                             initial_bsf=seed_bsf.get(qid, np.inf),
                             dtype=_dt, envs=_envs[qid])
@@ -505,14 +528,12 @@ def dtwnn_search(queries: DataFrame, series: DataFrame, radius: int = 5,
         # minimum instead of cold-starting at Inf. Result-identical — a
         # series whose windows all prune can't hold the global argmin,
         # and its Inf row is dropped rather than shuffled.
-        from ..kernels.normalizers import lower_upper_envs, znorm as _zn
-
         dt = np.float32 if float32 else np.float64
         task_bsf: dict = dict(seed_bsf)
         env_cache: dict = {}  # envelopes depend only on the query — once
         # per task, not once per (query, series): the short-query workload
         # is numpy-dispatch-bound
-        use_zn = normalizer in ("znorm", "z", "ZNormalizer")
+        use_zn = _use_znorm(normalizer)
         for pdf in batches:
             recs = []
             for row in pdf.itertuples(index=False):
@@ -521,12 +542,7 @@ def dtwnn_search(queries: DataFrame, series: DataFrame, radius: int = 5,
                     if len(y) < len(q):
                         continue  # series shorter than query: no window
                     if qid not in env_cache:
-                        # EXACTLY the kernel's own normalization order
-                        # (cast to dt first, then znorm) — an envelope of
-                        # a differently-rounded qn could over-prune
-                        qd = q.astype(dt)
-                        qn = _zn(qd).astype(dt) if use_zn else qd
-                        env_cache[qid] = lower_upper_envs(qn, radius)
+                        env_cache[qid] = _query_envs(q, dt, radius, use_zn)
                     res = dtwnn(q.astype(dt), y, dist, radius, normalizer,
                                 initial_bsf=task_bsf.get(qid, np.inf),
                                 dtype=dt, envs=env_cache[qid])

@@ -61,7 +61,7 @@ def _run_task(args) -> float:
         start = (37 * g * 1009) % (SERIES_LEN - QUERY_LEN)
         q = y[start:start + QUERY_LEN].copy()
         res = dtwnn(q, y, "sqeuclidean", 5, "znorm")
-        best = min(best, res[0] if isinstance(res, tuple) else 0.0)
+        best = min(best, res.cost)
     return float(best)
 
 
