@@ -465,20 +465,30 @@ int NAME(const T *qn, long m, const T *y, long n, long rad,              \
                                    ? avoid_hi - 1 : nw - 1) : -1;        \
     if (mask_lo < 0) mask_lo = 0;                                        \
     /* endpoint LB for every window — the full (non-early-out) sum of    \
-     * _lb_endpoints_all, src/dtwnn.jl:99-119 */                         \
+     * _lb_endpoints_all, src/dtwnn.jl:99-119, with the short-m          \
+     * soundness fix (see lb_endpoints in dtwnn.py): m == 1 is the       \
+     * single exact term (the reference double-counts the one shared     \
+     * cell) and refinements only apply for m >= 4 (at m == 3 the two    \
+     * refinement terms can both bound the diagonal path's single        \
+     * interior cell, so their sum is NOT a lower bound and pruned       \
+     * true nearest neighbors) */                                        \
     if (use_end) {                                                       \
         const T q0 = qn[0], qm = qn[m - 1];                              \
-        const T q1 = m > 2 ? qn[1] : (T)0;                               \
-        const T qm2 = m > 2 ? qn[m - 2] : (T)0;                          \
+        const T q1 = m > 3 ? qn[1] : (T)0;                               \
+        const T qm2 = m > 3 ? qn[m - 2] : (T)0;                          \
         for (long i = 0; i < nw; i++) {                                  \
             T x1 = y[i], ylast = y[i + m - 1];                           \
             if (use_znorm) {                                             \
                 x1 = (x1 - mu[i]) / sd[i];                               \
                 ylast = (ylast - mu[i]) / sd[i];                         \
             }                                                            \
-            T d1 = q0 - x1, d2 = qm - ylast;                             \
-            T lb = d1 * d1 + d2 * d2;                                    \
-            if (m > 2) {                                                 \
+            T d1 = q0 - x1;                                              \
+            T lb = d1 * d1;                                              \
+            if (m > 1) {                                                 \
+                T d2 = qm - ylast;                                       \
+                lb += d2 * d2;                                           \
+            }                                                            \
+            if (m > 3) {                                                 \
                 T x2 = y[i + 1], y2 = y[i + m - 2];                      \
                 if (use_znorm) {                                         \
                     x2 = (x2 - mu[i]) / sd[i];                           \

@@ -62,7 +62,10 @@ def _lb_endpoints_all(dist_name: str, q: np.ndarray, y: np.ndarray, m: int,
 
     Full (non-early-out) sum of the reference's refinement terms
     (src/dtwnn.jl:99-119); the early-outs there only shortcut already-pruned
-    windows, so the prune decision is identical.
+    windows, so the prune decision is identical. Short-m soundness fix as
+    in ``lb_endpoints``: m == 1 uses the single exact term, refinements
+    only for m >= 4 (the reference's formula overshoots at m == 1 and
+    m == 3, which made the LB prune true nearest neighbors).
     """
     n = len(y)
     nw = n - m + 1
@@ -74,9 +77,11 @@ def _lb_endpoints_all(dist_name: str, q: np.ndarray, y: np.ndarray, m: int,
         return (v - mu) / sd
 
     x1 = norm_at(0)
+    if m == 1:
+        return _elem_dist(dist_name, q[0], x1)
     y1 = norm_at(m - 1)
     lb = _elem_dist(dist_name, q[0], x1) + _elem_dist(dist_name, q[m - 1], y1)
-    if m > 2:
+    if m > 3:
         x2 = norm_at(1)
         lb += np.minimum(np.minimum(
             _elem_dist(dist_name, x2, q[0]),
@@ -226,6 +231,10 @@ def dtwnn(q, y, dist=None, rad: int = 5, normalizer: Optional[str] = None, *,
     """
     if bsf_multiplier < 1:
         raise ValueError("bsf_multiplier must be >= 1")
+    if int(rad) < 0:
+        # validated before ANY path: the C cascade would otherwise read an
+        # empty band's scratch out of bounds where the NumPy path raises
+        raise ValueError(f"radius must be >= 0, got {rad}")
     d = get_dist(dist)
     # dtype=np.float32 runs the whole cascade in reduced precision
     # (reference README.md:148: "up to twice as fast"); default float64
@@ -452,15 +461,26 @@ def dtwnn(q, y, dist=None, rad: int = 5, normalizer: Optional[str] = None, *,
 
 def lb_endpoints(dist, q, buf, best_so_far: float = _INF) -> float:
     """Scalar endpoint lower bound between two equal-length series
-    (reference src/dtwnn.jl:99-119), with the reference's early-outs."""
+    (reference src/dtwnn.jl:99-119), with the reference's early-outs.
+
+    KNOWN DEVIATION (soundness fix): the reference's formula is NOT a
+    lower bound for m == 1 (first and last cell are the same cell, so its
+    two-term sum double-counts it) or m == 3 (the two refinement terms
+    both bound the single interior cell of the pure-diagonal path, so
+    their sum overshoots it). Here m == 1 returns the single exact term
+    and refinements only apply for m >= 4, where the start-adjacent and
+    end-adjacent cell sets are provably disjoint. Pinned by
+    tests/test_kernels_dtwnn.py::TestShortQuerySoundness."""
     d = get_dist(dist)
     q = np.asarray(q, dtype=np.float64)
     buf = np.asarray(buf, dtype=np.float64)
     m = q.shape[-1]
     q1, qm = q[..., 0], q[..., m - 1]
     x1, y1 = buf[..., 0], buf[..., m - 1]
+    if m == 1:
+        return float(d(q1, x1))
     lb = d(q1, x1) + d(qm, y1)
-    if lb >= best_so_far or m <= 2:
+    if lb >= best_so_far or m <= 3:
         return float(lb)
     x2 = buf[..., 1]
     lb += min(d(x2, q1), d(x1, q[..., 1]), d(x2, q[..., 1]))

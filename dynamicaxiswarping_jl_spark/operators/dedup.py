@@ -68,9 +68,15 @@ def _with_shingle_hashes(docs: DataFrame, text_col: str, shingle: int,
     tokenization per shingle — O(doc_len · n_shingles) per doc. A small
     FILE-BACKED input (few parquet splits) is re-spread so the
     string-heavy projection isn't single-task; the heuristic reads
-    ``inputFiles()`` (pure DataFrame API — no RDD conversion), and inputs
-    that aren't file scans (post-shuffle frames, in-memory test frames)
-    already carry their upstream parallelism."""
+    ``inputFiles()`` (pure DataFrame API — no RDD conversion; an RDD
+    probe would materialize upstream stages under AQE, see _spread).
+    Non-file inputs (``inputFiles() == []``) are NOT re-spread: an
+    unconditional repartition here would shuffle the full text corpus at
+    scale, and post-shuffle frames already carry
+    ``spark.sql.shuffle.partitions``-wide parallelism. The one case this
+    misses — a deliberately narrow in-memory/localCheckpointed frame —
+    is a caller decision: repartition before calling if that narrowness
+    wasn't intended."""
     sc = docs.sparkSession.sparkContext
     try:
         nfiles = len(docs.inputFiles())

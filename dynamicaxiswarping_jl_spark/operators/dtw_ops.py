@@ -78,14 +78,18 @@ def _spread(df: DataFrame, factor: int = 2,
     running best-so-far (better pruning) and each Python-worker task
     round-trip (~10 ms locally) is paid fewer times.
 
-    When the input already has >= target partitions, a narrow ``coalesce``
-    reaches the target without the repartition's shuffle AND without a
-    stage boundary — the scan, the merge, and the pandas UDF fuse into one
-    stage (each stage costs ~0.2-0.4 s of fixed latency in local mode; on
-    a cluster it is a full shuffle of the series payloads). Reading the
-    physical partition count needs ``df.rdd`` — plan compilation only, no
-    job — and is what makes the narrow plan safe: coalesce below the
-    target would silently LOSE parallelism.
+    Always an explicit-count round-robin ``repartition`` — never a probe,
+    never ``coalesce``. An earlier version read
+    ``df.rdd.getNumPartitions()`` to skip the shuffle when the input was
+    already wide enough, but under AQE that RDD conversion MATERIALIZES
+    the upstream query stages (AQE must run them to finalize the plan), so
+    every call site silently executed its upstream lineage twice — far
+    costlier than the one narrow shuffle of these tiny-in-bytes frames —
+    and the ``coalesce`` branch merged adjacent hash partitions without
+    rebalancing rows, keeping skew exactly where this helper exists to
+    remove it. The explicit count also makes the fan-out AQE-proof: AQE
+    neither folds nor coalesces a user-specified repartition (PLANS.md
+    "AQE traps").
 
     An explicit ``target`` pins the task decomposition independently of
     ``defaultParallelism``. The bsf threading above makes per-task work
@@ -94,15 +98,8 @@ def _spread(df: DataFrame, factor: int = 2,
     cluster that is the normal situation (shuffle partitioning is job
     config; scaling N -> 4N executors does not re-plan the job).
     """
-    sc = df.sparkSession.sparkContext
     if target is None:
-        target = sc.defaultParallelism * factor
-    try:
-        p = df.rdd.getNumPartitions()
-    except Exception:  # noqa: BLE001 — unresolvable plans keep the shuffle
-        p = 0
-    if p >= target:
-        return df.coalesce(target)
+        target = df.sparkSession.sparkContext.defaultParallelism * factor
     return df.repartition(target)
 
 
@@ -692,17 +689,6 @@ def knn_topk(series: DataFrame, k: int = 4, radius: int = 5,
         return final_topk(costs)
 
     # --- grid-bucketed two-phase exact k-NN (see docstring) ---
-    # per-series scalar stats + 8-segment PAA/envelope sketches, all
-    # whole-stage codegen. The sketches power a sound segment-mean
-    # Keogh-envelope lower bound (LB_PAA ≤ LB_Keogh ≤ banded DTW via
-    # Cauchy–Schwarz per segment: Σ_t x_t² ≥ w·(Σ_t x_t / w)²), which
-    # discriminates SHAPE where the endpoint LB cannot — measured 7×
-    # fewer phase-2 DP survivors on cluster-structured corpora.
-    # The sketch pass runs in ONE vectorized mapInPandas over the series
-    # (not Catalyst higher-order functions: nested transform/slice/
-    # aggregate evaluate interpreted per element — measured ~39 ms/series
-    # at 1e5 series, ~400× this NumPy path). One Arrow pass over the
-    # corpus to build a build-once stats table is the right trade.
     # per-series scalar stats; localCheckpoint: this tiny table anchors one
     # pre-scan agg plus four joins — don't recompute the series lineage 5×.
     # SCALARS ONLY, deliberately: a round-3 experiment attached 8-segment

@@ -284,7 +284,10 @@ def matrix_profile(T, m: int, rad: int = 5, dist=None):
 
 def lb_endpoints(dist, q, buf, best_so_far: float = _INF) -> float:
     """Scalar endpoint LB with the reference's early-outs
-    (src/dtwnn.jl:99-119)."""
+    (src/dtwnn.jl:99-119) and the engine's short-m soundness fix
+    (kernels/dtwnn.py lb_endpoints: m == 1 single exact term, refinement
+    terms only for m >= 4 — the reference's formula is not a lower bound
+    at m == 1 and m == 3)."""
     _check_dist(dist)
     ql, bl = _l(q), _l(buf)
     m = len(ql)
@@ -293,8 +296,10 @@ def lb_endpoints(dist, q, buf, best_so_far: float = _INF) -> float:
         v = x - y
         return v * v
 
+    if m == 1:
+        return float(d(ql[0], bl[0]))
     lb = d(ql[0], bl[0]) + d(ql[m - 1], bl[m - 1])
-    if lb >= best_so_far or m <= 2:
+    if lb >= best_so_far or m <= 3:
         return float(lb)
     lb += min(d(bl[1], ql[0]), d(bl[0], ql[1]), d(bl[1], ql[1]))
     if lb >= best_so_far:

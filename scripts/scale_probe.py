@@ -14,8 +14,9 @@ sine-family series; no external data, no RNG):
     python scripts/scale_probe.py --n-series 100000 --length 128
     python scripts/scale_probe.py --n-series 100000 --mixed-lengths
 
-``--mixed-lengths`` draws each series' length from 16 hash-derived
-values in [64, 192], exercising the tau-bounded cross-length residue
+``--mixed-lengths`` draws each series' length from the 16 hash-derived
+values 64 + 8k, k in 0..15 (i.e. {64, 72, ..., 184}), exercising the
+tau-bounded cross-length residue
 path at scale (VERDICT r02 "what's wrong" #1) instead of the
 uniform-length grid fast path.
 

@@ -365,3 +365,91 @@ class TestNativeCascadeParity:
                 assert r1.cost == r2.cost and r1.loc == r2.loc, (
                     trial, dt, m, n, rad, norm, bsf, avoid,
                     (r1.cost, r1.loc), (r2.cost, r2.loc))
+
+
+class TestShortQuerySoundness:
+    """Regression: the reference's endpoint LB (src/dtwnn.jl:99-119) is NOT
+    a lower bound for m == 1 (the two-term sum double-counts the single
+    shared cell) or m == 3 (both refinement terms can bound the diagonal
+    path's one interior cell). Until fixed, the C cascade pruned TRUE
+    nearest neighbors for length-1/3 queries — results depended on whether
+    a compiler was present. The engine now uses the single exact term at
+    m == 1 and applies refinements only for m >= 4, in lb_endpoints,
+    _lb_endpoints_all, nn_search_sq (C), and the naive oracle alike."""
+
+    @pytest.mark.parametrize("m", [1, 2, 3, 4])
+    def test_dtwnn_matches_brute_force_short_m(self, m):
+        rng = np.random.default_rng(2)
+        for trial in range(300):
+            q = rng.normal(size=m)
+            y = rng.normal(size=m + int(rng.integers(3, 20)))
+            rad = int(rng.integers(0, 4))
+            res = dtwnn(q, y, SqEuclidean(), rad)
+            bcost, bloc, _ = brute_force(q, y, rad)
+            assert res.cost == pytest.approx(bcost, rel=1e-12), (m, trial)
+            assert res.loc == bloc, (m, trial)
+
+    @pytest.mark.parametrize("m", [1, 2, 3, 5])
+    def test_lb_endpoints_is_a_lower_bound(self, m):
+        from dynamicaxiswarping_jl_spark.kernels.dtwnn import lb_endpoints
+        rng = np.random.default_rng(3)
+        for _ in range(2000):
+            a = rng.normal(size=m)
+            b = rng.normal(size=m)
+            lb = lb_endpoints("sqeuclidean", a, b)
+            cost = dtw_cost(a, b, SqEuclidean(), r=m)  # unconstrained
+            assert lb <= cost + 1e-12 * max(1.0, cost), (m, lb, cost)
+
+    def test_vectorized_endpoint_lb_is_a_lower_bound(self):
+        from dynamicaxiswarping_jl_spark.kernels.dtwnn import (
+            _lb_endpoints_all)
+        rng = np.random.default_rng(4)
+        for m in (1, 2, 3, 4):
+            q = rng.normal(size=m)
+            y = rng.normal(size=60)
+            lbs = _lb_endpoints_all("sqeuclidean", q, y, m, None, None)
+            for i in range(len(y) - m + 1):
+                cost = dtw_cost(q, y[i:i + m], SqEuclidean(), r=m)
+                assert lbs[i] <= cost + 1e-12, (m, i)
+
+    def test_residue_pairs_keep_cost_equal_to_tau(self):
+        """knn_topk residue contract: a pair whose true cost EQUALS the
+        seed (tau) must come back finite — LB gates compare with <=, so a
+        sound LB never drops it (the unsound m==3 LB did)."""
+        from dynamicaxiswarping_jl_spark.kernels import native
+        if not native.available():
+            pytest.skip("no C compiler")
+        rng = np.random.default_rng(7)
+        for trial in range(300):
+            a = rng.normal(size=3)
+            b = rng.normal(size=20)
+            true = dtwnn(a, b, SqEuclidean(), 5).cost
+            out = native.nn_search_pairs(
+                a.copy(), np.array([0]), np.array([3]),
+                b.copy(), np.array([0]), np.array([20]),
+                np.array([0]), np.array([0]), 5, np.array([true]))
+            assert out is not None
+            assert np.isfinite(out[0]) and out[0] == pytest.approx(
+                true, rel=1e-12), trial
+
+    def test_negative_radius_raises_on_every_path(self):
+        rng = np.random.default_rng(5)
+        q, y = rng.normal(size=8), rng.normal(size=50)
+        for pv in (True, False):
+            with pytest.raises(ValueError, match="radius"):
+                dtwnn(q, y, SqEuclidean(), -1, prune_envelope=pv)
+
+    def test_naive_oracle_lb_matches_engine_short_m(self):
+        import os
+        import sys
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))), "scripts"))
+        import naive_dtw as NV
+        from dynamicaxiswarping_jl_spark.kernels.dtwnn import lb_endpoints
+        rng = np.random.default_rng(6)
+        for m in (1, 2, 3, 4, 7):
+            for _ in range(200):
+                a = rng.normal(size=m)
+                b = rng.normal(size=m)
+                assert NV.lb_endpoints("sqeuclidean", a, b) == pytest.approx(
+                    lb_endpoints("sqeuclidean", a, b), rel=1e-12)
