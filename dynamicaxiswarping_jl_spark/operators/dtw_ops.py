@@ -78,18 +78,33 @@ def _spread(df: DataFrame, factor: int = 2,
     running best-so-far (better pruning) and each Python-worker task
     round-trip (~10 ms locally) is paid fewer times.
 
-    Always an explicit-count round-robin ``repartition`` — never a probe,
-    never ``coalesce``. An earlier version read
-    ``df.rdd.getNumPartitions()`` to skip the shuffle when the input was
-    already wide enough, but under AQE that RDD conversion MATERIALIZES
-    the upstream query stages (AQE must run them to finalize the plan), so
-    every call site silently executed its upstream lineage twice — far
-    costlier than the one narrow shuffle of these tiny-in-bytes frames —
-    and the ``coalesce`` branch merged adjacent hash partitions without
-    rebalancing rows, keeping skew exactly where this helper exists to
-    remove it. The explicit count also makes the fan-out AQE-proof: AQE
-    neither folds nor coalesces a user-specified repartition (PLANS.md
-    "AQE traps").
+    UNCACHED inputs always get an explicit-count round-robin
+    ``repartition`` — never a plan probe, never ``coalesce``. An earlier
+    version read ``df.rdd.getNumPartitions()`` to skip the shuffle when
+    the input was already wide enough, but under AQE that RDD conversion
+    MATERIALIZES the upstream query stages (AQE must run them to finalize
+    the plan), so every call site silently executed its upstream lineage
+    twice — far costlier than the one narrow shuffle of these
+    tiny-in-bytes frames. The explicit count also makes the fan-out
+    AQE-proof: AQE neither folds nor coalesces a user-specified
+    repartition (PLANS.md "AQE traps").
+
+    EXCHANGE-FREE inputs are the exception where the probe is both safe
+    and worth it: when the physical plan (``executedPlan`` unwrapped to
+    the AQE ``initialPlan`` — a plan-compilation-only inspection, AQE
+    rewrites start at execution)
+    contains no ``Exchange``, the ``.rdd`` conversion has no query stages
+    for AQE to materialize, so the partition-count probe costs one plan
+    compile and zero jobs, and there is no AQE shuffle for it to
+    re-coalesce either. This is exactly the narrow projection over a
+    cached frame (``InMemoryTableScan``) or a plain file scan that the
+    search/profile operators feed in. An already-wide input then reaches
+    ``target`` with a narrow ``coalesce`` — cache read, merge, and pandas
+    UDF fuse into one stage instead of paying a shuffle + stage boundary
+    per call (measured ~0.4 s/call on the warm sf0.1 NN search, ~35% of
+    its wall). Coalesce's no-rebalance skew is bounded here: it merges
+    whole partitions of a layout that was itself produced by a balanced
+    hash/round-robin plan (a cache) or by the file splitter.
 
     An explicit ``target`` pins the task decomposition independently of
     ``defaultParallelism``. The bsf threading above makes per-task work
@@ -100,7 +115,49 @@ def _spread(df: DataFrame, factor: int = 2,
     """
     if target is None:
         target = df.sparkSession.sparkContext.defaultParallelism * factor
+    if _plan_is_exchange_free(df):
+        try:
+            p = df.rdd.getNumPartitions()
+        except Exception:  # noqa: BLE001 — unresolvable plans keep the shuffle
+            p = 0
+        if p >= target:
+            return df.coalesce(target)
     return df.repartition(target)
+
+
+def _plan_is_exchange_free(df: DataFrame) -> bool:
+    """True iff the physical plan has no Exchange above its leaves — i.e.
+    ``.rdd`` conversion would have NO query stages for AQE to materialize,
+    so probing the partition count is pure plan compilation. Must inspect
+    ``executedPlan`` (unwrapping AdaptiveSparkPlan to its ``initialPlan``,
+    an inspection that plans but never executes stages): ``sparkPlan`` is
+    pre-EnsureRequirements, so exchanges aren't inserted there yet and
+    every plan looks exchange-free. Walks the tree rather than matching
+    the plan string, because an ``InMemoryTableScan`` leaf PRINTS the
+    cached relation's child plan (including the exchange that originally
+    built the cache) in its description — but that child already ran when
+    the cache materialized, its partitioning is pinned and costs nothing
+    to read, so the walk stops there. ``nodeName`` matches both
+    ShuffleExchange and BroadcastExchange (AQE materializes broadcast
+    stages too)."""
+    try:
+        plan = df._jdf.queryExecution().executedPlan()
+        if "AdaptiveSparkPlan" in plan.nodeName():
+            plan = plan.initialPlan()
+        stack = [plan]
+        while stack:
+            node = stack.pop()
+            name = node.nodeName()
+            if "Exchange" in name:
+                return False
+            if "InMemoryTableScan" in name:
+                continue
+            ch = node.children()
+            for i in range(ch.length()):
+                stack.append(ch.apply(i))
+        return True
+    except Exception:  # noqa: BLE001 — treat unknown plans as not-free
+        return False
 
 
 def _dp_pairs_tiled(pairs: DataFrame, series: DataFrame, key: str,

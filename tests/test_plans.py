@@ -71,3 +71,51 @@ class TestPlanQuality:
         # dot products are higher-order aggregate expressions, not UDFs
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+
+class TestSpreadPlan:
+    """_spread must (a) never probe .rdd on a plan with exchanges — under
+    AQE that conversion MATERIALIZES the upstream query stages, running
+    the lineage twice — and (b) reach its target with a narrow coalesce
+    (no shuffle, no stage boundary) when the input is an exchange-free
+    read (cached frame / file scan) that is already wide enough."""
+
+    def test_exchange_free_classifier(self, spark):
+        from dynamicaxiswarping_jl_spark.operators.dtw_ops import (
+            _plan_is_exchange_free)
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        assert _plan_is_exchange_free(ev)                       # file scan
+        agg = ev.groupBy("event_type").count()
+        assert not _plan_is_exchange_free(agg)                  # shuffle agg
+        cached = ev.select("user_id", "ts").cache()
+        try:
+            cached.count()
+            # narrow projection over the cache: InMemoryTableScan leaf —
+            # the exchange that BUILT the cache must not count
+            assert _plan_is_exchange_free(cached.select("user_id"))
+            joined = cached.alias("a").join(
+                cached.alias("b"), "user_id")
+            assert not _plan_is_exchange_free(joined)           # join
+        finally:
+            cached.unpersist()
+
+    def test_spread_narrow_on_wide_cache_shuffle_on_join(self, spark):
+        from dynamicaxiswarping_jl_spark.operators.dtw_ops import _spread
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        wide = ev.select("user_id", "ts").repartition(64).cache()
+        try:
+            wide.count()
+            target = spark.sparkContext.defaultParallelism
+            narrow = _spread(wide.select("user_id"), factor=1)
+            # only the plan ABOVE the cache leaf counts — the
+            # InMemoryRelation's description embeds the repartition that
+            # originally built the cache
+            plan_top = plan_of(narrow).split("InMemoryRelation")[0]
+            assert "Coalesce" in plan_top
+            assert "RoundRobinPartitioning" not in plan_top
+            assert narrow.rdd.getNumPartitions() == target
+            joined = wide.alias("a").join(wide.alias("b"), "user_id")
+            plan_j = plan_of(_spread(joined, factor=1))
+            assert "RoundRobinPartitioning" in plan_j
+        finally:
+            wide.unpersist()
