@@ -55,6 +55,50 @@ def _tokens_expr(text_col: str) -> str:
             f"t -> t != '')")
 
 
+def _conf_bytes(spark, key: str, default: int) -> int:
+    """Parse a Spark byte-size conf value ('128m', '134217728b', '4MB')."""
+    try:
+        raw = str(spark.conf.get(key)).strip().lower()
+    except Exception:
+        return default
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    raw = raw[:-1] if raw.endswith("b") else raw
+    try:
+        if raw and raw[-1] in mult:
+            return int(float(raw[:-1]) * mult[raw[-1]])
+        return int(raw)
+    except ValueError:
+        return default
+
+
+def _scan_splits(spark, files) -> int:
+    """Estimate the file scan's task count with Spark's own split sizing:
+    maxSplitBytes = min(maxPartitionBytes, max(openCostInBytes,
+    totalBytes/defaultParallelism)); each file contributes
+    ceil(len/maxSplitBytes) splits (bin-packing across files only merges
+    below this, so the estimate errs toward re-spreading). Sizes come from
+    a per-file FileSystem.getFileStatus — only ever called for fewer files
+    than defaultParallelism, so the listing cost is bounded. Returns 0
+    (→ re-spread) when the filesystem probe fails."""
+    try:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        sizes = []
+        for f in files:
+            p = jvm.org.apache.hadoop.fs.Path(f)
+            sizes.append(p.getFileSystem(conf).getFileStatus(p).getLen())
+        max_part = _conf_bytes(spark, "spark.sql.files.maxPartitionBytes",
+                               128 << 20)
+        open_cost = _conf_bytes(spark, "spark.sql.files.openCostInBytes",
+                                4 << 20)
+        par = max(1, spark.sparkContext.defaultParallelism)
+        max_split = min(max_part, max(open_cost, sum(sizes) // par))
+        max_split = max(1, max_split)
+        return sum(max(1, -(-s // max_split)) for s in sizes)
+    except Exception:
+        return 0
+
+
 def _with_shingle_hashes(docs: DataFrame, text_col: str, shingle: int,
                          out: str = "_hv") -> DataFrame:
     """docs + ``out`` = ARRAY<BIGINT> of distinct xxhash64 word-shingle
@@ -70,20 +114,26 @@ def _with_shingle_hashes(docs: DataFrame, text_col: str, shingle: int,
     string-heavy projection isn't single-task; the heuristic reads
     ``inputFiles()`` (pure DataFrame API — no RDD conversion; an RDD
     probe would materialize upstream stages under AQE, see _spread).
-    Non-file inputs (``inputFiles() == []``) are NOT re-spread: an
-    unconditional repartition here would shuffle the full text corpus at
-    scale, and post-shuffle frames already carry
+    File COUNT alone misestimates the scan's task count in one costly
+    direction — one large parquet file is split at maxSplitBytes into
+    many tasks, and repartitioning it would shuffle the full text corpus
+    for nothing — so when the count looks narrow the sizes of those few
+    files are checked against Spark's own split formula
+    (min(maxPartitionBytes, max(openCostInBytes, bytes/parallelism)))
+    before shuffling. Non-file inputs (``inputFiles() == []``) are NOT
+    re-spread: post-shuffle frames already carry
     ``spark.sql.shuffle.partitions``-wide parallelism. The one case this
     misses — a deliberately narrow in-memory/localCheckpointed frame —
     is a caller decision: repartition before calling if that narrowness
     wasn't intended."""
     sc = docs.sparkSession.sparkContext
     try:
-        nfiles = len(docs.inputFiles())
+        files = docs.inputFiles()
     except Exception:
-        nfiles = 0
-    if 0 < nfiles < sc.defaultParallelism:
-        docs = docs.repartition(sc.defaultParallelism)
+        files = []
+    if 0 < len(files) < sc.defaultParallelism:
+        if _scan_splits(docs.sparkSession, files) < sc.defaultParallelism:
+            docs = docs.repartition(sc.defaultParallelism)
     df = docs.withColumn("_toks", F.expr(_tokens_expr(text_col)))
     return (df.withColumn(out, F.expr(
         f"transform(array_distinct(CASE "

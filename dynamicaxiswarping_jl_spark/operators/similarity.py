@@ -147,9 +147,13 @@ def ivf_cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     ids = (pool.select(h.alias("_h"), id_col)
            .orderBy(F.col("_h").asc(), F.col(id_col).asc())
            .limit(train_sample))
+    # limit() re-caps after the join: duplicate id_col values would
+    # otherwise fetch more than train_sample rows, and the golden mirror
+    # (make_goldens np.lexsort(...)[:train_sample]) caps by row count.
     sample = (pool.join(F.broadcast(ids.select(id_col)), id_col)
               .withColumn("_h", h)
               .orderBy(F.col("_h").asc(), F.col(id_col).asc())
+              .limit(train_sample)
               .collect())
     if not sample:
         raise ValueError("ivf_cosine_topk: empty embeddings corpus")
@@ -204,9 +208,16 @@ def ivf_cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
                                     queries.schema[qid_col].dataType),
                       T.StructField("centroid", T.IntegerType())]))
 
+    # distinct(): candidate multiplicity must not compound with corpus
+    # multiplicity in the id-keyed rerank join below — duplicate id_col
+    # values would otherwise square their row count (2 candidate rows ×
+    # 2 corpus rows = 4). A no-op shuffle-wise for unique-id corpora
+    # beyond the narrow 2-column exchange (the rerank join shuffles the
+    # same rows plus vectors right after).
     cands = (F.broadcast(probes)
              .join(e_assign.withColumnRenamed("_id", id_col), "centroid")
-             .select(qid_col, id_col))
+             .select(qid_col, id_col)
+             .distinct())
     joined = (cands
               .join(embeddings.select(id_col, vec_col), id_col)
               .join(F.broadcast(queries.select(qid_col, qvec_col)), qid_col))

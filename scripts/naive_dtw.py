@@ -232,7 +232,7 @@ class NaiveNNResult:
 
 def dtwnn(q, y, dist=None, rad: int = 5, normalizer=None, *,
           prune_endpoints: bool = True, prune_envelope: bool = True,
-          saveall: bool = False, avoid=None, **_ignored) -> NaiveNNResult:
+          saveall: bool = False, avoid=None) -> NaiveNNResult:
     """Exhaustive subsequence NN scan (the prune flags only affect speed
     in the engine, never results — the oracle scans every window, with
     the reference's plain best-so-far abandon inside the DP). Earliest

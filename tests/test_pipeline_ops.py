@@ -60,6 +60,37 @@ class TestDedup:
         ham13 = bin((sig[1] ^ sig[3]) & (2**64 - 1)).count("1")
         assert ham12 < ham13
 
+    def test_scan_splits_skips_respread_for_a_wide_single_file(
+            self, spark, tmp_path):
+        """One large parquet file is already split at maxSplitBytes into
+        many scan tasks — the re-spread guard must not shuffle the full
+        text corpus for it. Emulated by lowering maxPartitionBytes so a
+        small file counts as 'wide' to Spark's own split formula."""
+        from dynamicaxiswarping_jl_spark.operators.dedup import (
+            _scan_splits, _with_shingle_hashes)
+        path = str(tmp_path / "one_file")
+        rows = [(i, " ".join(f"t{i}_{j}" for j in range(50)))
+                for i in range(2000)]  # unique tokens → incompressible file
+        (spark.createDataFrame(rows, "doc_id long, text string")
+         .coalesce(1).write.parquet(path))
+        df = spark.read.parquet(path)
+        files = df.inputFiles()
+        assert len(files) == 1
+        old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        try:
+            # default conf: a tiny single file really is one split
+            assert _scan_splits(spark, files) == 1
+            assert "Exchange" in _with_shingle_hashes(
+                df, "text", 3)._jdf.queryExecution().executedPlan().toString()
+            # same file under a small split size: scan is already wide
+            spark.conf.set("spark.sql.files.maxPartitionBytes", "2048b")
+            assert _scan_splits(spark, files) >= \
+                spark.sparkContext.defaultParallelism
+            assert "Exchange" not in _with_shingle_hashes(
+                df, "text", 3)._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
     def test_ngram_jaccard(self, spark):
         df = spark.createDataFrame(
             [(1, "hello world"), (2, "hello world"), (3, "xyzzy")],
@@ -176,6 +207,28 @@ class TestIvfAndNearDup:
         exact = cosine_topk(sub, queries, k=5).orderBy("rk").toPandas()
         full = ivf_cosine_topk(sub, queries, k=5, n_centroids=8,
                                nprobe=8).orderBy("rk").toPandas()
+        assert set(full.vec_id) == set(exact.vec_id)
+        np.testing.assert_allclose(np.sort(full.sim), np.sort(exact.sim),
+                                   rtol=1e-9)
+
+    def test_ivf_training_sample_capped_under_duplicate_ids(self, spark, emb):
+        """Nothing enforces id uniqueness in the corpus; the driver-side
+        training collect must stay bounded at train_sample rows (and match
+        the golden mirror's lexsort[:train_sample]) even when every id
+        appears twice."""
+        from dynamicaxiswarping_jl_spark.operators import (
+            ivf_cosine_topk, cosine_topk)
+        sub = emb.limit(100).cache()
+        doubled = sub.unionAll(sub)
+        pdf = sub.toPandas()
+        q = [float(x) for x in pdf.embedding[3]]
+        queries = spark.createDataFrame([("q0", q)],
+                                        "query_id string, q array<double>")
+        # even k: every distinct vector appears twice, so an odd k would
+        # truncate a duplicate pair and make the id set tie-dependent
+        exact = cosine_topk(doubled, queries, k=6).toPandas()
+        full = ivf_cosine_topk(doubled, queries, k=6, n_centroids=4,
+                               nprobe=4, train_sample=16).toPandas()
         assert set(full.vec_id) == set(exact.vec_id)
         np.testing.assert_allclose(np.sort(full.sim), np.sort(exact.sim),
                                    rtol=1e-9)
