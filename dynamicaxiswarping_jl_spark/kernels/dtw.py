@@ -515,20 +515,79 @@ def dtw_cost_batch_indexed(A: np.ndarray, B: np.ndarray, ia: np.ndarray,
     return dtw_cost_batch(A[ia], B[ib], int(r), transportcost)
 
 
+def _dtw_cost_ref_placement(d, a, b, r: int, tc: float, cb,
+                            best_so_far: float) -> float:
+    """O(r)-memory banded DTW cost with the REFERENCE's ``dtw_cost``
+    transportcost placement (src/dtw.jl:213-215): ``tc`` multiplies the
+    advance-``a`` (up) and diagonal moves, leaving advance-``b`` (left)
+    free — i.e. ``D[i,j] = min(tc*D[i-1,j], D[i,j-1], tc*D[i-1,j-1]) +
+    d(a_i, b_j)``. Boundary and early-abandon semantics mirror the
+    reference loop exactly: cell (0,0) is the bare local cost, row 0 is a
+    plain left-move cumsum (the reference's typemax guards), and column 0
+    takes only the tc-scaled up move. Compat path — scalar DP, no native
+    kernel (``transportcost_placement='reference'`` exists for numerical
+    parity with Julia, not for throughput; at tc == 1 the placements
+    coincide and callers never reach this function)."""
+    m = _lastlen(a)
+    cbl = np.asarray(cb, dtype=np.float64).tolist()
+    inf = _INF
+    prev = None
+    plo = phi = 0
+    cur = None
+    for i in range(m):
+        lo = max(0, i - r)
+        hi = min(m - 1, i + r)
+        dloc = _slice_profile(d, a, i, b, lo, hi).tolist()
+        cur = []
+        min_cost = inf
+        if i == 0:
+            s = 0.0
+            for w, dv in enumerate(dloc):
+                s = dv if w == 0 else s + dv  # left-only cumsum, no tc
+                cur.append(s)
+                if s < min_cost:
+                    min_cost = s
+        else:
+            left = inf
+            for w, dv in enumerate(dloc):
+                j = lo + w
+                up = prev[j - plo] if plo <= j <= phi else inf
+                dg = prev[j - 1 - plo] if plo <= j - 1 <= phi else inf
+                best = tc * up
+                if left < best:
+                    best = left
+                if tc * dg < best:
+                    best = tc * dg
+                left = best + dv
+                cur.append(left)
+                if left < min_cost:
+                    min_cost = left
+        if (i + r) < (m - 1) and min_cost + cbl[i + r] >= best_so_far:
+            return float(min_cost + cbl[i + r])
+        prev, plo, phi = cur, lo, hi
+    return float(cur[-1])
+
+
 def dtw_cost(a, b, dist=None, r: int = 0, transportcost: float = 1.0,
-             best_so_far: float = _INF, cumulative_bound=None) -> float:
+             best_so_far: float = _INF, cumulative_bound=None,
+             transportcost_placement: str = "matrix") -> float:
     """O(r)-memory banded DTW cost with early abandon
     (reference src/dtw.jl:176-237, UCR-suite style).
 
     KNOWN DEVIATION (user-facing, see README "Known deviations"): with
-    ``transportcost != 1`` this function penalizes the two NON-diagonal
-    moves (the reference's own ``dtw_cost_matrix`` placement,
+    ``transportcost != 1`` this function by default penalizes the two
+    NON-diagonal moves (the reference's own ``dtw_cost_matrix`` placement,
     src/dtw.jl:61), whereas the reference's ``dtw_cost`` penalizes the
     diagonal + advance-``a`` moves (src/dtw.jl:213-215) — the reference is
     internally inconsistent and no golden pins its placement. Here
     ``dtw_cost(a, b, r=len(a), transportcost=tc) == dtw(a, b,
     transportcost=tc).cost`` holds for every tc (pinned by
     tests/test_kernels_dtw.py::TestTransportcostPlacement).
+    ``transportcost_placement='reference'`` opts into the Julia
+    ``dtw_cost`` cost model instead (tc on the up + diagonal moves, left
+    free) for users who need bit-compatible numbers with reference
+    ``dtw_cost(a, b, dist, r; transportcost=tc)`` calls; the two
+    placements coincide at tc == 1.
 
     Requires equal lengths (src/dtw.jl:195). ``cumulative_bound`` is the
     reverse-cumulative LB_Keogh bound consumed by the abandon test
@@ -556,6 +615,13 @@ def dtw_cost(a, b, dist=None, r: int = 0, transportcost: float = 1.0,
     if len(cb) != m:
         raise ValueError("cumulative_bound and a must have the same length")
     tc = float(transportcost)
+    if transportcost_placement not in ("matrix", "reference"):
+        raise ValueError(
+            "transportcost_placement must be 'matrix' or 'reference', got "
+            f"{transportcost_placement!r}")
+    if transportcost_placement == "reference" and tc != 1.0 and m > 0:
+        return _dtw_cost_ref_placement(d, a, b, r, tc, cb,
+                                       float(best_so_far))
 
     if (a.ndim == 1 and b.ndim == 1 and m > 0
             and d.name == "sqeuclidean"):

@@ -31,13 +31,22 @@ def _normalize(normalizer, x):
 
 
 def dtw_dist(x, y, radius: int = 5, dist=None, transportcost: float = 1.0,
-             normalizer=None) -> float:
-    """The reference's DTW distance-object call, as a function."""
+             normalizer=None,
+             transportcost_placement: str = "matrix") -> float:
+    """The reference's DTW distance-object call, as a function.
+
+    ``transportcost_placement='reference'`` selects the Julia
+    ``dtw_cost`` cost model for the equal-length path (see
+    ``dtw_cost``'s docstring; the placements coincide at tc == 1). The
+    unequal-length path runs through ``dtwnn``, whose DP keeps this
+    engine's matrix placement regardless of the flag (the documented
+    deviation, README "Known deviations")."""
     x = np.asarray(x, dtype=np.float64)
     y = np.asarray(y, dtype=np.float64)
     if x.shape[-1] == y.shape[-1]:
         return dtw_cost(_normalize(normalizer, x), _normalize(normalizer, y),
-                        dist, radius, transportcost=transportcost)
+                        dist, radius, transportcost=transportcost,
+                        transportcost_placement=transportcost_placement)
     if x.shape[-1] > y.shape[-1]:
         x, y = y, x
     nrm = normalizer if normalizer in ("znorm", "z", "ZNormalizer") else None
@@ -50,16 +59,19 @@ class DTW:
     (src/distance_interface.jl:17-26): ``DTW(radius=7)(a, b)``."""
 
     def __init__(self, radius: int = 5, dist=None,
-                 transportcost: float = 1.0, normalizer=None):
+                 transportcost: float = 1.0, normalizer=None,
+                 transportcost_placement: str = "matrix"):
         self.radius = radius
         self.dist = dist
         self.transportcost = transportcost
         self.normalizer = normalizer
+        self.transportcost_placement = transportcost_placement
 
     def __call__(self, x, y) -> float:
         return dtw_dist(x, y, radius=self.radius, dist=self.dist,
                         transportcost=self.transportcost,
-                        normalizer=self.normalizer)
+                        normalizer=self.normalizer,
+                        transportcost_placement=self.transportcost_placement)
 
 
 class SoftDTW:

@@ -190,6 +190,96 @@ class TestTransportcostPlacement:
         assert dtw_cost(self.a, self.b, SqEuclidean(), 2,
                         transportcost=tc) == pytest.approx(want, rel=1e-12)
 
+    @staticmethod
+    def _ref_placement_oracle(a, b, r, tc):
+        """Independent banded full-matrix DP with the REFERENCE dtw_cost
+        cost model (src/dtw.jl:213-215): D[i,j] = min(tc*D[i-1,j],
+        D[i,j-1], tc*D[i-1,j-1]) + (a_i-b_j)^2, cells outside the
+        Sakoe-Chiba band +inf. Written here from the recurrence, not
+        shared with the engine."""
+        a = np.asarray(a, dtype=np.float64)
+        b = np.asarray(b, dtype=np.float64)
+        m = len(a)
+        D = np.full((m, m), np.inf)
+        for i in range(m):
+            for j in range(max(0, i - r), min(m - 1, i + r) + 1):
+                dv = (a[i] - b[j]) ** 2
+                if i == 0 and j == 0:
+                    D[0, 0] = dv
+                    continue
+                up = tc * D[i - 1, j] if i > 0 else np.inf
+                left = D[i, j - 1] if j > 0 else np.inf
+                diag = tc * D[i - 1, j - 1] if i > 0 and j > 0 else np.inf
+                D[i, j] = min(up, left, diag) + dv
+        return D[-1, -1]
+
+    @pytest.mark.parametrize("tc", [1.0, 1.3, 2.0])
+    @pytest.mark.parametrize("r", [1, 2, 8])
+    def test_reference_placement_matches_independent_oracle(self, tc, r):
+        rng = np.random.default_rng(7)
+        for _ in range(3):
+            a = rng.normal(size=8)
+            b = rng.normal(size=8)
+            got = dtw_cost(a, b, SqEuclidean(), r, transportcost=tc,
+                           transportcost_placement="reference")
+            want = self._ref_placement_oracle(a, b, r, tc)
+            assert got == pytest.approx(want, rel=1e-12)
+
+    def test_reference_placement_coincides_at_tc1(self):
+        got = dtw_cost(self.a, self.b, SqEuclidean(), len(self.a),
+                       transportcost=1.0,
+                       transportcost_placement="reference")
+        assert got == pytest.approx(2.5, rel=1e-12)
+
+    def test_placements_differ_when_tc_matters(self):
+        ref = dtw_cost(self.a, self.b, SqEuclidean(), len(self.a),
+                       transportcost=2.0,
+                       transportcost_placement="reference")
+        mat = dtw_cost(self.a, self.b, SqEuclidean(), len(self.a),
+                       transportcost=2.0)
+        assert ref != pytest.approx(mat)
+        # reference model tc's the diagonal too, so on this non-diagonal
+        # optimum it can only cost more
+        assert ref > mat
+
+    def test_reference_placement_multichannel(self):
+        rng = np.random.default_rng(11)
+        a = rng.normal(size=(2, 6))
+        b = rng.normal(size=(2, 6))
+        got = dtw_cost(a, b, SqEuclidean(), 2, transportcost=1.5,
+                       transportcost_placement="reference")
+        # scalar oracle over per-cell squared L2 of channel columns
+        m = a.shape[1]
+        D = np.full((m, m), np.inf)
+        for i in range(m):
+            for j in range(max(0, i - 2), min(m - 1, i + 2) + 1):
+                dv = float(((a[:, i] - b[:, j]) ** 2).sum())
+                if i == 0 and j == 0:
+                    D[0, 0] = dv
+                    continue
+                up = 1.5 * D[i - 1, j] if i > 0 else np.inf
+                left = D[i, j - 1] if j > 0 else np.inf
+                diag = 1.5 * D[i - 1, j - 1] if i > 0 and j > 0 else np.inf
+                D[i, j] = min(up, left, diag) + dv
+        assert got == pytest.approx(D[-1, -1], rel=1e-12)
+
+    def test_reference_placement_early_abandon_is_lower_bound(self):
+        rng = np.random.default_rng(13)
+        a = rng.normal(size=32)
+        b = rng.normal(size=32) + 3.0
+        true = dtw_cost(a, b, SqEuclidean(), 4, transportcost=1.7,
+                        transportcost_placement="reference")
+        partial = dtw_cost(a, b, SqEuclidean(), 4, transportcost=1.7,
+                           best_so_far=true * 0.25,
+                           transportcost_placement="reference")
+        assert partial >= true * 0.25  # abandoned: at/above the bar
+        assert partial <= true + 1e-12  # and still a lower bound
+
+    def test_bad_placement_rejected(self):
+        with pytest.raises(ValueError, match="transportcost_placement"):
+            dtw_cost(self.a, self.b, SqEuclidean(), 2,
+                     transportcost_placement="julia")
+
 
 class TestRadiuslimits:
     def test_unequal_lengths(self):
