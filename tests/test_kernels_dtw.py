@@ -214,7 +214,7 @@ class TestTransportcostPlacement:
         return D[-1, -1]
 
     @pytest.mark.parametrize("tc", [1.0, 1.3, 2.0])
-    @pytest.mark.parametrize("r", [1, 2, 8])
+    @pytest.mark.parametrize("r", [0, 1, 2, 8])
     def test_reference_placement_matches_independent_oracle(self, tc, r):
         rng = np.random.default_rng(7)
         for _ in range(3):
