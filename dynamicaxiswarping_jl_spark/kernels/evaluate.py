@@ -41,6 +41,13 @@ def dtw_dist(x, y, radius: int = 5, dist=None, transportcost: float = 1.0,
     unequal-length path runs through ``dtwnn``, whose DP keeps this
     engine's matrix placement regardless of the flag (the documented
     deviation, README "Known deviations")."""
+    # validate up front: the unequal-length branch never reaches
+    # dtw_cost's check, and a typo'd placement must not depend on the
+    # input shapes to be caught
+    if transportcost_placement not in ("matrix", "reference"):
+        raise ValueError(
+            "transportcost_placement must be 'matrix' or 'reference', got "
+            f"{transportcost_placement!r}")
     x = np.asarray(x, dtype=np.float64)
     y = np.asarray(y, dtype=np.float64)
     if x.shape[-1] == y.shape[-1]:

@@ -56,29 +56,31 @@ def _tokens_expr(text_col: str) -> str:
 
 
 def _conf_bytes(spark, key: str, default: int) -> int:
-    """Parse a Spark byte-size conf value ('128m', '134217728b', '4MB')."""
+    """Parse a Spark byte-size conf value ('128m', '134217728b', '4MB')
+    with Spark's OWN parser (JavaUtils.byteStringAsBytes — the one Spark
+    applies to these confs), so every suffix form Spark accepts parses
+    identically here instead of silently falling back to the default."""
     try:
-        raw = str(spark.conf.get(key)).strip().lower()
+        raw = str(spark.conf.get(key))
+        return int(spark._jvm.org.apache.spark.network.util.JavaUtils
+                   .byteStringAsBytes(raw))
     except Exception:
-        return default
-    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
-    raw = raw[:-1] if raw.endswith("b") else raw
-    try:
-        if raw and raw[-1] in mult:
-            return int(float(raw[:-1]) * mult[raw[-1]])
-        return int(raw)
-    except ValueError:
         return default
 
 
 def _scan_splits(spark, files) -> int:
-    """Estimate the file scan's task count with Spark's own split sizing:
-    maxSplitBytes = min(maxPartitionBytes, max(openCostInBytes,
-    totalBytes/defaultParallelism)); each file contributes
-    ceil(len/maxSplitBytes) splits (bin-packing across files only merges
-    below this, so the estimate errs toward re-spreading). Sizes come from
-    a per-file FileSystem.getFileStatus — only ever called for fewer files
-    than defaultParallelism, so the listing cost is bounded. Returns 0
+    """Estimate the file scan's task count by reproducing Spark's actual
+    partitioning math (FilePartitionedFileUtil + FilePartition): totalBytes
+    pads every file with openCostInBytes, maxSplitBytes =
+    min(maxPartitionBytes, max(openCostInBytes, totalBytes/
+    defaultParallelism)), files are cut into <= maxSplitBytes splits, and
+    splits are greedily bin-packed (size-descending, openCost charged per
+    split) into partitions. A split-count shortcut is wrong in BOTH
+    directions (it ignores the openCost padding AND the packing merges),
+    and an overestimate here silently skips the re-spread — so the packing
+    is simulated exactly. Sizes come from a per-file
+    FileSystem.getFileStatus — only ever called for fewer files than
+    defaultParallelism, so the listing cost is bounded. Returns 0
     (→ re-spread) when the filesystem probe fails."""
     try:
         jvm = spark._jvm
@@ -92,11 +94,31 @@ def _scan_splits(spark, files) -> int:
         open_cost = _conf_bytes(spark, "spark.sql.files.openCostInBytes",
                                 4 << 20)
         par = max(1, spark.sparkContext.defaultParallelism)
-        max_split = min(max_part, max(open_cost, sum(sizes) // par))
-        max_split = max(1, max_split)
-        return sum(max(1, -(-s // max_split)) for s in sizes)
+        return _pack_splits(sizes, max_part, open_cost, par)
     except Exception:
         return 0
+
+
+def _pack_splits(sizes, max_part: int, open_cost: int, par: int) -> int:
+    """Pure Spark file-partitioning math (unit-tested against Spark's
+    observed behavior): returns the number of scan partitions for files
+    of the given byte sizes."""
+    total = sum(sizes) + open_cost * len(sizes)
+    max_split = max(1, min(max_part, max(open_cost, total // par)))
+    splits = []
+    for s in sizes:
+        n_full, rem = divmod(s, max_split)
+        splits.extend([max_split] * int(n_full))
+        if rem or s == 0:
+            splits.append(rem)
+    splits.sort(reverse=True)
+    parts = cur = 0
+    for sp in splits:
+        if cur > 0 and cur + sp > max_split:
+            parts += 1
+            cur = 0
+        cur += sp + open_cost
+    return parts + (1 if cur > 0 else 0)
 
 
 def _with_shingle_hashes(docs: DataFrame, text_col: str, shingle: int,

@@ -150,6 +150,12 @@ def _plan_is_exchange_free(df: DataFrame) -> bool:
             name = node.nodeName()
             if "Exchange" in name:
                 return False
+            # a subquery expression's plan runs eagerly on .rdd conversion
+            # even when the MAIN tree is exchange-free — classify any
+            # subquery-bearing plan as not-free (the repartition path is
+            # always correct, just not fused)
+            if node.subqueries().nonEmpty():
+                return False
             if "InMemoryTableScan" in name:
                 continue
             ch = node.children()

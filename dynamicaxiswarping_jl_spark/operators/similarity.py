@@ -147,10 +147,12 @@ def ivf_cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     ids = (pool.select(h.alias("_h"), id_col)
            .orderBy(F.col("_h").asc(), F.col(id_col).asc())
            .limit(train_sample))
-    # limit() re-caps after the join: duplicate id_col values would
-    # otherwise fetch more than train_sample rows, and the golden mirror
-    # (make_goldens np.lexsort(...)[:train_sample]) caps by row count.
-    sample = (pool.join(F.broadcast(ids.select(id_col)), id_col)
+    # distinct() + limit(): duplicate id_col values would otherwise (a)
+    # appear twice in the semi-join KEY LIST, multiplying every matching
+    # corpus row, and (b) fetch more than train_sample rows after the
+    # join; the golden mirror (make_goldens np.lexsort(...)[:train_sample])
+    # caps by row count with each physical row counted once.
+    sample = (pool.join(F.broadcast(ids.select(id_col).distinct()), id_col)
               .withColumn("_h", h)
               .orderBy(F.col("_h").asc(), F.col(id_col).asc())
               .limit(train_sample)

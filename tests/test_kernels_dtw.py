@@ -280,6 +280,13 @@ class TestTransportcostPlacement:
             dtw_cost(self.a, self.b, SqEuclidean(), 2,
                      transportcost_placement="julia")
 
+    def test_bad_placement_rejected_on_unequal_length_dispatch(self):
+        # dtw_dist's unequal-length branch never reaches dtw_cost — the
+        # flag must still be validated, shape-independently
+        from dynamicaxiswarping_jl_spark.kernels.evaluate import dtw_dist
+        with pytest.raises(ValueError, match="transportcost_placement"):
+            dtw_dist(self.a, self.b[:5], transportcost_placement="julia")
+
 
 class TestRadiuslimits:
     def test_unequal_lengths(self):

@@ -60,6 +60,29 @@ class TestDedup:
         ham13 = bin((sig[1] ^ sig[3]) & (2**64 - 1)).count("1")
         assert ham12 < ham13
 
+    def test_pack_splits_matches_spark_partitioning_math(self):
+        """The task-count estimate must reproduce Spark's actual file
+        bin-packing, not a per-file split count: many small files pack to
+        FEWER partitions than their split count suggests (openCost
+        padding), and overestimating silently skips the re-spread."""
+        from dynamicaxiswarping_jl_spark.operators.dedup import _pack_splits
+        m = 1 << 20
+        # 20 x 5MB files, par=32, openCost=4MB: maxSplitBytes ~5.6MB, and
+        # 5MB + 4MB openCost > maxSplit means every file is its own
+        # partition -> 20 tasks (< 32 -> re-spread); a split-count
+        # shortcut says ceil(5M/5.6M)*20 = 20 too, but with the UNPADDED
+        # formula maxSplit drops to 100M/32 ~3.1M and the shortcut says
+        # 40 >= 32 -> wrongly skips
+        assert _pack_splits([5 * m] * 20, 128 * m, 4 * m, 32) == 20
+        # one big file splits wide: 640MB at maxSplit=min(128M,
+        # max(4M, 644M/32 ~ 20.1M)) -> 31 full splits + remainder, each
+        # its own partition once openCost is charged -> 32 partitions
+        assert _pack_splits([640 * m], 128 * m, 4 * m, 32) == 32
+        # zero openCost: 64 x 16KB splits pack exactly two per
+        # maxSplit=total/32 partition -> 32, not 64 (merging matters)
+        assert _pack_splits([16 << 10] * 64, 128 * m, 0, 32) == 32
+        assert _pack_splits([], 128 * m, 4 * m, 32) == 0
+
     def test_scan_splits_skips_respread_for_a_wide_single_file(
             self, spark, tmp_path):
         """One large parquet file is already split at maxSplitBytes into

@@ -99,6 +99,19 @@ class TestSpreadPlan:
         finally:
             cached.unpersist()
 
+    def test_subquery_bearing_plan_is_not_exchange_free(self, spark):
+        """A scalar subquery's plan runs eagerly on .rdd conversion even
+        when the main tree has no Exchange — the classifier must send
+        such frames down the repartition path, never the probe."""
+        from dynamicaxiswarping_jl_spark.operators.dtw_ops import (
+            _plan_is_exchange_free)
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        ev.createOrReplaceTempView("_sq_events")
+        sub = spark.sql(
+            "SELECT user_id, ts FROM _sq_events "
+            "WHERE user_id > (SELECT avg(user_id) FROM _sq_events)")
+        assert not _plan_is_exchange_free(sub)
+
     def test_spread_narrow_on_wide_cache_shuffle_on_join(self, spark):
         from dynamicaxiswarping_jl_spark.operators.dtw_ops import _spread
         ev = spark.read.parquet(f"{SF}/events.parquet")
