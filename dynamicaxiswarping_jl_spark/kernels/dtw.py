@@ -594,6 +594,11 @@ def dtw_cost(a, b, dist=None, r: int = 0, transportcost: float = 1.0,
     (src/dtw.jl:227-229): when the running row minimum plus the remaining
     bound already exceeds ``best_so_far``, that partial sum is returned (a
     lower bound on the true cost, matching reference behavior exactly).
+    Caveat, shared with the reference: with ``transportcost < 1``
+    (permitted — README.md:224) a later cell can undercut the current
+    row minimum (``tc*x < x``), so the abandoned partial sum is NOT a
+    lower bound there; pass ``best_so_far=inf`` for exact tc<1 costs.
+    The engine's own pruned searches only ever abandon at tc == 1.
 
     All fallback paths (scalar small-band, vectorized wide-band) compute
     each cell as exactly ``min(...) + local`` so they are bit-identical to
