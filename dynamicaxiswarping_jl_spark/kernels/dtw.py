@@ -597,8 +597,12 @@ def dtw_cost(a, b, dist=None, r: int = 0, transportcost: float = 1.0,
     Caveat, shared with the reference: with ``transportcost < 1``
     (permitted — README.md:224) a later cell can undercut the current
     row minimum (``tc*x < x``), so the abandoned partial sum is NOT a
-    lower bound there; pass ``best_so_far=inf`` for exact tc<1 costs.
-    The engine's own pruned searches only ever abandon at tc == 1.
+    lower bound there. For exact tc<1 costs call ``dtw_cost`` directly
+    with the default ``best_so_far=inf`` (or use ``dtw()``); pruned
+    searches (``dtwnn``, ``dtw_dist``'s unequal-length path) keep the
+    reference's semantics, whose LB gates and abandon assume tc >= 1 —
+    tc < 1 there can over-prune exactly as in Julia. The engine's own
+    operators only ever abandon at tc == 1.
 
     All fallback paths (scalar small-band, vectorized wide-band) compute
     each cell as exactly ``min(...) + local`` so they are bit-identical to

@@ -93,10 +93,27 @@ def _scan_splits(spark, files) -> int:
                                128 << 20)
         open_cost = _conf_bytes(spark, "spark.sql.files.openCostInBytes",
                                 4 << 20)
-        par = max(1, spark.sparkContext.defaultParallelism)
-        return _pack_splits(sizes, max_part, open_cost, par)
+        # Spark sizes bytesPerCore with spark.sql.files.minPartitionNum
+        # (falling back to leafNodeDefaultParallelism, then
+        # defaultParallelism) — honor the same chain, and the 3.5+
+        # maxPartitionNum cap, or the estimate overshoots on tuned
+        # sessions and silently skips the re-spread
+        par = _conf_int(
+            spark, "spark.sql.files.minPartitionNum",
+            _conf_int(spark, "spark.sql.leafNodeDefaultParallelism",
+                      spark.sparkContext.defaultParallelism))
+        parts = _pack_splits(sizes, max_part, open_cost, max(1, par))
+        cap = _conf_int(spark, "spark.sql.files.maxPartitionNum", 0)
+        return min(parts, cap) if cap > 0 else parts
     except Exception:
         return 0
+
+
+def _conf_int(spark, key: str, default: int) -> int:
+    try:
+        return int(str(spark.conf.get(key)))
+    except Exception:
+        return default
 
 
 def _pack_splits(sizes, max_part: int, open_cost: int, par: int) -> int:
@@ -109,7 +126,7 @@ def _pack_splits(sizes, max_part: int, open_cost: int, par: int) -> int:
     for s in sizes:
         n_full, rem = divmod(s, max_split)
         splits.extend([max_split] * int(n_full))
-        if rem or s == 0:
+        if rem:  # zero-length files generate NO split in Spark
             splits.append(rem)
     splits.sort(reverse=True)
     parts = cur = 0

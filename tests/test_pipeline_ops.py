@@ -82,6 +82,10 @@ class TestDedup:
         # maxSplit=total/32 partition -> 32, not 64 (merging matters)
         assert _pack_splits([16 << 10] * 64, 128 * m, 0, 32) == 32
         assert _pack_splits([], 128 * m, 4 * m, 32) == 0
+        # zero-length files generate no split at all in Spark
+        assert _pack_splits([0] * 40, 128 * m, 4 * m, 32) == 0
+        assert _pack_splits([5 * m] * 20 + [0] * 40, 128 * m, 4 * m, 32) \
+            == 20
 
     def test_scan_splits_skips_respread_for_a_wide_single_file(
             self, spark, tmp_path):
