@@ -17,6 +17,7 @@ import os
 import sys
 
 import numpy as np
+import pytest
 from hypothesis import given, settings, strategies as st
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
@@ -137,6 +138,32 @@ class TestDtwnnFuzz:
         gd = K.dtwnn(q, y, "sqeuclidean", 3, saveall=True).dists
         wd = NV.dtwnn(q, y, "sqeuclidean", 3, saveall=True).dists
         np.testing.assert_array_equal(gd, wd)
+
+
+class TestFastdtwFuzz:
+    @given(a=_series, b=_series, radius=st.integers(0, 4))
+    @settings(**_FUZZ)
+    def test_cost_and_paths_bit_equal(self, a, b, radius):
+        """FastDTW's compress/expand/window pipeline is all integer
+        bookkeeping driven by tie-sensitive DP paths — the fragile
+        composition for quantized inputs."""
+        cn, i1n, i2n = NV.fastdtw(a, b, "sqeuclidean", radius)
+        ce, i1e, i2e = K.fastdtw(a, b, "sqeuclidean", radius)
+        assert cn == ce
+        np.testing.assert_array_equal(i1n, i1e)
+        np.testing.assert_array_equal(i2n, i2e)
+
+
+class TestSoftdtwFuzz:
+    @given(a=_smooth, b=_smooth,
+           gamma=st.sampled_from([0.05, 0.5, 2.0]))
+    @settings(**_FUZZ)
+    def test_cost_parity(self, a, b, gamma):
+        # softmin smooths ties away, so approx (not bit) equality is the
+        # right contract — exp/log ordering differs between the
+        # vectorized anti-diagonal sweep and the scalar oracle
+        assert NV.soft_dtw_cost(a, b, gamma=gamma) == pytest.approx(
+            K.soft_dtw_cost(a, b, "sqeuclidean", gamma=gamma), rel=1e-9)
 
 
 class TestDbaFuzz:
