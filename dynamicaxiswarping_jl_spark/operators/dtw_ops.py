@@ -886,6 +886,22 @@ def knn_topk(series: DataFrame, k: int = 4, radius: int = 5,
     dm = F.greatest(l_lo - s_pm, s_pm - l_hi, F.lit(0.0))
     lb_resid = d1 * d1 + F.when(F.least("na", "nb") >= F.lit(2),
                                 dm * dm).otherwise(F.lit(0.0))
+    # Complementary sound bound on the same scalars (LB_Kim-style): every
+    # element of the shorter side matches window values ⊆ [min l, max l],
+    # and DISTINCT s-positions occupy distinct path cells, so
+    #   cost ≥ d(max s, [min l, max l])² + d(min s, [min l, max l])²
+    # (single term when min s == max s — the two extrema may be one
+    # position: constant or length-1 series). Catches the case the
+    # endpoint bound is blind to — a mid-series excursion outside the
+    # longer side's value range with calm endpoints. Filter with BOTH
+    # bounds: each is individually sound, so a true top-k member
+    # (cost ≤ τ) passes both.
+    s_vmin = F.when(short_a, F.col("vmina")).otherwise(F.col("vminb"))
+    s_vmax = F.when(short_a, F.col("vmaxa")).otherwise(F.col("vmaxb"))
+    dmx = F.greatest(l_lo - s_vmax, s_vmax - l_hi, F.lit(0.0))
+    dmn = F.greatest(l_lo - s_vmin, s_vmin - l_hi, F.lit(0.0))
+    lb_minmax = dmx * dmx + F.when(s_vmax > s_vmin,
+                                   dmn * dmn).otherwise(F.lit(0.0))
 
     def _sc(s):
         return st.select(
@@ -1113,7 +1129,8 @@ def knn_topk(series: DataFrame, k: int = 4, radius: int = 5,
         resid_pairs = (caseA.drop("alo", "blo").unionByName(caseB)
                        .filter(resid_cond)
                        .filter(F.col("_tau").isNull()
-                               | (lb_resid <= F.col("_tau")))
+                               | ((lb_resid <= F.col("_tau"))
+                                  & (lb_minmax <= F.col("_tau"))))
                        .select("id_a", "id_b", F.col("_tau").alias("tau"))
                        .join(boot, ["id_a", "id_b"], "left_anti"))
         if stats_out is not None:

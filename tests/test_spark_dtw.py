@@ -262,6 +262,45 @@ class TestKnnLbPrefilter:
                 fc = sorted(round(c, 9) for c in fast[fast.id_a == key].cost)
                 assert bc == fc, (trial, key)
 
+    def test_residue_minmax_bound_prunes_peaky_pairs_exactly(self, spark):
+        """The residue's min/max scalar bound fires exactly when a shorter
+        series has a mid-series excursion OUTSIDE the longer side's value
+        range with calm endpoints (the case the endpoint-vs-range bound is
+        blind to). The pruned plan must still equal brute force, and the
+        admitted residue pair count must drop below the all-cross-length
+        count — i.e. the bound actually fires on this corpus."""
+        import numpy as np
+        from dynamicaxiswarping_jl_spark.operators import knn_topk
+        rng = np.random.default_rng(77)
+        rows = []
+        # 12 calm long series in [-1, 1], length 30
+        for i in range(12):
+            v = np.sin(np.linspace(0, 3, 30)) + 0.05 * rng.normal(size=30)
+            rows.append((f"calm{i:02d}", [float(x) for x in v]))
+        # 8 short series: calm endpoints in range, huge mid-series peak
+        # far outside every long series' [min, max]
+        for i in range(8):
+            v = 0.05 * rng.normal(size=20)
+            v[10] = 100.0 + i  # the excursion
+            rows.append((f"peak{i:02d}", [float(x) for x in v]))
+        series = spark.createDataFrame(
+            rows, "conv_id string, points array<double>")
+        stats = {}
+        fast = knn_topk(series, k=3, radius=4, oversample=2,
+                        stats_out=stats).toPandas()
+        brute = knn_topk(series, k=3, radius=4,
+                         lb_prefilter=False).toPandas()
+        for key in sorted(brute.id_a.unique()):
+            bc = sorted(round(c, 9) for c in brute[brute.id_a == key].cost)
+            fc = sorted(round(c, 9) for c in fast[fast.id_a == key].cost)
+            assert bc == fc, key
+        # every (calm, peak) cross-length pair has endpoint-bound 0 (calm
+        # endpoints inside every range) but minmax-bound ~1e4 >> every τ
+        # (τ is seeded by within-band boot pairs on both sides) — so ALL
+        # 2·12·8=192 cross-length pairs outside the boot set must be
+        # pruned before any DP
+        assert stats["residue_pairs"] == 0
+
     def test_grid_path_uniform_length_no_selfjoin(self, spark):
         """Uniform-length corpus: exact parity, and the physical plan of the
         scale path must not contain a full array self-join (cartesian /
