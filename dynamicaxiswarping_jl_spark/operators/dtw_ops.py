@@ -812,12 +812,36 @@ def knn_topk(series: DataFrame, k: int = 4, radius: int = 5,
            .withColumn("cm", cell("pm", g["lom"], wm)))
     sta = stg.select(F.col("id").alias("id_a"), F.col("p1").alias("p1a"),
                      F.col("pm").alias("pma"), F.col("n").alias("na"),
-                     F.col("c1").alias("c1a"), F.col("cm").alias("cma"))
+                     F.col("c1").alias("c1a"), F.col("cm").alias("cma"),
+                     F.col("vmin").alias("vmina"),
+                     F.col("vmax").alias("vmaxa"))
     stb = stg.select(F.col("id").alias("id_b"), F.col("p1").alias("p1b"),
                      F.col("pm").alias("pmb"), F.col("n").alias("nb"),
-                     F.col("c1").alias("c1b"), F.col("cm").alias("cmb"))
+                     F.col("c1").alias("c1b"), F.col("cm").alias("cmb"),
+                     F.col("vmin").alias("vminb"),
+                     F.col("vmax").alias("vmaxb"))
     lbe = ((F.col("p1a") - F.col("p1b")) ** 2
            + (F.col("pma") - F.col("pmb")) ** 2)
+
+    # LB_Kim-style min/max bound for EQUAL-length alignments (phase 2):
+    # the full (banded) path visits every index of both series, so each
+    # side's extrema must match values inside the other side's
+    # [vmin, vmax]; two distinct positions when vmax > vmin, one term
+    # otherwise (constant series). Sound in BOTH directions — the
+    # conjunction of all three bounds <= τ is required for a true top-k
+    # member, so filtering on it stays result-identical. Scalars only
+    # (the PLANS.md negative result is about carrying sketch ARRAYS).
+    def _lb_minmax_dir(vmin_s, vmax_s, lo_l, hi_l):
+        dx = F.greatest(lo_l - vmax_s, vmax_s - hi_l, F.lit(0.0))
+        dn = F.greatest(lo_l - vmin_s, vmin_s - hi_l, F.lit(0.0))
+        return dx * dx + F.when(vmax_s > vmin_s,
+                                dn * dn).otherwise(F.lit(0.0))
+
+    lb_mm_uniform = F.greatest(
+        _lb_minmax_dir(F.col("vmina"), F.col("vmaxa"),
+                       F.col("vminb"), F.col("vmaxb")),
+        _lb_minmax_dir(F.col("vminb"), F.col("vmaxb"),
+                       F.col("vmina"), F.col("vmaxa")))
     off = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
     # explicit equi-keys + fixed-width repartition on them: the stats
     # tables are byte-tiny, so AQE coalesces the join shuffle to a
@@ -825,11 +849,15 @@ def knn_topk(series: DataFrame, k: int = 4, radius: int = 5,
     # part) is then produced on those few threads. A user repartition
     # with an explicit partition count is not coalesced.
     p_join = sc.defaultParallelism * 2
-    nb_l = (sta.withColumn("dx", off).withColumn("dy", off)
+    # phase-1 enumeration stays on the original thin scalar set — the
+    # min/max columns are only consumed by phase 2's τ filter
+    nb_l = (sta.drop("vmina", "vmaxa")
+            .withColumn("dx", off).withColumn("dy", off)
             .withColumn("k1", F.col("c1a") + F.col("dx"))
             .withColumn("k2", F.col("cma") + F.col("dy"))
             .repartition(p_join, "k1", "k2"))
-    nb_r = (stb.withColumn("k1", F.col("c1b"))
+    nb_r = (stb.drop("vminb", "vmaxb")
+            .withColumn("k1", F.col("c1b"))
             .withColumn("k2", F.col("cmb"))
             .repartition(p_join, "k1", "k2"))
     nbhd = (nb_l.join(nb_r, ["k1", "k2"])
@@ -990,7 +1018,9 @@ def knn_topk(series: DataFrame, k: int = 4, radius: int = 5,
                         & (F.col("qcm") == F.col("cmb"))
                         & (F.col("na") == F.col("nb"))
                         & (F.col("id_a") != F.col("id_b")))
-            .filter(F.col("_tau").isNull() | (lbe <= F.col("_tau")))
+            .filter(F.col("_tau").isNull()
+                    | ((lbe <= F.col("_tau"))
+                       & (lb_mm_uniform <= F.col("_tau"))))
             .join(cand, ["id_a", "id_b"], "left_anti")
             .select("id_a", "id_b"))
     if stats_out is not None:
