@@ -956,9 +956,17 @@ def knn_topk(series: DataFrame, k: int = 4, radius: int = 5,
                 F.col("vmin").alias(f"vmin{s}"),
                 F.col("vmax").alias(f"vmax{s}"))
 
+        # rank candidates by the TIGHTEST available scalar bound (max of
+        # endpoint and extrema LBs): among the zero-endpoint-LB ties that
+        # dominate overlapping-range corpora the extrema term still
+        # discriminates, so the DP'd seeds are closer to true neighbors
+        # and τ comes out tighter. Candidate CHOICE never affects
+        # exactness (τ is an upper-bound filter with ties kept) — only
+        # how much the τ cut prunes downstream.
         boot = (topk_per_key(_bd("a").join(_bd("b"), ["band", "sub"])
                              .filter(resid_cond)
-                             .withColumn("_lbr", lb_resid),
+                             .withColumn("_lbr",
+                                         F.greatest(lb_resid, lb_minmax)),
                              "id_a", "_lbr", k * oversample, tie_col="id_b")
                 .select("id_a", "id_b")
                 .localCheckpoint(eager=True))  # small; reused by the
