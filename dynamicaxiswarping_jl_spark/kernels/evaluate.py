@@ -56,6 +56,18 @@ def dtw_dist(x, y, radius: int = 5, dist=None, transportcost: float = 1.0,
                         transportcost_placement=transportcost_placement)
     if x.shape[-1] > y.shape[-1]:
         x, y = y, x
+    if transportcost_placement == "reference" and transportcost != 1.0:
+        # the unequal-length branch runs through dtwnn, whose DP keeps
+        # the engine's matrix placement regardless of the flag (the
+        # documented deviation) — a caller opting in for Julia
+        # bit-compatibility must hear about the fallback at call time,
+        # not discover it in the README (ADVICE r03)
+        import warnings
+        warnings.warn(
+            "transportcost_placement='reference' is ignored on the "
+            "unequal-length (dtwnn) path: the subsequence DP uses the "
+            "engine's matrix placement (see README 'Known deviations')",
+            RuntimeWarning, stacklevel=2)
     nrm = normalizer if normalizer in ("znorm", "z", "ZNormalizer") else None
     return dtwnn(x, y, dist, radius, nrm, prune_endpoints=False,
                  transportcost=transportcost).cost

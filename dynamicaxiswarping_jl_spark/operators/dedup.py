@@ -102,9 +102,10 @@ def _scan_splits(spark, files) -> int:
             spark, "spark.sql.files.minPartitionNum",
             _conf_int(spark, "spark.sql.leafNodeDefaultParallelism",
                       spark.sparkContext.defaultParallelism))
-        parts = _pack_splits(sizes, max_part, open_cost, max(1, par))
+        parts, splits = _cut_and_pack(sizes, max_part, open_cost,
+                                      max(1, par))
         cap = _conf_int(spark, "spark.sql.files.maxPartitionNum", 0)
-        return min(parts, cap) if cap > 0 else parts
+        return _apply_part_cap(parts, splits, open_cost, cap)
     except Exception:
         return 0
 
@@ -116,10 +117,12 @@ def _conf_int(spark, key: str, default: int) -> int:
         return default
 
 
-def _pack_splits(sizes, max_part: int, open_cost: int, par: int) -> int:
+def _cut_and_pack(sizes, max_part: int, open_cost: int,
+                  par: int) -> tuple:
     """Pure Spark file-partitioning math (unit-tested against Spark's
-    observed behavior): returns the number of scan partitions for files
-    of the given byte sizes."""
+    observed behavior): returns ``(partitions, splits)`` for files of
+    the given byte sizes. The split list is what Spark's 3.5+
+    ``maxPartitionNum`` repack re-bins, so it's returned alongside."""
     total = sum(sizes) + open_cost * len(sizes)
     max_split = max(1, min(max_part, max(open_cost, total // par)))
     splits = []
@@ -135,7 +138,29 @@ def _pack_splits(sizes, max_part: int, open_cost: int, par: int) -> int:
             parts += 1
             cur = 0
         cur += sp + open_cost
-    return parts + (1 if cur > 0 else 0)
+    return parts + (1 if cur > 0 else 0), splits
+
+
+def _pack_splits(sizes, max_part: int, open_cost: int, par: int) -> int:
+    return _cut_and_pack(sizes, max_part, open_cost, par)[0]
+
+
+def _apply_part_cap(parts: int, splits, open_cost: int, cap: int) -> int:
+    """Spark 3.5+ ``spark.sql.files.maxPartitionNum`` handling: when the
+    first packing exceeds the cap, Spark REPACKS the already-cut splits
+    with desiredSplitBytes = ceil((Σ split + openCost per split) / cap)
+    — it does not clamp. The repack can land BELOW the cap (bigger bins
+    pack more splits) or ABOVE it (splits are never re-cut, so one
+    oversized split still occupies its own partition) — a min() clamp
+    gets both cases wrong and can silently skip the re-spread
+    (ADVICE r03). Re-cutting with the larger split size leaves the
+    splits unchanged, so ``_cut_and_pack`` on the split list reproduces
+    Spark's second getFilePartitions pass exactly."""
+    if cap <= 0 or parts <= cap:
+        return parts
+    total = sum(splits) + open_cost * len(splits)
+    desired = max(1, -(-total // cap))  # ceil
+    return _cut_and_pack(splits, desired, open_cost, 1)[0]
 
 
 def _with_shingle_hashes(docs: DataFrame, text_col: str, shingle: int,

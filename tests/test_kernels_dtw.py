@@ -287,6 +287,25 @@ class TestTransportcostPlacement:
         with pytest.raises(ValueError, match="transportcost_placement"):
             dtw_dist(self.a, self.b[:5], transportcost_placement="julia")
 
+    def test_reference_placement_fallback_warns_on_unequal_lengths(self):
+        # ADVICE r03: the unequal-length (dtwnn) path silently keeps the
+        # matrix placement — the opt-in for Julia bit-compatibility must
+        # be surfaced at call time when it can't be honored
+        import warnings
+        from dynamicaxiswarping_jl_spark.kernels.evaluate import dtw_dist
+        with pytest.warns(RuntimeWarning, match="matrix placement"):
+            dtw_dist(self.a, self.b[:5], transportcost=1.5,
+                     transportcost_placement="reference")
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")  # no warning in any of:
+            # tc == 1 (placements coincide), equal lengths (flag honored),
+            # unequal lengths with the default placement
+            dtw_dist(self.a, self.b[:5],
+                     transportcost_placement="reference")
+            dtw_dist(self.a, self.b, transportcost=1.5,
+                     transportcost_placement="reference")
+            dtw_dist(self.a, self.b[:5], transportcost=1.5)
+
 
 class TestRadiuslimits:
     def test_unequal_lengths(self):

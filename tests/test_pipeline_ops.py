@@ -87,6 +87,28 @@ class TestDedup:
         assert _pack_splits([5 * m] * 20 + [0] * 40, 128 * m, 4 * m, 32) \
             == 20
 
+    def test_part_cap_repacks_splits_like_spark_not_min_clamp(self):
+        """spark.sql.files.maxPartitionNum repacks the already-cut splits
+        with desiredSplitBytes = ceil(total/cap); it does NOT clamp, so
+        the result can be above OR below the cap (ADVICE r03)."""
+        from dynamicaxiswarping_jl_spark.operators.dedup import (
+            _apply_part_cap, _cut_and_pack)
+        m = 1 << 20
+        # one 100MB file cut at 10MB -> 10 splits / 10 partitions; cap=3
+        # gives desired=ceil(100M/3), 3 splits/bin -> 4 partitions (>cap;
+        # a min() clamp says 3)
+        parts, splits = _cut_and_pack([100 * m], 10 * m, 0, 1)
+        assert (parts, len(splits)) == (10, 10)
+        assert _apply_part_cap(parts, splits, 0, 3) == 4
+        # 20 x 5MB files with 4MB openCost: 20 partitions; cap=10 ->
+        # desired=ceil(180M/10)=18M packs two (5M+4M) splits per bin -> 10
+        parts, splits = _cut_and_pack([5 * m] * 20, 128 * m, 4 * m, 32)
+        assert parts == 20
+        assert _apply_part_cap(parts, splits, 4 * m, 10) == 10
+        # cap not binding / unset: untouched
+        assert _apply_part_cap(20, splits, 4 * m, 0) == 20
+        assert _apply_part_cap(20, splits, 4 * m, 25) == 20
+
     def test_scan_splits_skips_respread_for_a_wide_single_file(
             self, spark, tmp_path):
         """One large parquet file is already split at maxSplitBytes into
