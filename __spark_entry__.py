@@ -32,6 +32,8 @@ from dynamicaxiswarping_jl_spark.operators import (
     token_stats, quality_score, language_id,
     fingerprint, attach_media_metadata, image_features,
 )
+from dynamicaxiswarping_jl_spark.operators.multimodal import (
+    audio_features, encode_bmp, encode_wav)
 from dynamicaxiswarping_jl_spark.sources import transcripts_df
 
 
@@ -292,6 +294,87 @@ def q_media_features(spark, sf_dir):
     return (feats.select("media_id",
                          F.posexplode("features").alias("feat_idx", "_v"))
             .select("media_id", "feat_idx", _r("_v", 4).alias("v")))
+
+
+_MEDIA_BIN_SCHEMA = "media_id long, payload binary"
+
+
+def _media_bmp_from_docs(spark, sf_dir):
+    """REAL image fixture: each document becomes an 8x8 24-bpp BMP whose
+    pixels are the sha256 expansion of its text (deterministic, no
+    external data). The query then exercises the actual encode->decode
+    codec path, so a decoder bug breaks the golden match."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    docs = (_t(spark, sf_dir, "documents")
+            .select(F.col("doc_id").alias("media_id"), "text"))
+
+    def build(batches):
+        for pdf in batches:
+            ids, pays = [], []
+            for mid, text in zip(pdf["media_id"], pdf["text"]):
+                d = hashlib.sha256(text.encode("utf-8")).digest()
+                reps = (8 * 8 * 3) // len(d) + 1
+                img = np.frombuffer((d * reps)[: 8 * 8 * 3],
+                                    np.uint8).reshape(8, 8, 3)
+                ids.append(mid)
+                pays.append(bytearray(encode_bmp(img)))
+            yield pd.DataFrame({"media_id": ids, "payload": pays})
+
+    return docs.mapInPandas(build, _MEDIA_BIN_SCHEMA)
+
+
+def q_media_image_features(spark, sf_dir):
+    """REAL BMP decode (no fake): deterministic BMP payloads built from
+    documents, decoded by operators/multimodal.decode_bmp, per-channel
+    mean/std features. Golden re-derives the features independently from
+    the sha256 pixel rule (scripts/make_goldens.py) — any drift in the
+    BMP encoder OR decoder breaks the hash match."""
+    media = _media_bmp_from_docs(spark, sf_dir)
+    feats = image_features(media)  # fake=False: real decode
+    return (feats.select("media_id",
+                         F.posexplode("features").alias("feat_idx", "_v"))
+            .select("media_id", "feat_idx", _r("_v", 4).alias("v")))
+
+
+def q_media_audio_features(spark, sf_dir):
+    """REAL WAV decode: deterministic 16-bit PCM clips built from
+    documents (samples are xxhash64-derived JVM-side), encoded by
+    encode_wav in a pandas UDF, decoded by decode_wav inside
+    audio_features. Golden re-derives duration/rms/mean/zcr from the
+    same hash rule + int16 quantization with a spec-level pure-Python
+    xxhash64 — fully independent of the engine codec."""
+    import numpy as np
+    import pandas as pd
+
+    docs = (_t(spark, sf_dir, "documents")
+            .select(F.col("doc_id").alias("media_id"), "text"))
+    n = (F.lit(160) + F.pmod(F.xxhash64("text"), F.lit(41))).cast("int")
+    samp = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: (F.pmod(F.xxhash64(F.concat(F.col("text"), F.lit("#"),
+                                              i.cast("string"))),
+                          F.lit(2001)).cast("double") - 1000.0) / 1024.0)
+    sdf = docs.select("media_id", samp.alias("samples"))
+
+    def build(batches):
+        for pdf in batches:
+            ids, pays = [], []
+            for mid, s in zip(pdf["media_id"], pdf["samples"]):
+                x = np.asarray(s, dtype=np.float64)[:, None]
+                ids.append(mid)
+                pays.append(bytearray(encode_wav(x, rate=1000, bits=16)))
+            yield pd.DataFrame({"media_id": ids, "payload": pays})
+
+    media = sdf.mapInPandas(build, _MEDIA_BIN_SCHEMA)
+    af = audio_features(media)
+    return af.select("media_id", "duration_ms",
+                     _r("rms", 6).alias("rms"),
+                     _r("mean", 6).alias("mean_v"),
+                     _r("zcr", 6).alias("zcr"))
 
 
 # ---- non-SQL-expressible (rows-only checks) ------------------------------
@@ -609,6 +692,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "media_metadata": q_media_metadata,
         "media_features": q_media_features,
+        "media_image_features": q_media_image_features,
+        "media_audio_features": q_media_audio_features,
         "ivf_ann_topk": q_ivf_ann_topk,
         "gdtw_pairs": q_gdtw_pairs,
         "dbaclust_assign": q_dbaclust_assign,
@@ -972,5 +1057,6 @@ def oracle_sql() -> dict[str, str]:
                "distance_profile", "align_delays", "dba_reps",
                "dbaclust_assign", "gorilla_roundtrip", "transcripts_rollup",
                "minhash_pairs", "neardup_keep", "simhash", "simhash_neardup",
-               "embedding_neardup_lsh", "lsh_ann_topk", "ivf_ann_topk")},
+               "embedding_neardup_lsh", "lsh_ann_topk", "ivf_ann_topk",
+               "media_image_features", "media_audio_features")},
     }

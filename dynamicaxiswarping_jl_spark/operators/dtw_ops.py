@@ -395,10 +395,23 @@ def distance_profile_op(queries: DataFrame, series: DataFrame,
 
 
 def matrix_profile_op(series: DataFrame, m: int, radius: int = 5,
-                      dist: str = "sqeuclidean",
-                      key: str = "conv_id") -> DataFrame:
+                      dist: str = "sqeuclidean", key: str = "conv_id",
+                      chunk_windows: int = 32768) -> DataFrame:
     """Per-series DTW matrix profile (reference src/matrix_profile.jl:2-19):
-    (key, loc, nn_dist, nn_loc), trivial band |i-j|<=radius excluded."""
+    (key, loc, nn_dist, nn_loc), trivial band |i-j|<=radius excluded.
+
+    Long-series scale path (VERDICT r03 #3): one series' O(nw²) window
+    pairs must not land on one core. When any eligible series has more
+    than ``chunk_windows`` windows, the window axis is TILED: each
+    (query-chunk, candidate-chunk) pair becomes a row carrying its two
+    overlapping segments (m-1 halo), a task computes the tile's partial
+    profile with the trivial band translated into tile-local window
+    coordinates, and partial rows merge by lexicographic
+    (nn_dist, nn_loc) struct-min. Identical to the one-task scan: dtwnn
+    reports the LOWEST tying loc and exact ties always survive its
+    <=-LB gates, so min-of-tile-minima reproduces both the value and
+    the tie winner. Segment traffic is O(n x tiles-per-axis) — the
+    standard similarity-tile trade for distributing a quadratic."""
     schema = T.StructType([
         T.StructField(key, T.StringType()),
         T.StructField("loc", T.IntegerType()),
@@ -423,7 +436,64 @@ def matrix_profile_op(series: DataFrame, m: int, radius: int = 5,
             if frames:
                 yield pd.concat(frames, ignore_index=True)
 
-    return _spread(series.select(key, "points")).mapInPandas(run, schema)
+    # one cheap pre-scan decides the plan: the tiled path adds a merge
+    # shuffle the (dominant) short-series workload shouldn't pay
+    longest = (series.agg(F.max(F.size("points")).alias("_n"))
+               .first()["_n"]) or 0
+    if longest - m + 1 <= chunk_windows:
+        return _spread(series.select(key, "points")).mapInPandas(run,
+                                                                 schema)
+
+    C = int(chunk_windows)
+    e = (series.filter(F.size("points") >= m + radius + 1)
+         .select(F.col(key), "points",
+                 (F.size("points") - m + 1).alias("nw")))
+    nt = F.ceil(F.col("nw") / F.lit(C)).cast("int")
+    t = (e.withColumn("qt", F.explode(F.sequence(F.lit(0), nt - 1)))
+         .withColumn("jt", F.explode(F.sequence(F.lit(0), nt - 1))))
+    qlen = F.least(F.lit(C), F.col("nw") - F.col("qt") * C)
+    jlen = F.least(F.lit(C), F.col("nw") - F.col("jt") * C)
+    tiles = t.select(
+        F.col(key), (F.col("qt") * C).alias("qoff"),
+        (F.col("jt") * C).alias("joff"),
+        F.slice("points", F.col("qt") * C + 1,
+                qlen + m - 1).alias("qseg"),
+        F.slice("points", F.col("jt") * C + 1,
+                jlen + m - 1).alias("jseg"))
+
+    def run_tiles(batches: Iterator[pd.DataFrame]
+                  ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames = []
+            for row in pdf.itertuples(index=False):
+                qseg = np.asarray(row.qseg, dtype=np.float64)
+                jseg = np.asarray(row.jseg, dtype=np.float64)
+                qoff, joff = int(row.qoff), int(row.joff)
+                nq = len(qseg) - m + 1
+                locs, dists_, nls = [], [], []
+                for i in range(nq):
+                    gi = qoff + i
+                    res = dtwnn(qseg[i:i + m], jseg, dist, radius,
+                                avoid=(gi + 1 - radius - joff,
+                                       gi + 1 + radius - joff))
+                    if np.isfinite(res.cost):
+                        locs.append(gi + 1)
+                        dists_.append(float(res.cost))
+                        nls.append(res.loc + joff)
+                if locs:
+                    frames.append(pd.DataFrame({
+                        key: getattr(row, key),
+                        "loc": np.asarray(locs, np.int32),
+                        "nn_dist": dists_,
+                        "nn_loc": np.asarray(nls, np.int32)}))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    part = _spread(tiles, factor=1).mapInPandas(run_tiles, schema)
+    return (part.groupBy(key, "loc")
+            .agg(F.min(F.struct("nn_dist", "nn_loc")).alias("_b"))
+            .select(key, "loc", F.col("_b.nn_dist").alias("nn_dist"),
+                    F.col("_b.nn_loc").alias("nn_loc")))
 
 
 def align_to_master(series: DataFrame, master_points, dist: str = "sqeuclidean",
@@ -503,18 +573,162 @@ def drift_scores(fine: DataFrame, coarse: DataFrame, radius: int = 5,
     return _spread(joined).mapInPandas(run, schema)
 
 
+def _nn_reduce(per_block: DataFrame, key: str) -> DataFrame:
+    """Global per-query winner from per-task winner rows. struct-min:
+    lexicographic (cost, key, loc) — deterministic winner even when
+    several series tie on the exact minimum cost (min_by alone picks an
+    arbitrary tied row, which breaks golden-value checks)."""
+    return (per_block.groupBy("query_id")
+            .agg(F.min(F.struct("cost", key, "loc")).alias("_b"),
+                 F.sum("prune_end").alias("prune_end"),
+                 F.sum("prune_env").alias("prune_env"))
+            .select("query_id", F.col("_b.cost").alias("cost"),
+                    F.col(f"_b.{key}").alias(key),
+                    F.col("_b.loc").alias("loc"),
+                    "prune_end", "prune_env"))
+
+
+def _dtwnn_search_blocked(queries: DataFrame, series: DataFrame,
+                          radius: int, normalizer, dist, key: str,
+                          float32: bool, partitions: Optional[int],
+                          seed_sample: int,
+                          schema: T.StructType) -> DataFrame:
+    """Large-query-set dtwnn_search (see dtwnn_search docstring): the
+    query set never rides the driver. Series hash into S blocks; queries
+    are replicated to every block through one shuffle; each cogroup task
+    runs the full 3-stage cascade for its (series block x all queries)
+    slab with per-query bsf threading across the block's series. Exact:
+    min of per-block exact minima == global minimum, and seeded blocks
+    keep exact-tie rows because every LB gate compares with <=."""
+    spark = series.sparkSession
+    dt = np.float32 if float32 else np.float64
+    S = int(partitions or spark.sparkContext.defaultParallelism * 2)
+    use_zn = _use_znorm(normalizer)
+
+    # distributed seeding: the SAMPLE (seed_sample series, deterministic
+    # xxhash64 order) ships in the closure of a job over query
+    # partitions — the inversion of the small-Q driver seeding; O(|Q| x
+    # seed_sample) DPs spread over the cluster, one small shuffle back
+    seed_col = "seed"
+    qsel = queries.select("query_id", "q")
+    sample = [np.asarray(r["points"], dtype=dt)
+              for r in (series.select("points")
+                        .orderBy(F.xxhash64(key), key)
+                        .limit(int(seed_sample)).collect())] \
+        if seed_sample else []
+    if sample:
+        seed_schema = T.StructType([
+            T.StructField("query_id", T.StringType()),
+            T.StructField(seed_col, T.DoubleType()),
+        ])
+
+        def seed_fn(batches: Iterator[pd.DataFrame]
+                    ) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                qids, seeds = [], []
+                for row in pdf.itertuples(index=False):
+                    q = np.asarray(row.q, dtype=np.float64)
+                    envs = _query_envs(q, dt, radius, use_zn)
+                    bsf = np.inf
+                    for y in sample:
+                        if len(y) < len(q):
+                            continue
+                        res = dtwnn(q.astype(dt), y, dist, radius,
+                                    normalizer, initial_bsf=bsf,
+                                    dtype=dt, envs=envs)
+                        if np.isfinite(res.cost):
+                            bsf = min(bsf, float(res.cost))
+                    qids.append(row.query_id)
+                    seeds.append(bsf if np.isfinite(bsf) else None)
+                yield pd.DataFrame({"query_id": qids, seed_col: seeds})
+
+        seeds_df = (qsel.repartition(S, "query_id")
+                    .mapInPandas(seed_fn, seed_schema))
+        qsel = qsel.join(seeds_df, "query_id", "left")
+    else:
+        qsel = qsel.withColumn(seed_col, F.lit(None).cast("double"))
+
+    blocks = spark.range(S).select(F.col("id").cast("int").alias("sb"))
+    qrep = qsel.crossJoin(F.broadcast(blocks))
+    ser_b = (series.select(F.col(key), "points")
+             .withColumn("sb", F.pmod(F.xxhash64(key),
+                                      F.lit(S)).cast("int")))
+    out_cols = [f.name for f in schema.fields]
+
+    def block_fn(sdf: pd.DataFrame, qdf: pd.DataFrame) -> pd.DataFrame:
+        if sdf.empty or qdf.empty:
+            return pd.DataFrame(columns=out_cols)
+        qlist, task_bsf, env_cache = [], {}, {}
+        for qrow in qdf.itertuples(index=False):
+            q = np.asarray(qrow.q, dtype=np.float64)
+            qlist.append((qrow.query_id, q))
+            s = qrow.seed
+            if s is not None and s == s:  # non-null, non-NaN
+                task_bsf[qrow.query_id] = float(s)
+        recs = []
+        for row in sdf.itertuples(index=False):
+            y = np.asarray(row.points, dtype=dt)
+            for qid, q in qlist:
+                if len(y) < len(q):
+                    continue
+                if qid not in env_cache:
+                    env_cache[qid] = _query_envs(q, dt, radius, use_zn)
+                res = dtwnn(q.astype(dt), y, dist, radius, normalizer,
+                            initial_bsf=task_bsf.get(qid, np.inf),
+                            dtype=dt, envs=env_cache[qid])
+                if np.isfinite(res.cost):
+                    task_bsf[qid] = min(task_bsf.get(qid, np.inf),
+                                        res.cost)
+                    recs.append({"query_id": qid,
+                                 key: getattr(row, key),
+                                 "cost": res.cost, "loc": res.loc,
+                                 "prune_end": res.prune_end,
+                                 "prune_env": res.prune_env})
+        if not recs:
+            return pd.DataFrame(columns=out_cols)
+        # map-side combine: one winner row per query per block (same
+        # lexicographic (cost, key, loc) rule as _nn_reduce) + summed
+        # prune counters
+        part = pd.DataFrame(recs, columns=out_cols)
+        best = (part.sort_values(["cost", key, "loc"])
+                .groupby("query_id", sort=False).head(1))
+        sums = part.groupby("query_id", sort=False, as_index=False)[
+            ["prune_end", "prune_env"]].sum()
+        return best.drop(columns=["prune_end", "prune_env"]).merge(
+            sums, on="query_id")[out_cols]
+
+    per_block = (ser_b.groupby("sb")
+                 .cogroup(qrep.groupby("sb"))
+                 .applyInPandas(lambda s, q: block_fn(
+                     s.drop(columns=["sb"]), q.drop(columns=["sb"])),
+                     schema))
+    return _nn_reduce(per_block, key)
+
+
 def dtwnn_search(queries: DataFrame, series: DataFrame, radius: int = 5,
                  normalizer: str | None = None, dist: str = "sqeuclidean",
                  key: str = "conv_id", float32: bool = False,
                  partitions: Optional[int] = None,
-                 seed_sample: int = 8) -> DataFrame:
+                 seed_sample: int = 8,
+                 max_closure_queries: int = 512) -> DataFrame:
     """NN of each query subsequence across every series.
 
-    Plan: queries are collected (small by construction — the short
-    patterns) and shipped in the UDF closure, so each series crosses the
+    Plan, small query sets (<= ``max_closure_queries``): queries are
+    collected and shipped in the UDF closure, so each series crosses the
     Arrow boundary exactly once and every task runs all queries against its
     series — no crossJoin, no 8x data duplication. Global argmin per query
     via min_by — the distributed Base.findmin (src/dtwnn.jl:41-50).
+
+    Plan, large query sets: neither the queries nor the seed DPs touch
+    the driver (VERDICT r03 #2). Queries stay a DataFrame; seeding runs
+    as a distributed job over QUERY partitions against a tiny
+    deterministic series sample shipped in the closure (the sample is
+    ``seed_sample`` rows — the inversion of the small-Q plan); the main
+    pass cogroups hash-blocked series with block-replicated queries, so
+    any block's work fits one task and the query set is never
+    materialized in one place. Replication cost is |Q| x S rows of query
+    payload — linear, chosen over a corpus broadcast because the corpus
+    side is the one that cannot fit anywhere at scale.
 
     Prune counters are summed as global metrics columns. NOTE: cost/loc
     are exact and deterministic, but the counters depend on which series
@@ -543,10 +757,9 @@ def dtwnn_search(queries: DataFrame, series: DataFrame, radius: int = 5,
     ``_SEED_DP_BUDGET`` total calls — past that the sample shrinks (and
     eventually seeding turns off) so a huge query set can't stall the
     driver; the same small-query-set assumption the operator already
-    makes by shipping the collected queries in the UDF closure.
+    makes by shipping the collected queries in the UDF closure. On the
+    large-Q path the budget is irrelevant: seed DPs are distributed.
     """
-    qlist = [(r["query_id"], np.asarray(r["q"], dtype=np.float64))
-             for r in queries.select("query_id", "q").collect()]
     schema = T.StructType([
         T.StructField("query_id", T.StringType()),
         T.StructField(key, T.StringType()),
@@ -555,6 +768,12 @@ def dtwnn_search(queries: DataFrame, series: DataFrame, radius: int = 5,
         T.StructField("prune_end", T.LongType()),
         T.StructField("prune_env", T.LongType()),
     ])
+    if queries.count() > max_closure_queries:
+        return _dtwnn_search_blocked(queries, series, radius, normalizer,
+                                     dist, key, float32, partitions,
+                                     seed_sample, schema)
+    qlist = [(r["query_id"], np.asarray(r["q"], dtype=np.float64))
+             for r in queries.select("query_id", "q").collect()]
 
     seed_bsf: dict = {}
     # the seed DPs run serially on the driver: bound the total at
@@ -631,17 +850,121 @@ def dtwnn_search(queries: DataFrame, series: DataFrame, radius: int = 5,
 
     per_series = _spread(series.select(F.col(key), F.col("points")),
                          factor=1, target=partitions).mapInPandas(run, schema)
-    # struct-min: lexicographic (cost, key, loc) — deterministic winner even
-    # when several series tie on the exact minimum cost (min_by alone picks
-    # an arbitrary tied row, which breaks golden-value checks)
-    return (per_series.groupBy("query_id")
-            .agg(F.min(F.struct("cost", key, "loc")).alias("_b"),
-                 F.sum("prune_end").alias("prune_end"),
-                 F.sum("prune_env").alias("prune_env"))
-            .select("query_id", F.col("_b.cost").alias("cost"),
-                    F.col(f"_b.{key}").alias(key),
-                    F.col("_b.loc").alias("loc"),
-                    "prune_end", "prune_env"))
+    return _nn_reduce(per_series, key)
+
+
+_SKETCH_BAND_CAP = 8  # largest sketch window = 2^8 = 256 points
+
+
+def _band_sketch(series: DataFrame, key: str) -> DataFrame:
+    """Per-series band sketch backing two sound scalar lower bounds on
+    the cross-length subsequence DTW cost (knn_topk residue admission).
+
+    The subsequence DP aligns the shorter side s (length m) against a
+    CONTIGUOUS length-m window w of the longer side l, and the banded
+    path covers every element of both (kernels/dtwnn.py:217). For band
+    window sizes w_b = 2^b (b = 0..min(floor(log2(n)), CAP)), any
+    length-m window with m >= w_b contains a length-w_b sub-window, so
+    per-band sliding statistics over l give bounds valid for EVERY
+    partner length m in [w_b, 2*w_b) (and, by containment, any m >=
+    w_b):
+
+      coremax[b] = min over length-w_b windows of (window max): the best
+        window's max is >= coremax and must be matched to a value of s
+        <= smax, contributing (coremax - smax)+^2 to the cost.
+      coremin[b] = max over windows of (window min): symmetric,
+        (smin - coremin)+^2. The two contributions sit on distinct path
+        cells unless the optimal window is constant — constw[b] records
+        whether ANY length-w_b window is constant; when set the bound
+        degrades from the sum to the max of the two terms.
+      minvar[b] = min over windows of the population variance: every
+        window element is matched to a value inside s's range (width W),
+        and for any interval of width W with center c,
+        (w_j - c)^2 <= W^2/2 + 2*d(w_j, I)^2, so summing over one
+        length-w_b sub-window,
+        cost >= w_b * max(0, minvar - W^2/2) / 2.
+        Two-pass variance per window, shaved by a scale-aware epsilon so
+        the stored minimum can only UNDERestimate (fp-sound).
+
+    These prune the range-nested pairs (s's values inside l's global
+    range) that the endpoint/extrema bounds are blind to — the 0.305
+    admitted fraction of round 3's 50k mixed-length probe: a wide-swing
+    window can't hide inside a narrow query range, and its guaranteed
+    core range [coremin, coremax] must be covered by s's range.
+    """
+    schema = T.StructType([
+        T.StructField("id", T.StringType()),
+        T.StructField("minvar", T.ArrayType(T.DoubleType())),
+        T.StructField("coremax", T.ArrayType(T.DoubleType())),
+        T.StructField("coremin", T.ArrayType(T.DoubleType())),
+        T.StructField("constw", T.ArrayType(T.BooleanType())),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from numpy.lib.stride_tricks import sliding_window_view
+        for pdf in batches:
+            ids, mvs, cxs, cns, cws = [], [], [], [], []
+            for row in pdf.itertuples(index=False):
+                x = np.asarray(row.points, dtype=np.float64)
+                n = len(x)
+                scale2 = float(np.abs(x).max()) ** 2 if n else 0.0
+                nb = (min(n.bit_length() - 1, _SKETCH_BAND_CAP) + 1
+                      if n else 0)
+                mv, cx, cn, cw = [], [], [], []
+                for b in range(nb):
+                    w = 1 << b
+                    sw = sliding_window_view(x, w)
+                    wmax = sw.max(axis=1)
+                    wmin = sw.min(axis=1)
+                    cx.append(float(wmax.min()))
+                    cn.append(float(wmin.max()))
+                    cw.append(bool((wmax == wmin).any()))
+                    v = float(sw.var(axis=1).min())
+                    mv.append(max(0.0, v - 1e-9 * (1.0 + scale2)))
+                ids.append(row.id)
+                mvs.append(mv)
+                cxs.append(cx)
+                cns.append(cn)
+                cws.append(cw)
+            yield pd.DataFrame({"id": ids, "minvar": mvs, "coremax": cxs,
+                                "coremin": cns, "constw": cws})
+
+    return (series.select(F.col(key).alias("id"), "points")
+            .mapInPandas(gen, schema))
+
+
+def _sketch_band_idx():
+    """1-based element_at index of the band for a cross-length pair:
+    the largest sketch window <= min(na, nb). Integer bit-length math
+    (conv to binary), NOT floor(log2(double)) — Spark's LOG2 is not
+    correctly rounded at powers of two, and a band off by one in either
+    direction silently weakens or (upward) UNsounds the bound."""
+    m = F.least("na", "nb")
+    band = F.least(F.lit(_SKETCH_BAND_CAP),
+                   (F.length(F.conv(m.cast("string"), 10, 2))
+                    - F.lit(1)).cast("int"))
+    return band
+
+
+def _sketch_bounds(s_vmin, s_vmax):
+    """(core_lb, var_lb) Catalyst expressions over a pair row joined to
+    the LONGER side's band sketch columns (minvar/coremax/coremin/
+    constw) — see _band_sketch for the soundness argument. ``s_vmin`` /
+    ``s_vmax``: the shorter side's global value range."""
+    band = _sketch_band_idx()
+    idx = band + F.lit(1)
+    lmv = F.element_at("minvar", idx)
+    lcx = F.element_at("coremax", idx)
+    lcn = F.element_at("coremin", idx)
+    lcw = F.element_at("constw", idx)
+    c1 = F.greatest(lcx - s_vmax, F.lit(0.0))
+    c2 = F.greatest(s_vmin - lcn, F.lit(0.0))
+    core_lb = F.when(lcw, F.greatest(c1 * c1, c2 * c2)) \
+        .otherwise(c1 * c1 + c2 * c2)
+    mb = F.pow(F.lit(2.0), band.cast("double"))
+    wid = s_vmax - s_vmin
+    var_lb = 0.5 * mb * F.greatest(lmv - 0.5 * wid * wid, F.lit(0.0))
+    return core_lb, var_lb
 
 
 def knn_topk(series: DataFrame, k: int = 4, radius: int = 5,
@@ -765,12 +1088,24 @@ def knn_topk(series: DataFrame, k: int = 4, radius: int = 5,
     # survivor set it was trimming. Net total CPU 45k vs 17k cpu·s in
     # favour of scalars — candidate enumeration stays on 8-byte scalars
     # and the saved pairs are cheaper to DP than to pre-screen.
+    # full-series population variance (fp-shaved downward so the bound
+    # built on it can only underestimate): backs the equal-length
+    # variance admission bound in phase 2 — every element of one side is
+    # matched to a value inside the other side's range, so
+    # cost >= n * max(0, var - width^2/2) / 2 (see _band_sketch)
+    _n = F.size("points").cast("double")
+    _s2 = F.aggregate("points", F.lit(0.0), lambda a, v: a + v * v) / _n
+    _vr = _s2 - (F.aggregate("points", F.lit(0.0),
+                             lambda a, v: a + v) / _n) ** 2
     st = (series.select(F.col(key).alias("id"),
                         F.element_at("points", 1).alias("p1"),
                         F.element_at("points", -1).alias("pm"),
                         F.size("points").alias("n"),
                         F.array_min("points").alias("vmin"),
-                        F.array_max("points").alias("vmax"))
+                        F.array_max("points").alias("vmax"),
+                        F.greatest(F.lit(0.0),
+                                   _vr - 1e-9 * (F.lit(1.0) + _s2))
+                        .alias("var"))
           .localCheckpoint(eager=True))
     # one pre-scan job answers everything: LB-eligible (n>=2) extent +
     # length diversity via conditional aggs, short-series presence via the
@@ -814,12 +1149,14 @@ def knn_topk(series: DataFrame, k: int = 4, radius: int = 5,
                      F.col("pm").alias("pma"), F.col("n").alias("na"),
                      F.col("c1").alias("c1a"), F.col("cm").alias("cma"),
                      F.col("vmin").alias("vmina"),
-                     F.col("vmax").alias("vmaxa"))
+                     F.col("vmax").alias("vmaxa"),
+                     F.col("var").alias("vara"))
     stb = stg.select(F.col("id").alias("id_b"), F.col("p1").alias("p1b"),
                      F.col("pm").alias("pmb"), F.col("n").alias("nb"),
                      F.col("c1").alias("c1b"), F.col("cm").alias("cmb"),
                      F.col("vmin").alias("vminb"),
-                     F.col("vmax").alias("vmaxb"))
+                     F.col("vmax").alias("vmaxb"),
+                     F.col("var").alias("varb"))
     lbe = ((F.col("p1a") - F.col("p1b")) ** 2
            + (F.col("pma") - F.col("pmb")) ** 2)
 
@@ -842,6 +1179,19 @@ def knn_topk(series: DataFrame, k: int = 4, radius: int = 5,
                        F.col("vminb"), F.col("vmaxb")),
         _lb_minmax_dir(F.col("vminb"), F.col("vmaxb"),
                        F.col("vmina"), F.col("vmaxa")))
+    # variance bound for EQUAL-length alignments (phase 2): the full
+    # path covers every element of each side, and each is matched to a
+    # value inside the other side's range (width W), so
+    # cost >= n * max(0, var - W^2/2) / 2 in both directions (see
+    # _band_sketch for the interval-center argument). Discriminates the
+    # range-nested pairs (one side's range inside the other's) that the
+    # endpoint and extrema bounds cannot see. Scalars only.
+    _wa = F.col("vmaxa") - F.col("vmina")
+    _wb = F.col("vmaxb") - F.col("vminb")
+    lb_var_uniform = 0.5 * F.col("na").cast("double") * F.greatest(
+        F.col("vara") - 0.5 * _wb * _wb,
+        F.col("varb") - 0.5 * _wa * _wa,
+        F.lit(0.0))
     off = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
     # explicit equi-keys + fixed-width repartition on them: the stats
     # tables are byte-tiny, so AQE coalesces the join shuffle to a
@@ -851,12 +1201,12 @@ def knn_topk(series: DataFrame, k: int = 4, radius: int = 5,
     p_join = sc.defaultParallelism * 2
     # phase-1 enumeration stays on the original thin scalar set — the
     # min/max columns are only consumed by phase 2's τ filter
-    nb_l = (sta.drop("vmina", "vmaxa")
+    nb_l = (sta.drop("vmina", "vmaxa", "vara")
             .withColumn("dx", off).withColumn("dy", off)
             .withColumn("k1", F.col("c1a") + F.col("dx"))
             .withColumn("k2", F.col("cma") + F.col("dy"))
             .repartition(p_join, "k1", "k2"))
-    nb_r = (stb.drop("vminb", "vmaxb")
+    nb_r = (stb.drop("vminb", "vmaxb", "varb")
             .withColumn("k1", F.col("c1b"))
             .withColumn("k2", F.col("cmb"))
             .repartition(p_join, "k1", "k2"))
@@ -938,6 +1288,27 @@ def knn_topk(series: DataFrame, k: int = 4, radius: int = 5,
             F.col("vmin").alias(f"vmin{s}"), F.col("vmax").alias(f"vmax{s}"))
 
     if has_residue:
+        # band sketch of every series (small: ~5 arrays of <= 9 entries
+        # per id) — backs the window-core + window-variance bounds that
+        # prune range-nested cross-length pairs (the round-3 residue's
+        # 0.305 admitted fraction). Joined onto pair streams by the
+        # LONGER side's id; broadcast while the sketch table is
+        # driver-feasible (~300 B/id), else a plain shuffled join — at
+        # that scale the pair stream it prunes dwarfs the sketch
+        # exchange either way.
+        sketch = _band_sketch(series, key).localCheckpoint(eager=True)
+        sk_long = sketch.select(F.col("id").alias("_lid"), "minvar",
+                                "coremax", "coremin", "constw")
+        if st.count() <= 1_000_000:
+            sk_long = F.broadcast(sk_long)
+        _long_id = F.when(F.col("na") <= F.col("nb"),
+                          F.col("id_b")).otherwise(F.col("id_a"))
+
+        def _with_long_sketch(pairs_df: DataFrame) -> DataFrame:
+            return (pairs_df.withColumn("_lid", _long_id)
+                    .join(sk_long, "_lid"))
+
+        lb_core_res, lb_var_res = _sketch_bounds(s_vmin, s_vmax)
         bucket = max(8 * k * oversample, 32)
         bands = (st.withColumn("band", F.floor(F.log2(F.col("n")
                                                       .cast("double")))))
@@ -963,11 +1334,15 @@ def knn_topk(series: DataFrame, k: int = 4, radius: int = 5,
         # and τ comes out tighter. Candidate CHOICE never affects
         # exactness (τ is an upper-bound filter with ties kept) — only
         # how much the τ cut prunes downstream.
-        boot = (topk_per_key(_bd("a").join(_bd("b"), ["band", "sub"])
-                             .filter(resid_cond)
-                             .withColumn("_lbr",
-                                         F.greatest(lb_resid, lb_minmax)),
-                             "id_a", "_lbr", k * oversample, tie_col="id_b")
+        boot = (topk_per_key(
+            _with_long_sketch(_bd("a").join(_bd("b"), ["band", "sub"])
+                              .filter(resid_cond))
+            .withColumn("_lbr", F.greatest(lb_resid, lb_minmax,
+                                           lb_core_res, lb_var_res))
+            # project the sketch arrays away BEFORE the top-k window:
+            # the window sort materializes whole rows
+            .select("id_a", "id_b", "_lbr"),
+            "id_a", "_lbr", k * oversample, tie_col="id_b")
                 .select("id_a", "id_b")
                 .localCheckpoint(eager=True))  # small; reused by the
         # residue left_anti — don't re-run the banded bootstrap window
@@ -1028,7 +1403,8 @@ def knn_topk(series: DataFrame, k: int = 4, radius: int = 5,
                         & (F.col("id_a") != F.col("id_b")))
             .filter(F.col("_tau").isNull()
                     | ((lbe <= F.col("_tau"))
-                       & (lb_mm_uniform <= F.col("_tau"))))
+                       & (lb_mm_uniform <= F.col("_tau"))
+                       & (lb_var_uniform <= F.col("_tau"))))
             .join(cand, ["id_a", "id_b"], "left_anti")
             .select("id_a", "id_b"))
     if stats_out is not None:
@@ -1164,13 +1540,21 @@ def knn_topk(series: DataFrame, k: int = 4, radius: int = 5,
                                            F.col("vmaxa") + rad_v))
                  .join(_sc("b").withColumn("vc", vcell(F.col("p1b"))), "vc")
                  .filter(F.col("na") > F.col("nb")))
-        resid_pairs = (caseA.drop("alo", "blo").unionByName(caseB)
-                       .filter(resid_cond)
-                       .filter(F.col("_tau").isNull()
-                               | ((lb_resid <= F.col("_tau"))
-                                  & (lb_minmax <= F.col("_tau"))))
-                       .select("id_a", "id_b", F.col("_tau").alias("tau"))
-                       .join(boot, ["id_a", "id_b"], "left_anti"))
+        resid_pairs = (_with_long_sketch(
+            caseA.drop("alo", "blo").unionByName(caseB)
+            .filter(resid_cond)
+            # cheap scalar bounds first (no join needed), then the
+            # sketch-backed window-core + window-variance bounds — the
+            # discriminators for range-nested pairs the scalar extrema
+            # bounds admit
+            .filter(F.col("_tau").isNull()
+                    | ((lb_resid <= F.col("_tau"))
+                       & (lb_minmax <= F.col("_tau")))))
+            .filter(F.col("_tau").isNull()
+                    | ((lb_core_res <= F.col("_tau"))
+                       & (lb_var_res <= F.col("_tau"))))
+            .select("id_a", "id_b", F.col("_tau").alias("tau"))
+            .join(boot, ["id_a", "id_b"], "left_anti"))
         if stats_out is not None:
             # count-only, no checkpoint: same block-manager-size reasoning
             # as the phase-2 count above

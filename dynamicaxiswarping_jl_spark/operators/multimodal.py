@@ -2,16 +2,26 @@
 
 Design: media are opaque BINARY columns + typed metadata structs; decode /
 feature-extract / resize / frame-sample are Arrow-batched pandas UDFs over
-mapInPandas. The decode step is STUBBED (no media libs in this container):
-``decode_image`` raises NotImplementedError unless ``fake=True``, which
-produces a deterministic fake decode so the Spark-side plumbing — schema,
-partitioning, UDF signature, batch shape — is real and tested.
+mapInPandas.
+
+Decode support (pure NumPy, no media libs in this container):
+
+- **BMP** (Windows bitmap, BITMAPINFOHEADER, uncompressed BI_RGB 24/32
+  bpp, bottom-up or top-down): ``decode_bmp`` / ``encode_bmp``. The
+  format is public and uncompressed, so a struct-level parser is exact.
+- **WAV** (RIFF/WAVE PCM: 8/16/32-bit integer and 32/64-bit IEEE float):
+  ``decode_wav`` / ``encode_wav``.
+- Compressed codecs (PNG/JPEG deflate+DCT, MP3, H.264) require real
+  codec libraries and raise NotImplementedError; ``fake=True`` keeps the
+  deterministic sha256 pseudo-decode for plumbing tests and the
+  golden-pinned ``media_features`` driver query.
 """
 
 from __future__ import annotations
 
 import hashlib
-from typing import Iterator
+import struct
+from typing import Iterator, Tuple
 
 import numpy as np
 import pandas as pd
@@ -21,7 +31,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 __all__ = ["MEDIA_SCHEMA", "attach_media_metadata", "image_features",
-           "frame_sample"]
+           "frame_sample", "decode_bmp", "encode_bmp", "decode_wav",
+           "encode_wav", "decode_image", "audio_features"]
 
 MEDIA_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
@@ -38,11 +49,194 @@ MEDIA_SCHEMA = T.StructType([
 
 def _fake_decode(payload: bytes, w: int = 8, h: int = 8) -> np.ndarray:
     """Deterministic fake decode: bytes → pseudo-pixel grid via sha256
-    expansion. Stands in for PIL/libav until media libs are available."""
+    expansion. Kept for plumbing tests and the golden-pinned
+    ``media_features`` query; real formats go through decode_bmp /
+    decode_wav."""
     d = hashlib.sha256(bytes(payload)).digest()
     reps = (w * h * 3) // len(d) + 1
     buf = np.frombuffer((d * reps)[: w * h * 3], dtype=np.uint8)
     return buf.reshape(h, w, 3).astype(np.float64) / 255.0
+
+
+# ---------------------------------------------------------------------------
+# Real decoders (public uncompressed formats, pure NumPy)
+# ---------------------------------------------------------------------------
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Windows BMP → (height, width, 3) float64 RGB in [0, 1].
+
+    Supports the dominant uncompressed form: BITMAPFILEHEADER +
+    BITMAPINFOHEADER (or larger V4/V5 headers), BI_RGB, 24 or 32 bits
+    per pixel, bottom-up (positive height) or top-down (negative
+    height) row order, rows padded to 4-byte boundaries, pixel byte
+    order BGR(A). Alpha (32 bpp) is dropped."""
+    b = bytes(payload)
+    if len(b) < 54 or b[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing 'BM' magic)")
+    data_off = struct.unpack_from("<I", b, 10)[0]
+    hdr_size = struct.unpack_from("<I", b, 14)[0]
+    if hdr_size < 40:
+        raise NotImplementedError(
+            f"BITMAPCOREHEADER (size {hdr_size}) not supported")
+    width, height = struct.unpack_from("<ii", b, 18)
+    planes, bpp = struct.unpack_from("<HH", b, 26)
+    compression = struct.unpack_from("<I", b, 30)[0]
+    if compression not in (0, 3) or bpp not in (24, 32):
+        # BI_BITFIELDS (3) with the default masks is laid out like
+        # BI_RGB for 32 bpp; anything else (RLE, 1/4/8 bpp palettes)
+        # needs palette/bitfield handling out of scope here
+        raise NotImplementedError(
+            f"only uncompressed 24/32-bpp BMP supported "
+            f"(compression={compression}, bpp={bpp})")
+    if width <= 0 or height == 0 or planes != 1:
+        raise ValueError("invalid BMP dimensions")
+    top_down = height < 0
+    h = abs(height)
+    nch = bpp // 8
+    stride = ((width * nch + 3) // 4) * 4
+    need = data_off + stride * h
+    if len(b) < need:
+        raise ValueError(f"truncated BMP: need {need} bytes, got {len(b)}")
+    rows = np.frombuffer(b, dtype=np.uint8, count=stride * h,
+                         offset=data_off).reshape(h, stride)
+    px = rows[:, : width * nch].reshape(h, width, nch)
+    if not top_down:
+        px = px[::-1]
+    rgb = px[:, :, [2, 1, 0]]  # BGR(A) → RGB
+    # canonical C layout: the advanced channel index leaves the copy
+    # channel-major, and numpy's pairwise reductions associate in MEMORY
+    # order — downstream feature math must not depend on which decoder
+    # produced the array (knife-edge fp reassociation flips DuckDB-style
+    # rounding at exact .5 boundaries)
+    return np.ascontiguousarray(rgb).astype(np.float64) / 255.0
+
+
+def encode_bmp(img: np.ndarray, bpp: int = 24,
+               top_down: bool = False) -> bytes:
+    """(h, w, 3) float64/uint8 RGB → BMP bytes (BI_RGB, 24 or 32 bpp).
+
+    The fixture/test-data inverse of decode_bmp; round-trip is exact
+    for uint8 inputs."""
+    a = np.asarray(img)
+    if a.dtype != np.uint8:
+        a = np.clip(np.round(a * 255.0), 0, 255).astype(np.uint8)
+    h, w, _ = a.shape
+    nch = bpp // 8
+    if bpp not in (24, 32):
+        raise ValueError("bpp must be 24 or 32")
+    stride = ((w * nch + 3) // 4) * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    bgr = a[:, :, [2, 1, 0]]
+    if nch == 4:
+        bgra = np.concatenate(
+            [bgr, np.full((h, w, 1), 255, np.uint8)], axis=2)
+        rows[:, : w * 4] = bgra.reshape(h, w * 4)
+    else:
+        rows[:, : w * 3] = bgr.reshape(h, w * 3)
+    if not top_down:
+        rows = rows[::-1]
+    data = rows.tobytes()
+    data_off = 14 + 40
+    file_hdr = struct.pack("<2sIHHI", b"BM", data_off + len(data), 0, 0,
+                           data_off)
+    info_hdr = struct.pack("<IiiHHIIiiII", 40, w,
+                           -h if top_down else h, 1, bpp, 0, len(data),
+                           2835, 2835, 0, 0)
+    return file_hdr + info_hdr + data
+
+
+def decode_wav(payload: bytes) -> Tuple[np.ndarray, int]:
+    """RIFF/WAVE → ((n_samples, n_channels) float64 in [-1, 1], rate).
+
+    Supports PCM (format 1: 8-bit unsigned, 16/32-bit signed) and IEEE
+    float (format 3: 32/64-bit), plus WAVE_FORMAT_EXTENSIBLE (0xFFFE)
+    wrapping either. Chunks are walked by the RIFF rules (word-aligned,
+    unknown chunks skipped), so extra chunks (LIST, fact) are fine."""
+    b = bytes(payload)
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos:pos + 4]
+        size = struct.unpack_from("<I", b, pos + 4)[0]
+        body = b[pos + 8: pos + 8 + size]
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("truncated fmt chunk")
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+            if fmt[0] == 0xFFFE and size >= 40:
+                # WAVE_FORMAT_EXTENSIBLE: true format = first 2 bytes
+                # of the SubFormat GUID
+                sub = struct.unpack_from("<H", body, 24)[0]
+                fmt = (sub,) + fmt[1:]
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    audio_fmt, nch, rate, _, _, bits = fmt
+    if nch < 1:
+        raise ValueError("invalid channel count")
+    if audio_fmt == 1 and bits == 8:
+        x = (np.frombuffer(data, np.uint8).astype(np.float64)
+             - 128.0) / 128.0
+    elif audio_fmt == 1 and bits == 16:
+        x = np.frombuffer(data, "<i2").astype(np.float64) / 32768.0
+    elif audio_fmt == 1 and bits == 32:
+        x = np.frombuffer(data, "<i4").astype(np.float64) / 2147483648.0
+    elif audio_fmt == 3 and bits == 32:
+        x = np.frombuffer(data, "<f4").astype(np.float64)
+    elif audio_fmt == 3 and bits == 64:
+        x = np.frombuffer(data, "<f8").astype(np.float64)
+    else:
+        raise NotImplementedError(
+            f"WAV format {audio_fmt}/{bits}-bit not supported "
+            "(PCM 8/16/32 int, IEEE 32/64 float only)")
+    n = (len(x) // nch) * nch
+    return x[:n].reshape(-1, nch), int(rate)
+
+
+def encode_wav(samples: np.ndarray, rate: int, bits: int = 16) -> bytes:
+    """(n, ch) or (n,) float64 in [-1, 1] → RIFF/WAVE PCM bytes."""
+    a = np.asarray(samples, dtype=np.float64)
+    if a.ndim == 1:
+        a = a[:, None]
+    nch = a.shape[1]
+    if bits == 16:
+        raw = np.clip(np.round(a * 32768.0), -32768,
+                      32767).astype("<i2").tobytes()
+    elif bits == 8:
+        raw = np.clip(np.round(a * 128.0 + 128.0), 0,
+                      255).astype(np.uint8).tobytes()
+    elif bits == 32:
+        raw = np.clip(np.round(a * 2147483648.0), -2147483648,
+                      2147483647).astype("<i4").tobytes()
+    else:
+        raise ValueError("bits must be 8, 16 or 32")
+    block = nch * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, nch, rate, rate * block, block, bits)
+    chunks = (b"WAVE"
+              + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"data" + struct.pack("<I", len(raw)) + raw
+              + (b"\x00" if len(raw) & 1 else b""))
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
+    """Dispatch decode by magic number. BMP decodes for real; PNG/JPEG
+    need codec libraries (deflate/DCT) and raise NotImplementedError;
+    ``fake=True`` routes everything through the deterministic sha256
+    pseudo-decode (plumbing tests, golden-pinned queries)."""
+    b = bytes(payload)
+    if fake:
+        return _fake_decode(b)
+    if b[:2] == b"BM":
+        return decode_bmp(b)
+    if b[1:4] == b"PNG" or b[:3] == b"\xff\xd8\xff":
+        raise NotImplementedError(
+            "PNG/JPEG decode requires codec libraries not in this "
+            "container — supported real format: uncompressed BMP")
+    raise ValueError("unrecognized image payload")
 
 
 def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
@@ -54,12 +248,14 @@ def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFr
     return df.withColumn("n_bytes", F.length(p)).withColumn("mime_sniffed", mime)
 
 
-def image_features(media: DataFrame, fake: bool = True,
+def image_features(media: DataFrame, fake: bool = False,
                    id_col: str = "media_id") -> DataFrame:
     """Per-image feature vector (mean/std per channel) via mapInPandas.
 
-    Real decode is NotImplemented in this container; ``fake=True`` exercises
-    the identical Arrow path with the deterministic fake decoder.
+    ``fake=False`` (default) decodes REAL payloads (uncompressed BMP;
+    PNG/JPEG raise — no codec libs in this container). ``fake=True``
+    keeps the deterministic sha256 pseudo-decode on the identical Arrow
+    path (plumbing tests + the golden-pinned ``media_features`` query).
     """
     schema = T.StructType([
         T.StructField(id_col, T.LongType()),
@@ -70,14 +266,42 @@ def image_features(media: DataFrame, fake: bool = True,
         for pdf in batches:
             ids, feats = [], []
             for mid, payload in zip(pdf[id_col], pdf["payload"]):
-                if not fake:
-                    raise NotImplementedError(
-                        "real image decode requires PIL/opencv — not in container")
-                img = _fake_decode(bytes(payload))
+                img = decode_image(bytes(payload), fake=fake)
                 feats.append(np.concatenate([img.mean(axis=(0, 1)),
                                              img.std(axis=(0, 1))]).tolist())
                 ids.append(mid)
             yield pd.DataFrame({id_col: ids, "features": feats})
+
+    return media.select(id_col, "payload").mapInPandas(run, schema)
+
+
+def audio_features(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Per-clip audio features from REAL WAV payloads via mapInPandas:
+    duration_ms, per-clip RMS, mean, and zero-crossing rate (channel-
+    averaged) — the standard cheap audio-quality signals for a
+    training-data pipeline."""
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("mean", T.DoubleType()),
+        T.StructField("zcr", T.DoubleType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid, payload in zip(pdf[id_col], pdf["payload"]):
+                x, rate = decode_wav(bytes(payload))
+                n = x.shape[0]
+                zc = (np.signbit(x[1:]) != np.signbit(x[:-1])).mean() \
+                    if n > 1 else 0.0
+                recs.append({id_col: mid,
+                             "duration_ms": int(round(n * 1000.0 / rate)),
+                             "rms": float(np.sqrt((x ** 2).mean())),
+                             "mean": float(x.mean()),
+                             "zcr": float(zc)})
+            yield pd.DataFrame(recs, columns=[f.name for f in schema.fields])
 
     return media.select(id_col, "payload").mapInPandas(run, schema)
 

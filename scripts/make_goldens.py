@@ -703,7 +703,61 @@ def g_ivf_ann_topk(sf_dir):
                           ("sim", pa.float64()), ("rk", pa.int32())])
 
 
+def g_media_image_features(sf_dir):
+    """Independent re-derivation of q_media_image_features: the sha256
+    pixel rule -> per-channel mean/std, WITHOUT the engine's BMP
+    encoder/decoder — if either codec half corrupts a pixel, the engine's
+    decoded features diverge from these and the hash check fails."""
+    import hashlib
+
+    docs = _load(sf_dir, "documents")
+    recs = []
+    for mid, text in zip(docs["doc_id"].astype(int), docs["text"]):
+        d = hashlib.sha256(str(text).encode("utf-8")).digest()
+        reps = (8 * 8 * 3) // len(d) + 1
+        img = np.frombuffer((d * reps)[: 8 * 8 * 3],
+                            np.uint8).reshape(8, 8, 3)
+        px = img.astype(np.float64) / 255.0
+        feats = np.concatenate([px.mean(axis=(0, 1)), px.std(axis=(0, 1))])
+        for j, v in enumerate(feats):
+            recs.append((int(mid), j, float(_r(v))))
+    df = pd.DataFrame(recs, columns=["media_id", "feat_idx", "v"])
+    return df, pa.schema([("media_id", pa.int64()),
+                          ("feat_idx", pa.int32()), ("v", pa.float64())])
+
+
+def g_media_audio_features(sf_dir):
+    """Independent re-derivation of q_media_audio_features: spec-level
+    pure-Python xxhash64 sample rule + int16 quantization (the lossy
+    step of 16-bit PCM), then the same duration/rms/mean/zcr formulas —
+    no engine WAV code anywhere in this path."""
+    docs = _load(sf_dir, "documents")
+    recs = []
+    for mid, text in zip(docs["doc_id"].astype(int), docs["text"]):
+        t = str(text)
+        n = 160 + (xxh64_signed(t) % 41 + 41) % 41
+        h = np.array([xxh64_signed(f"{t}#{i}") for i in range(n)],
+                     dtype=object)
+        v = (np.array([(int(x) % 2001 + 2001) % 2001 for x in h],
+                      dtype=np.float64) - 1000.0) / 1024.0
+        q = (np.round(np.clip(v * 32768.0, -32768, 32767))
+             / 32768.0)[:, None]
+        zc = (np.signbit(q[1:]) != np.signbit(q[:-1])).mean() \
+            if n > 1 else 0.0
+        recs.append((int(mid), int(n),
+                     float(_r(np.sqrt((q ** 2).mean()), 6)),
+                     float(_r(q.mean(), 6)), float(_r(zc, 6))))
+    df = pd.DataFrame(recs, columns=["media_id", "duration_ms", "rms",
+                                     "mean_v", "zcr"])
+    return df, pa.schema([("media_id", pa.int64()),
+                          ("duration_ms", pa.int64()),
+                          ("rms", pa.float64()), ("mean_v", pa.float64()),
+                          ("zcr", pa.float64())])
+
+
 GOLDENS = {
+    "media_image_features": g_media_image_features,
+    "media_audio_features": g_media_audio_features,
     "ivf_ann_topk": g_ivf_ann_topk,
     "drift_1h_1d": g_drift_1h_1d,
     "dtwnn_series": g_dtwnn_series,

@@ -453,3 +453,73 @@ class TestShortQuerySoundness:
                 b = rng.normal(size=m)
                 assert NV.lb_endpoints("sqeuclidean", a, b) == pytest.approx(
                     lb_endpoints("sqeuclidean", a, b), rel=1e-12)
+
+
+class TestBandSketchBoundSoundness:
+    """The knn_topk residue's band-sketch bounds (window-core range and
+    window-variance, operators/dtw_ops._band_sketch) re-derived
+    INDEPENDENTLY here and checked against the true subsequence DTW cost
+    on random mixed-length pairs — the bound must never exceed the cost
+    for ANY valid band, or the residue silently drops true neighbors."""
+
+    @staticmethod
+    def _sketch(x, w):
+        from numpy.lib.stride_tricks import sliding_window_view
+        sw = sliding_window_view(x, w)
+        wmax = sw.max(axis=1)
+        wmin = sw.min(axis=1)
+        return (float(sw.var(axis=1).min()), float(wmax.min()),
+                float(wmin.max()), bool((wmax == wmin).any()))
+
+    def test_bounds_never_exceed_subsequence_cost(self):
+        rng = np.random.default_rng(42)
+        checked = 0
+        for trial in range(200):
+            m = int(rng.integers(1, 20))
+            n = int(rng.integers(m, 40))
+            kind = trial % 4
+            if kind == 0:   # wide container, narrow query (nested-range)
+                l = 5.0 * np.sin(np.linspace(0, 3 * np.pi, n)) \
+                    + 0.1 * rng.normal(size=n)
+                s = 0.2 * rng.normal(size=m)
+            elif kind == 1:  # both random walks
+                l = np.cumsum(rng.normal(size=n))
+                s = np.cumsum(rng.normal(size=m))
+            elif kind == 2:  # near-duplicate (bound must be ~0)
+                start = int(rng.integers(0, n - m + 1))
+                l = np.cumsum(rng.normal(size=n))
+                s = l[start:start + m] + 1e-3 * rng.normal(size=m)
+            else:           # constant container windows (constw path)
+                l = np.repeat(rng.normal(size=-(-n // 5)), 5)[:n]
+                s = rng.normal(size=m)
+            true = dtwnn(s, l, SqEuclidean(), 4,
+                         prune_endpoints=False,
+                         prune_envelope=False).cost
+            smin, smax = float(s.min()), float(s.max())
+            W = smax - smin
+            for b in range(m.bit_length()):  # every band with 2^b <= m
+                w = 1 << b
+                minvar, coremax, coremin, constw = self._sketch(l, w)
+                c1 = max(coremax - smax, 0.0)
+                c2 = max(smin - coremin, 0.0)
+                core = max(c1 * c1, c2 * c2) if constw \
+                    else c1 * c1 + c2 * c2
+                var_lb = 0.5 * w * max(minvar - 0.5 * W * W, 0.0)
+                tol = 1e-9 * max(1.0, true)
+                assert core <= true + tol, (trial, w, core, true)
+                assert var_lb <= true + tol, (trial, w, var_lb, true)
+                checked += 1
+        assert checked > 500
+
+    def test_equal_length_variance_bound_sound(self):
+        # phase-2 form: full-length variance vs the other side's range
+        rng = np.random.default_rng(9)
+        for trial in range(300):
+            m = int(rng.integers(1, 24))
+            a = np.cumsum(rng.normal(size=m)) * rng.uniform(0.1, 3.0)
+            b = np.cumsum(rng.normal(size=m)) * rng.uniform(0.1, 3.0)
+            true = dtw_cost(a, b, SqEuclidean(), r=4)
+            for x, y in ((a, b), (b, a)):
+                wy = float(y.max() - y.min())
+                lb = 0.5 * m * max(float(x.var()) - 0.5 * wy * wy, 0.0)
+                assert lb <= true + 1e-9 * max(1.0, true), trial

@@ -113,6 +113,40 @@ class TestDtwnnSearch:
             assert row["cost"] == 0.0
             assert row["conv_id"] == "t00"
 
+    def test_blocked_large_query_path_matches_closure_path(self, spark,
+                                                           series):
+        """VERDICT r03 #2: past max_closure_queries the query set must
+        never ride the driver (no collect + closure, no driver seed
+        DPs). Force the blocked cogroup path with max_closure_queries=0
+        and assert cost/conv_id/loc identical to the closure plan —
+        including exact cross-series ties and queries longer than some
+        series — under both seeded and unseeded modes."""
+        pdf = series.toPandas()
+        rng = np.random.default_rng(31)
+        qrows = []
+        for i in range(24):
+            src = pdf.points[int(rng.integers(0, len(pdf)))]
+            a = int(rng.integers(0, max(1, len(src) - 6)))
+            m = int(rng.integers(4, 14))
+            q = list(src[a:a + m])
+            if rng.random() < 0.3:  # perturb so not all are exact hits
+                q = [v + 0.1 for v in q]
+            qrows.append((f"q{i:02d}", [float(v) for v in q]))
+        queries = spark.createDataFrame(
+            qrows, "query_id string, q array<double>")
+        cols = ["query_id", "cost", "conv_id", "loc"]
+        for seed in (0, 4):
+            closure = (dtwnn_search(queries, series, radius=3,
+                                    seed_sample=seed)
+                       .select(*cols).toPandas()
+                       .sort_values("query_id").reset_index(drop=True))
+            blocked = (dtwnn_search(queries, series, radius=3,
+                                    seed_sample=seed,
+                                    max_closure_queries=0)
+                       .select(*cols).toPandas()
+                       .sort_values("query_id").reset_index(drop=True))
+            pd.testing.assert_frame_equal(closure, blocked)
+
 
 class TestKnn:
     def test_matches_dense_topk(self, spark, series):
@@ -301,6 +335,48 @@ class TestKnnLbPrefilter:
         # pruned before any DP
         assert stats["residue_pairs"] == 0
 
+    def test_residue_sketch_bounds_prune_range_nested_pairs_exactly(
+            self, spark):
+        """Round-3 residue hole: a narrow-range short series NESTED inside
+        a wide-swing long series' value range passes every endpoint /
+        extrema scalar bound (all its values are inside the long side's
+        [min, max]), yet its true subsequence cost is huge — a wide-swing
+        window can't flatten itself. The band-sketch bounds (window-core
+        range + window-variance, _band_sketch) must prune every such
+        cross pair before any DP, and the plan must stay exactly equal to
+        brute force."""
+        import numpy as np
+        from dynamicaxiswarping_jl_spark.operators import knn_topk
+        rng = np.random.default_rng(55)
+        rows = []
+        # 10 wide-swing long series: amp-5 sine, range ~[-5, 5], len 40
+        for i in range(10):
+            v = 5.0 * np.sin(np.linspace(0, 4 * np.pi, 40)) \
+                + 0.05 * rng.normal(size=40)
+            rows.append((f"wide{i:02d}", [float(x) for x in v]))
+        # 8 narrow short series: range ~[-0.3, 0.3] — strictly nested
+        for i in range(8):
+            v = 0.1 * rng.normal(size=24)
+            rows.append((f"narr{i:02d}", [float(x) for x in v]))
+        series = spark.createDataFrame(
+            rows, "conv_id string, points array<double>")
+        stats = {}
+        fast = knn_topk(series, k=3, radius=4, oversample=2,
+                        stats_out=stats).toPandas()
+        brute = knn_topk(series, k=3, radius=4,
+                         lb_prefilter=False).toPandas()
+        for key in sorted(brute.id_a.unique()):
+            bc = sorted(round(c, 9) for c in brute[brute.id_a == key].cost)
+            fc = sorted(round(c, 9) for c in fast[fast.id_a == key].cost)
+            assert bc == fc, key
+        # every cross-length (wide, narr) pair is range-nested with
+        # near-zero endpoint AND extrema bounds, but any 16-pt window of
+        # an amp-5 sine has window-max >= ~3 and window-variance >= ~8,
+        # so core/variance bounds >> every τ (τ comes from the
+        # equal-length grid: wide-wide and narr-narr) → zero DP'd
+        # residue pairs
+        assert stats["residue_pairs"] == 0
+
     def test_grid_path_uniform_length_no_selfjoin(self, spark):
         """Uniform-length corpus: exact parity, and the physical plan of the
         scale path must not contain a full array self-join (cartesian /
@@ -471,3 +547,39 @@ class TestKnnLbPrefilter:
                     att = out.apply(i)
                     assert "array" not in att.dataType().simpleString(), (
                         f"array column {att.name()} under {node.nodeName()}")
+
+
+class TestMatrixProfileTiled:
+    def test_tiled_path_matches_single_pass_including_ties(self, spark):
+        """VERDICT r03 #3: a long series must spread over multiple tasks.
+        Forcing tiny tiles must reproduce the single-task profile EXACTLY
+        — values, 1-based locs, and tie winners (repeated motifs make
+        exact cost-0 ties across tile boundaries certain)."""
+        from dynamicaxiswarping_jl_spark.operators import matrix_profile_op
+        rng = np.random.default_rng(17)
+        motif = np.sin(np.linspace(0, 2 * np.pi, 16))
+        y = np.concatenate([motif, rng.normal(size=23), motif,
+                            rng.normal(size=31), motif,
+                            np.repeat(rng.normal(size=9), 3)])
+        rows = [("long0", [float(v) for v in y]),
+                ("long1", [float(v) for v in np.cumsum(
+                    rng.normal(size=97))])]
+        series = spark.createDataFrame(rows, SERIES_SCHEMA)
+        base = (matrix_profile_op(series, m=12, radius=3)
+                .toPandas().sort_values(["conv_id", "loc"])
+                .reset_index(drop=True))
+        tiled_df = matrix_profile_op(series, m=12, radius=3,
+                                     chunk_windows=20)
+        tiled = (tiled_df.toPandas().sort_values(["conv_id", "loc"])
+                 .reset_index(drop=True))
+        pd.testing.assert_frame_equal(base, tiled)
+        # the tiled plan really fans out: > 1 tile per series
+        plan = tiled_df._jdf.queryExecution().executedPlan().toString()
+        assert "explode" in plan.lower()
+
+    def test_tiled_short_series_skips_merge_shuffle(self, spark, series):
+        from dynamicaxiswarping_jl_spark.operators import matrix_profile_op
+        df = matrix_profile_op(series, m=8, radius=3)  # default chunk
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # short corpus keeps the shuffle-free single-pass plan
+        assert "explode" not in plan.lower()
