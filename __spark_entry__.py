@@ -34,6 +34,7 @@ from dynamicaxiswarping_jl_spark.operators import (
 )
 from dynamicaxiswarping_jl_spark.operators.multimodal import (
     audio_features, encode_bmp, encode_wav)
+from dynamicaxiswarping_jl_spark.operators import sessionize_events
 from dynamicaxiswarping_jl_spark.sources import transcripts_df
 
 
@@ -55,9 +56,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 # golden-parquet oracles for the non-SQL-expressible queries (the driver
-# correctness gate runs at sf0.01; regenerate with scripts/make_goldens.py)
-_GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "golden", "sf0.01")
+# correctness gate runs at sf0.01; regenerate with scripts/make_goldens.py).
+# SPARK_TSWARP_GOLDEN_DIR overrides for gates at other scale factors
+# (scripts/check_correctness.py sets it to golden/<sf-basename> when that
+# directory exists, so kernel-numerics changes are also pinned at sf0.1).
+_GOLDEN_DIR = os.environ.get(
+    "SPARK_TSWARP_GOLDEN_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 "golden", "sf0.01"))
 
 
 def _events_1m(spark, sf_dir) -> DataFrame:
@@ -126,16 +132,11 @@ def q_gapfill_locf(spark, sf_dir):
 
 
 def q_sessionize(spark, sf_dir):
+    """Two-phase time-block-salted sessionize (operators/sessionize.py)
+    — the skew-safe plan; result identical to the one-window form (the
+    DuckDB oracle IS that form)."""
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts")
-    lagged = ev.withColumn(
-        "new_sess",
-        F.when(F.lag("ts").over(w).isNull(), 1)
-        .when(F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
-              > 1800 * 1_000_000, 1).otherwise(0))
-    return (lagged.groupBy("user_id")
-            .agg(F.sum("new_sess").alias("n_sessions"),
-                 F.count(F.lit(1)).alias("n_events")))
+    return sessionize_events(ev, key="user_id", ts_col="ts", gap_s=1800)
 
 
 def q_topk_minutes(spark, sf_dir):

@@ -15,6 +15,9 @@ from .text import token_stats, quality_score, language_id, fingerprint
 from .topk import topk_per_key
 from .multimodal import (attach_media_metadata, image_features, frame_sample,
                          MEDIA_SCHEMA)
+from .multimodal import audio_features, decode_bmp, encode_bmp, decode_wav, \
+    encode_wav
+from .sessionize import sessionize_events
 
 __all__ = [
     "rollup_turns", "cascade", "assemble_series", "TIERS", "gapfill",
@@ -30,4 +33,6 @@ __all__ = [
     "token_stats", "quality_score", "language_id", "fingerprint",
     "topk_per_key",
     "attach_media_metadata", "image_features", "frame_sample", "MEDIA_SCHEMA",
+    "audio_features", "decode_bmp", "encode_bmp", "decode_wav", "encode_wav",
+    "sessionize_events",
 ]

@@ -1,0 +1,64 @@
+"""Skew-safe sessionization.
+
+The naive sessionize is one `lag(ts) over (partition by key order by ts)`
+window — correct, but the north rule's adversarial shape (ONE
+conversation with 1e6+ turns) lands that key's entire history in a
+single task. This operator runs the two-phase salted form
+(plans/skew.py's pattern applied to an ordered scan, where a hash salt
+would break adjacency):
+
+1. salt by coarse TIME BLOCK (`window(ts, block)`): within each
+   (key, block) the usual lag/gap scan counts session starts and records
+   the block's first/last timestamps. Work per task is bounded by events
+   per (key, block), not per key.
+2. a per-key pass over the tiny block-summary table (one row per
+   (key, block)) subtracts the starts that actually continue the
+   previous block's session (boundary gap <= gap_s).
+
+Exact: sessions are defined by consecutive-gap thresholds; time blocks
+partition each key's ordered event sequence, so only the block-boundary
+gaps need the (tiny) second pass. Events with equal timestamps have gap
+0 <= gap_s under any tie order, so the count is order-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["sessionize_events"]
+
+
+def sessionize_events(df: DataFrame, key: str = "user_id",
+                      ts_col: str = "ts", gap_s: int = 1800,
+                      block: str = "1 day") -> DataFrame:
+    """(key, n_sessions, n_events) with sessions split at gaps > gap_s."""
+    gap_us = int(gap_s) * 1_000_000
+    sc = df.sparkSession.sparkContext
+    d = (df.select(
+        F.col(key),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
+        F.window(F.col(ts_col).cast("timestamp"), block)["start"]
+        .alias("_blk"))
+        # explicit-count repartition on the window keys: the block rows
+        # are byte-tiny and AQE would coalesce the exchange back onto a
+        # handful of tasks, undoing the salt (CLAUDE.md AQE trap)
+        .repartition(sc.defaultParallelism * 2, key, "_blk"))
+    w = Window.partitionBy(key, "_blk").orderBy("_us")
+    lagged = d.withColumn("_prev", F.lag("_us").over(w))
+    per_block = (lagged.groupBy(key, "_blk")
+                 .agg(F.count(F.lit(1)).alias("_n"),
+                      F.sum(F.when(F.col("_prev").isNull()
+                                   | (F.col("_us") - F.col("_prev")
+                                      > gap_us), 1).otherwise(0))
+                      .alias("_starts"),
+                      F.min("_us").alias("_first"),
+                      F.max("_us").alias("_last")))
+    w2 = Window.partitionBy(key).orderBy("_blk")
+    merged = per_block.withColumn("_prev_last", F.lag("_last").over(w2))
+    cont = F.when(F.col("_prev_last").isNotNull()
+                  & (F.col("_first") - F.col("_prev_last") <= gap_us),
+                  1).otherwise(0)
+    return (merged.groupBy(key)
+            .agg(F.sum(F.col("_starts") - cont).alias("n_sessions"),
+                 F.sum("_n").alias("n_events")))

@@ -37,6 +37,13 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
 
+    # gate at the matching golden scale when one exists (goldens are
+    # per-SF parquet; sf0.01 is the external driver's default)
+    gdir = os.path.join(_REPO, "golden",
+                        os.path.basename(sf_dir.rstrip("/")))
+    if os.path.isdir(gdir):
+        os.environ["SPARK_TSWARP_GOLDEN_DIR"] = gdir
+
     from pyspark.sql import SparkSession
     sys.path.insert(0, _REPO)
     import __spark_entry__ as E

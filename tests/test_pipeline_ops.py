@@ -533,3 +533,75 @@ class TestSimhashNearDup:
         df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
         with _pytest.raises(ValueError, match="n_bands"):
             simhash_neardup(df, max_hamming=4, n_bands=4)
+
+
+class TestSessionizeEvents:
+    def _naive(self, rows, gap_s):
+        import collections
+        by_key = collections.defaultdict(list)
+        for k, ts in rows:
+            by_key[k].append(ts)
+        out = {}
+        for k, tss in by_key.items():
+            tss.sort()
+            n = 1 + sum(1 for a, b in zip(tss, tss[1:])
+                        if (b - a).total_seconds() > gap_s)
+            out[k] = (n, len(tss))
+        return out
+
+    def test_two_phase_matches_single_window_incl_block_edges(self, spark):
+        """The time-block-salted sessionize must equal the naive
+        one-window scan, including the knife edges: gaps exactly ==
+        gap_s (same session), events exactly on block boundaries, and
+        sessions spanning several blocks."""
+        import datetime as dt
+        base = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+        rows = []
+        # u0: a session crossing midnight (block edge) with gap < gap_s
+        rows += [("u0", base + dt.timedelta(hours=23, minutes=50)),
+                 ("u0", base + dt.timedelta(days=1, minutes=5)),
+                 ("u0", base + dt.timedelta(days=1, minutes=10))]
+        # u1: boundary gap EXACTLY gap_s (continues), then one > gap_s
+        rows += [("u1", base + dt.timedelta(hours=23, minutes=30)),
+                 ("u1", base + dt.timedelta(days=1, hours=0, minutes=0)),
+                 ("u1", base + dt.timedelta(days=1, hours=2))]
+        # u2: event exactly at a block boundary starting a new session
+        rows += [("u2", base), ("u2", base + dt.timedelta(days=1))]
+        # u3: duplicates + dense run inside one block
+        rows += [("u3", base + dt.timedelta(minutes=i)) for i in range(5)]
+        rows += [("u3", base + dt.timedelta(minutes=2))]
+        import numpy as np
+        rng = np.random.default_rng(66)
+        for i in range(20):  # fuzz: random event sets over 5 days
+            k = f"r{i:02d}"
+            t = np.cumsum(rng.integers(60, 4000, size=30))
+            rows += [(k, base + dt.timedelta(seconds=int(s))) for s in t]
+        df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+        from dynamicaxiswarping_jl_spark.operators import sessionize_events
+        got = {r.user_id: (r.n_sessions, r.n_events)
+               for r in sessionize_events(df, gap_s=1800).collect()}
+        want = self._naive(rows, 1800)
+        assert got == want
+        # u1's boundary gap == gap_s stayed one session
+        assert got["u1"][0] == 2
+        # u2's boundary event started a new one
+        assert got["u2"][0] == 2
+
+    def test_salted_plan_shape(self, spark):
+        """The skew-safe plan is structural: the heavy window partitions
+        by (key, time-block) behind an explicit-count repartition (AQE
+        cannot coalesce it), and only the tiny block-summary pass
+        partitions by the key alone."""
+        import datetime as dt
+        from dynamicaxiswarping_jl_spark.operators import sessionize_events
+        base = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+        df = spark.createDataFrame(
+            [("u", base + dt.timedelta(minutes=i)) for i in range(10)],
+            "user_id string, ts timestamp")
+        plan = (sessionize_events(df)._jdf.queryExecution()
+                .executedPlan().toString())
+        assert "_blk" in plan  # block salt present in the window spec
+        # the per-event window runs under hashpartitioning(key, _blk)
+        assert any("user_id" in ln and "_blk" in ln
+                   and "hashpartitioning" in ln
+                   for ln in plan.splitlines())
