@@ -29,7 +29,8 @@ from pyspark.sql import types as T
 
 from ..kernels import dba, dtw
 
-__all__ = ["dba_per_group", "dba_distributed", "dbaclust_distributed"]
+__all__ = ["dba_per_group", "dba_distributed", "dba_reps_distributed",
+           "dbaclust_distributed"]
 
 _REP_SCHEMA = T.StructType([
     T.StructField("group_id", T.StringType()),
@@ -127,6 +128,58 @@ def dba_distributed(spark: SparkSession, series: DataFrame,
             center = newavg
         bc.destroy()
     return newavg, newcost, it, converged
+
+
+def dba_reps_distributed(series: DataFrame, group_col: str,
+                         key: str = "conv_id", dist: str = "sqeuclidean",
+                         iterations: int = 100, rtol: float = 1e-5,
+                         max_threads: int = 8) -> DataFrame:
+    """``dba_per_group`` output shape through the ``dba_distributed``
+    execution plan — the scale form for groups too large for one task.
+
+    ``dba_per_group`` runs each group's whole DBA loop inside a single
+    grouped-pandas task: with G groups it uses at most G cores and holds a
+    full group's members in one Arrow batch. Here each group's iterations
+    run as cluster-wide Spark jobs (mapInPandas partials →
+    ``groupBy(center_idx).sum()``, reference accumulation src/dba.jl:140-149
+    — a sum, so partitioning the members is exact up to float
+    reassociation), and groups are driven concurrently from driver threads
+    so the scheduler interleaves their jobs. Parallelism is
+    ``min(cores, members)`` per iteration instead of G overall, and no task
+    ever materializes a whole group.
+
+    Numerics: init center = the group's min-``key`` member and members are
+    summed per partition — centers match ``dba_per_group`` to float
+    reassociation (~1e-12 relative), not bit-exactly; iteration counts can
+    differ only if the convergence delta sits within that noise of ``rtol``.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    spark = series.sparkSession
+    src = series.select(group_col, key, "points").cache()
+    try:
+        inits = (src.groupBy(group_col)
+                 .agg(F.min_by("points", F.col(key)).alias("init"),
+                      F.count(F.lit(1)).alias("n"))
+                 .collect())
+
+        def run_group(row):
+            g, init, n = row[group_col], row["init"], row["n"]
+            sub = src.filter(F.col(group_col) == g).select("points")
+            avg, cost, it, conv = dba_distributed(
+                spark, sub, np.asarray(init, dtype=np.float64), dist,
+                iterations=iterations, rtol=rtol)
+            return {"group_id": str(g), "center": [float(v) for v in avg],
+                    "cost": float(cost), "converged": bool(conv),
+                    "iterations": int(it), "n_members": int(n)}
+
+        with ThreadPoolExecutor(max_workers=min(max_threads,
+                                                max(1, len(inits)))) as ex:
+            rows = list(ex.map(run_group, inits))
+    finally:
+        src.unpersist()
+    rows.sort(key=lambda r: r["group_id"])
+    return spark.createDataFrame(rows, _REP_SCHEMA)
 
 
 def dbaclust_distributed(spark: SparkSession, series: DataFrame,

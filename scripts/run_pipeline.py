@@ -127,6 +127,12 @@ def main(argv=None):
     p.add_argument("--radius", type=int, default=5)
     p.add_argument("--cpus", type=int, default=None,
                    help="only used when not running under spark-submit")
+    p.add_argument("--dba-mode", choices=["grouped", "distributed"],
+                   default="grouped",
+                   help="grouped = one task per group (dba_per_group); "
+                        "distributed = each group's iterations run as "
+                        "cluster-wide jobs (dba_reps_distributed) — the "
+                        "shape for groups too large for one task")
     p.add_argument("--streaming", action="store_true",
                    help="ingest the turns through Structured Streaming "
                         "(file source → watermarked 1m agg → catalog MERGE "
@@ -155,7 +161,7 @@ def main(argv=None):
 
     from dynamicaxiswarping_jl_spark.operators import (
         rollup_turns, cascade, gapfill, assemble_series, compress_chunks,
-        drift_scores, dba_per_group)
+        drift_scores, dba_per_group, dba_reps_distributed)
     from dynamicaxiswarping_jl_spark.plans import CheckpointManager
     from dynamicaxiswarping_jl_spark.sources import transcripts_df
 
@@ -208,13 +214,18 @@ def main(argv=None):
     drift = cm.run_stage(
         "drift", lambda: drift_scores(fine, coarse, radius=args.radius),
         lineage={**lineage, "stage": "drift", "radius": args.radius})
-    reps = cm.run_stage(
-        "dba_reps",
-        lambda: dba_per_group(
-            fine.withColumn("group_id",
-                            F.pmod(F.xxhash64("conv_id"), F.lit(8)).cast("string")),
-            "group_id"),
-        lineage={**lineage, "stage": "dba_reps"})
+    grouped = fine.withColumn(
+        "group_id", F.pmod(F.xxhash64("conv_id"), F.lit(8)).cast("string"))
+    if args.dba_mode == "distributed":
+        reps = cm.run_stage(
+            "dba_reps",
+            lambda: dba_reps_distributed(grouped, "group_id"),
+            lineage={**lineage, "stage": "dba_reps",
+                     "dba_mode": "distributed"})
+    else:
+        reps = cm.run_stage(
+            "dba_reps", lambda: dba_per_group(grouped, "group_id"),
+            lineage={**lineage, "stage": "dba_reps"})
 
     summary = {
         "turns": turns.count(),

@@ -201,6 +201,33 @@ class TestDBASpark:
         assert got_it == want_res.iterations
         assert got_cost == pytest.approx(want_res.cost, rel=1e-9)
 
+    def test_reps_distributed_matches_per_group(self, spark):
+        """The group-parallel distributed plan returns the same
+        representatives as the single-task-per-group plan (up to float
+        reassociation from per-partition partial sums)."""
+        from dynamicaxiswarping_jl_spark.operators import (
+            dba_reps_distributed)
+        rng = np.random.default_rng(7)
+        rows = []
+        for i in range(18):
+            g = str(i % 3)
+            pts = np.cumsum(rng.normal(size=24)).tolist()
+            rows.append(("s%02d" % i, [float(v) for v in pts], g))
+        df = spark.createDataFrame(
+            rows, "conv_id string, points array<double>, group_id string")
+        want = {r["group_id"]: r
+                for r in dba_per_group(df, "group_id").collect()}
+        got = {r["group_id"]: r
+               for r in dba_reps_distributed(df, "group_id").collect()}
+        assert sorted(got) == sorted(want) == ["0", "1", "2"]
+        for g in want:
+            np.testing.assert_allclose(got[g]["center"], want[g]["center"],
+                                       rtol=1e-9)
+            assert got[g]["cost"] == pytest.approx(want[g]["cost"], rel=1e-9)
+            assert got[g]["n_members"] == want[g]["n_members"]
+            assert got[g]["iterations"] == want[g]["iterations"]
+            assert got[g]["converged"] == want[g]["converged"]
+
 
 class TestMultichannelPairs:
     def test_multichannel_dtw_pairs_matches_local(self, spark):
