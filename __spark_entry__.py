@@ -488,7 +488,7 @@ def q_dtwnn_series(spark, sf_dir):
     # cost/loc are exact + deterministic; the prune counters depend on task
     # scheduling (bsf seeding order) and are observability metrics — they
     # are excluded so the output is golden-parquet oracle-checkable
-    return (dtwnn_search(queries, series, radius=5)
+    return (dtwnn_search(queries, series, radius=5, n_queries=1)
             .select("query_id", _r("cost", 4).alias("cost"), "conv_id",
                     "loc"))
 

@@ -112,7 +112,7 @@ def run_headline(spark: SparkSession, sf_dir: str):
     nn_sec = float("inf")
     for _pass in range(2):
         t0 = time.time()
-        dtwnn_search(queries, series, radius=5).write.format("noop").mode("overwrite").save()
+        dtwnn_search(queries, series, radius=5, n_queries=nq).write.format("noop").mode("overwrite").save()
         nn_sec = min(nn_sec, time.time() - t0)
     thr["dtwnn_queries_per_sec"] = round(nq / max(nn_sec, 1e-9), 3)
     timings["dtwnn_batch"] = round(nn_sec, 3)
@@ -221,7 +221,7 @@ def run_scaling(sf_dir: str, low: int = 8, high: int = 32, n_queries: int = 96):
             warm_python_workers(spark)
             series.count()
             t0 = time.time()
-            dtwnn_search(queries, series, radius=5,
+            dtwnn_search(queries, series, radius=5, n_queries=nq,
                          partitions=4 * high).write.format(
                 "noop").mode("overwrite").save()
             results[cpus] = time.time() - t0

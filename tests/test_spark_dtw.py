@@ -147,6 +147,25 @@ class TestDtwnnSearch:
                        .sort_values("query_id").reset_index(drop=True))
             pd.testing.assert_frame_equal(closure, blocked)
 
+    def test_n_queries_hint_routes_without_a_probe_job(self, spark,
+                                                       series):
+        """The caller-size hint must pick the path by itself (no
+        count()/maxRows probe) and both routings must stay exact: a
+        hint above the closure cap forces the blocked plan, a hint at
+        the true size keeps the closure plan, results identical."""
+        pdf = series.toPandas()
+        q = [float(v) for v in pdf.points[0][:8]]
+        queries = spark.createDataFrame([("q0", q)],
+                                        "query_id string, q array<double>")
+        cols = ["query_id", "cost", "conv_id", "loc"]
+        via_closure = (dtwnn_search(queries, series, radius=3,
+                                    n_queries=1)
+                       .select(*cols).toPandas())
+        via_blocked = (dtwnn_search(queries, series, radius=3,
+                                    n_queries=10_000)
+                       .select(*cols).toPandas())
+        pd.testing.assert_frame_equal(via_closure, via_blocked)
+
 
 class TestKnn:
     def test_matches_dense_topk(self, spark, series):
