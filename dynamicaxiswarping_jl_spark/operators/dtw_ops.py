@@ -412,7 +412,8 @@ def distance_profile_op(queries: DataFrame, series: DataFrame,
 
 def matrix_profile_op(series: DataFrame, m: int, radius: int = 5,
                       dist: str = "sqeuclidean", key: str = "conv_id",
-                      chunk_windows: int = 32768) -> DataFrame:
+                      chunk_windows: int = 32768,
+                      max_len: Optional[int] = None) -> DataFrame:
     """Per-series DTW matrix profile (reference src/matrix_profile.jl:2-19):
     (key, loc, nn_dist, nn_loc), trivial band |i-j|<=radius excluded.
 
@@ -452,16 +453,24 @@ def matrix_profile_op(series: DataFrame, m: int, radius: int = 5,
             if frames:
                 yield pd.concat(frames, ignore_index=True)
 
-    # one cheap pre-scan decides the plan: the tiled path adds a merge
-    # shuffle the (dominant) short-series workload shouldn't pay
-    longest = (series.agg(F.max(F.size("points")).alias("_n"))
-               .first()["_n"]) or 0
+    # one pre-scan decides the plan: the tiled path adds a merge shuffle
+    # the (dominant) short-series workload shouldn't pay. A caller who
+    # knows the length bound passes ``max_len`` and skips the probe; a
+    # probed input is localCheckpointed FIRST so an expensive upstream
+    # (e.g. assemble_series over the tiers) computes once, not once for
+    # the probe and again for the actual pass (r04 review).
+    proj = series.select(key, "points")
+    if max_len is None:
+        proj = proj.localCheckpoint(eager=True)
+        longest = (proj.agg(F.max(F.size("points")).alias("_n"))
+                   .first()["_n"]) or 0
+    else:
+        longest = int(max_len)
     if longest - m + 1 <= chunk_windows:
-        return _spread(series.select(key, "points")).mapInPandas(run,
-                                                                 schema)
+        return _spread(proj).mapInPandas(run, schema)
 
     C = int(chunk_windows)
-    e = (series.filter(F.size("points") >= m + radius + 1)
+    e = (proj.filter(F.size("points") >= m + radius + 1)
          .select(F.col(key), "points",
                  (F.size("points") - m + 1).alias("nw")))
     nt = F.ceil(F.col("nw") / F.lit(C)).cast("int")
@@ -604,6 +613,23 @@ def _nn_reduce(per_block: DataFrame, key: str) -> DataFrame:
                     "prune_end", "prune_env"))
 
 
+def _combine_task_winners(recs: list, key: str,
+                          out_cols: list) -> pd.DataFrame:
+    """Map-side combine shared by BOTH dtwnn_search paths (closure and
+    blocked): one winner row per query by the same lexicographic
+    (cost, key, loc) rule as _nn_reduce's struct-min — min of per-task
+    minima ≡ global min — plus summed prune counters. One definition on
+    purpose: the golden tie winners depend on the two paths applying an
+    identical rule (r04 review)."""
+    part = pd.DataFrame(recs, columns=out_cols)
+    best = (part.sort_values(["cost", key, "loc"])
+            .groupby("query_id", sort=False).head(1))
+    sums = part.groupby("query_id", sort=False, as_index=False)[
+        ["prune_end", "prune_env"]].sum()
+    return best.drop(columns=["prune_end", "prune_env"]).merge(
+        sums, on="query_id")[out_cols]
+
+
 def _dtwnn_search_blocked(queries: DataFrame, series: DataFrame,
                           radius: int, normalizer, dist, key: str,
                           float32: bool, partitions: Optional[int],
@@ -702,16 +728,7 @@ def _dtwnn_search_blocked(queries: DataFrame, series: DataFrame,
                                  "prune_env": res.prune_env})
         if not recs:
             return pd.DataFrame(columns=out_cols)
-        # map-side combine: one winner row per query per block (same
-        # lexicographic (cost, key, loc) rule as _nn_reduce) + summed
-        # prune counters
-        part = pd.DataFrame(recs, columns=out_cols)
-        best = (part.sort_values(["cost", key, "loc"])
-                .groupby("query_id", sort=False).head(1))
-        sums = part.groupby("query_id", sort=False, as_index=False)[
-            ["prune_end", "prune_env"]].sum()
-        return best.drop(columns=["prune_end", "prune_env"]).merge(
-            sums, on="query_id")[out_cols]
+        return _combine_task_winners(recs, key, out_cols)
 
     per_block = (ser_b.groupby("sb")
                  .cogroup(qrep.groupby("sb"))
@@ -868,19 +885,10 @@ def dtwnn_search(queries: DataFrame, series: DataFrame, radius: int = 5,
                                      "prune_env": res.prune_env})
             if not recs:
                 continue
-            # map-side combine: only this task's per-query winner (by the
-            # same lexicographic (cost, key, loc) rule as the struct-min
-            # below — min of per-task minima ≡ global min) plus summed
-            # counters cross the shuffle: <= |queries| rows per task
-            # instead of one row per improving series.
-            part = pd.DataFrame(recs, columns=[f.name for f in schema.fields])
-            best = (part.sort_values(["cost", key, "loc"])
-                    .groupby("query_id", sort=False).head(1))
-            sums = part.groupby("query_id", sort=False, as_index=False)[
-                ["prune_end", "prune_env"]].sum()
-            out = best.drop(columns=["prune_end", "prune_env"]).merge(
-                sums, on="query_id")
-            yield out[[f.name for f in schema.fields]]
+            # map-side combine: <= |queries| rows per task cross the
+            # shuffle instead of one row per improving series
+            yield _combine_task_winners(
+                recs, key, [f.name for f in schema.fields])
 
     per_series = _spread(series.select(F.col(key), F.col("points")),
                          factor=1, target=partitions).mapInPandas(run, schema)
@@ -888,6 +896,31 @@ def dtwnn_search(queries: DataFrame, series: DataFrame, radius: int = 5,
 
 
 _SKETCH_BAND_CAP = 8  # largest sketch window = 2^8 = 256 points
+# window-axis chunk budget for the band-sketch scan: sliding var
+# materializes an (n_windows, w) deviations temporary, ~2 GB for a
+# 1e6-point series at w=256 if unchunked (r04 review) — cap the
+# temporary at ~16 MB (2^21 float64) per band; per-window numbers are
+# bitwise identical to the unchunked pass (pinned by test)
+_SKETCH_CHUNK = 1 << 21
+
+
+def _band_stats(x: np.ndarray, w: int) -> tuple:
+    """(coremax, coremin, constw, minvar_raw) for one band window size,
+    computed over the window axis in chunks of <= _SKETCH_CHUNK/w
+    windows so no temporary exceeds the chunk budget."""
+    from numpy.lib.stride_tricks import sliding_window_view
+    n_win = len(x) - w + 1
+    ch = max(1, _SKETCH_CHUNK // w)
+    cx, cn, cw, mv = np.inf, -np.inf, False, np.inf
+    for lo in range(0, n_win, ch):
+        sw = sliding_window_view(x[lo:min(lo + ch, n_win) + w - 1], w)
+        wmax = sw.max(axis=1)
+        wmin = sw.min(axis=1)
+        cx = min(cx, float(wmax.min()))
+        cn = max(cn, float(wmin.max()))
+        cw = cw or bool((wmax == wmin).any())
+        mv = min(mv, float(sw.var(axis=1).min()))
+    return cx, cn, cw, mv
 
 
 def _band_sketch(series: DataFrame, key: str) -> DataFrame:
@@ -935,7 +968,6 @@ def _band_sketch(series: DataFrame, key: str) -> DataFrame:
     ])
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from numpy.lib.stride_tricks import sliding_window_view
         for pdf in batches:
             ids, mvs, cxs, cns, cws = [], [], [], [], []
             for row in pdf.itertuples(index=False):
@@ -946,14 +978,10 @@ def _band_sketch(series: DataFrame, key: str) -> DataFrame:
                       if n else 0)
                 mv, cx, cn, cw = [], [], [], []
                 for b in range(nb):
-                    w = 1 << b
-                    sw = sliding_window_view(x, w)
-                    wmax = sw.max(axis=1)
-                    wmin = sw.min(axis=1)
-                    cx.append(float(wmax.min()))
-                    cn.append(float(wmin.max()))
-                    cw.append(bool((wmax == wmin).any()))
-                    v = float(sw.var(axis=1).min())
+                    cxv, cnv, cwv, v = _band_stats(x, 1 << b)
+                    cx.append(cxv)
+                    cn.append(cnv)
+                    cw.append(cwv)
                     mv.append(max(0.0, v - 1e-9 * (1.0 + scale2)))
                 ids.append(row.id)
                 mvs.append(mv)
@@ -1126,20 +1154,25 @@ def knn_topk(series: DataFrame, k: int = 4, radius: int = 5,
     # built on it can only underestimate): backs the equal-length
     # variance admission bound in phase 2 — every element of one side is
     # matched to a value inside the other side's range, so
-    # cost >= n * max(0, var - width^2/2) / 2 (see _band_sketch)
+    # cost >= n * max(0, var - width^2/2) / 2 (see _band_sketch). The
+    # shave must scale with n: F.aggregate is a SEQUENTIAL fold, so the
+    # one-pass E[x²]−mean² cancellation error grows ~n·ulp·E[x²] and a
+    # fixed 1e-9 stops covering it past n ≈ 4.5e6 (r04 review) — add an
+    # 8×-margin n·ulp term so the downward shave dominates the fp error
+    # at any length
     _n = F.size("points").cast("double")
     _s2 = F.aggregate("points", F.lit(0.0), lambda a, v: a + v * v) / _n
     _vr = _s2 - (F.aggregate("points", F.lit(0.0),
                              lambda a, v: a + v) / _n) ** 2
+    _shave = (F.lit(1e-9) + _n * F.lit(8.0 * 2.220446049250313e-16)) \
+        * (F.lit(1.0) + _s2)
     st = (series.select(F.col(key).alias("id"),
                         F.element_at("points", 1).alias("p1"),
                         F.element_at("points", -1).alias("pm"),
                         F.size("points").alias("n"),
                         F.array_min("points").alias("vmin"),
                         F.array_max("points").alias("vmax"),
-                        F.greatest(F.lit(0.0),
-                                   _vr - 1e-9 * (F.lit(1.0) + _s2))
-                        .alias("var"))
+                        F.greatest(F.lit(0.0), _vr - _shave).alias("var"))
           .localCheckpoint(eager=True))
     # one pre-scan job answers everything: LB-eligible (n>=2) extent +
     # length diversity via conditional aggs, short-series presence via the
@@ -1152,6 +1185,7 @@ def knn_topk(series: DataFrame, k: int = 4, radius: int = 5,
         F.min(F.when(ok, F.col("pm"))).alias("lom"),
         F.max(F.when(ok, F.col("pm"))).alias("him"),
         F.countDistinct(F.when(ok, F.col("n"))).alias("nlens"),
+        F.count(F.lit(1)).alias("allcnt"),
         F.min("n").alias("minn"),
         F.sum("n").alias("totn"),
         F.min("vmin").alias("vlo"),
@@ -1326,14 +1360,17 @@ def knn_topk(series: DataFrame, k: int = 4, radius: int = 5,
         # per id) — backs the window-core + window-variance bounds that
         # prune range-nested cross-length pairs (the round-3 residue's
         # 0.305 admitted fraction). Joined onto pair streams by the
-        # LONGER side's id; broadcast while the sketch table is
-        # driver-feasible (~300 B/id), else a plain shuffled join — at
-        # that scale the pair stream it prunes dwarfs the sketch
-        # exchange either way.
+        # LONGER side's id; broadcast while the sketch table stays in
+        # the tens-of-MB range every executor JVM + the driver can hold
+        # (~300 B/id → 100k ids ≈ 30 MB; r04 review: the old 1M cutoff
+        # risked ~300 MB per JVM), else a plain shuffled join — at that
+        # scale the pair stream it prunes dwarfs the sketch exchange
+        # either way. Size comes from the pre-scan agg row (no extra
+        # count job per call).
         sketch = _band_sketch(series, key).localCheckpoint(eager=True)
         sk_long = sketch.select(F.col("id").alias("_lid"), "minvar",
                                 "coremax", "coremin", "constw")
-        if st.count() <= 1_000_000:
+        if g["allcnt"] <= 100_000:
             sk_long = F.broadcast(sk_long)
         _long_id = F.when(F.col("na") <= F.col("nb"),
                           F.col("id_b")).otherwise(F.col("id_a"))

@@ -88,6 +88,23 @@ def decode_bmp(payload: bytes) -> np.ndarray:
         raise NotImplementedError(
             f"only uncompressed 24/32-bpp BMP supported "
             f"(compression={compression}, bpp={bpp})")
+    if compression == 3:
+        # BI_BITFIELDS is only spec-valid for 16/32 bpp, and we decode
+        # it by ASSUMING the default BGRA layout — verify the channel
+        # masks (at offset 54 for BITMAPINFOHEADER-with-trailing-masks
+        # and V4/V5 alike) actually say so, or a mask-permuted file
+        # would silently decode with channels swapped
+        if bpp != 32:
+            raise NotImplementedError(
+                "BI_BITFIELDS is only supported at 32 bpp")
+        if len(b) < 66:
+            raise ValueError("truncated BMP: BI_BITFIELDS masks missing")
+        r_m, g_m, b_m = struct.unpack_from("<III", b, 54)
+        if (r_m, g_m, b_m) != (0x00FF0000, 0x0000FF00, 0x000000FF):
+            raise NotImplementedError(
+                f"non-default BI_BITFIELDS masks "
+                f"(R={r_m:#010x} G={g_m:#010x} B={b_m:#010x}); only the "
+                f"BGRA default layout is supported")
     if width <= 0 or height == 0 or planes != 1:
         raise ValueError("invalid BMP dimensions")
     top_down = height < 0

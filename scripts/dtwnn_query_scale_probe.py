@@ -118,7 +118,11 @@ def main(argv=None) -> int:
                           max_closure_queries=0)
              .select("query_id", "cost", "conv_id", "loc").toPandas()
              .sort_values("query_id").reset_index(drop=True))
-        b = (dtwnn_search(sq, series, radius=args.radius)
+        # pin frame b to the CLOSURE path explicitly: auto-routing would
+        # silently take the blocked path too for --compare > 512 and the
+        # parity check would compare the blocked path against itself
+        b = (dtwnn_search(sq, series, radius=args.radius,
+                          max_closure_queries=args.compare)
              .select("query_id", "cost", "conv_id", "loc").toPandas()
              .sort_values("query_id").reset_index(drop=True))
         import pandas as pd

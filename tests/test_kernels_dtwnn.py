@@ -511,6 +511,28 @@ class TestBandSketchBoundSoundness:
                 checked += 1
         assert checked > 500
 
+    def test_band_stats_chunked_matches_unchunked_bitwise(self):
+        """_band_stats caps the sliding-var temporary by chunking the
+        window axis (r04 review: ~2 GB/series at w=256 unchunked); the
+        per-window numbers must stay bitwise identical — min/max/any
+        reductions commute with the chunk split and each window's var
+        only sees its own elements."""
+        from dynamicaxiswarping_jl_spark.operators import dtw_ops
+        rng = np.random.default_rng(17)
+        orig = dtw_ops._SKETCH_CHUNK
+        try:
+            for n in (1, 2, 7, 33, 100, 257):
+                x = np.cumsum(rng.normal(size=n))
+                for b in range(n.bit_length()):
+                    w = 1 << b
+                    ref = self._sketch(x, w)
+                    for chunk in (1, 2, 3, w, 5 * w, orig):
+                        dtw_ops._SKETCH_CHUNK = chunk
+                        cx, cn, cw, mv = dtw_ops._band_stats(x, w)
+                        assert (mv, cx, cn, cw) == ref, (n, w, chunk)
+        finally:
+            dtw_ops._SKETCH_CHUNK = orig
+
     def test_equal_length_variance_bound_sound(self):
         # phase-2 form: full-length variance vs the other side's range
         rng = np.random.default_rng(9)

@@ -108,6 +108,14 @@ class TestDedup:
         # cap not binding / unset: untouched
         assert _apply_part_cap(20, splits, 4 * m, 0) == 20
         assert _apply_part_cap(20, splits, 4 * m, 25) == 20
+        # pack-only regression (r04 review, fuzz-confirmed): Spark's
+        # second pass bins the EXISTING splits; re-cutting the 27MB
+        # splits at desired=24MB overestimates (9 vs Spark's 8) and
+        # silently skips the re-spread
+        sizes = [s * m for s in (23, 17, 13, 14, 16, 29, 34, 20)]
+        parts, splits = _cut_and_pack(sizes, 27 * m, 0, 6)
+        assert parts == 8
+        assert _apply_part_cap(parts, splits, 0, 7) == 8
 
     def test_scan_splits_skips_respread_for_a_wide_single_file(
             self, spark, tmp_path):
@@ -278,6 +286,37 @@ class TestMultimodal:
         blob = encode_bmp(np.zeros((4, 4, 3), np.uint8))
         with pytest.raises(ValueError, match="truncated"):
             decode_bmp(blob[:-8])
+
+    def test_bmp_bitfields_masks_validated(self):
+        """BI_BITFIELDS is decoded only when the channel masks say the
+        default BGRA layout (r04 review): permuted masks must raise, not
+        silently swap channels; 24bpp+BI_BITFIELDS is spec-invalid."""
+        import struct as st
+        from dynamicaxiswarping_jl_spark.operators.multimodal import (
+            decode_bmp, encode_bmp)
+        img = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+        blob = bytearray(encode_bmp(img, bpp=32))
+
+        def with_bitfields(masks):
+            # rewrite the 40-byte info header as one with trailing
+            # masks: bump data offset/header size and splice in masks
+            out = bytearray(blob)
+            st.pack_into("<I", out, 30, 3)  # compression = BI_BITFIELDS
+            st.pack_into("<I", out, 10,
+                         st.unpack_from("<I", out, 10)[0] + 12)
+            return bytes(out[:54]) + st.pack("<III", *masks) + bytes(
+                out[54:])
+
+        ok = with_bitfields((0x00FF0000, 0x0000FF00, 0x000000FF))
+        np.testing.assert_array_equal(
+            np.round(decode_bmp(ok) * 255).astype(np.uint8), img)
+        bad = with_bitfields((0x000000FF, 0x0000FF00, 0x00FF0000))
+        with pytest.raises(NotImplementedError, match="masks"):
+            decode_bmp(bad)
+        blob24 = bytearray(encode_bmp(img, bpp=24))
+        st.pack_into("<I", blob24, 30, 3)
+        with pytest.raises(NotImplementedError, match="32 bpp"):
+            decode_bmp(bytes(blob24))
 
     def test_wav_roundtrip_against_stdlib_wave(self, tmp_path):
         """encode_wav → decode_wav round-trips, and the stdlib `wave`
