@@ -33,7 +33,7 @@ from dynamicaxiswarping_jl_spark.operators import (
     fingerprint, attach_media_metadata, image_features,
 )
 from dynamicaxiswarping_jl_spark.operators.multimodal import (
-    audio_features, encode_bmp, encode_wav)
+    audio_features, encode_bmp, encode_png, encode_wav)
 from dynamicaxiswarping_jl_spark.operators import sessionize_events
 from dynamicaxiswarping_jl_spark.sources import transcripts_df
 
@@ -300,11 +300,14 @@ def q_media_features(spark, sf_dir):
 _MEDIA_BIN_SCHEMA = "media_id long, payload binary"
 
 
-def _media_bmp_from_docs(spark, sf_dir):
-    """REAL image fixture: each document becomes an 8x8 24-bpp BMP whose
+def _media_img_from_docs(spark, sf_dir):
+    """REAL image fixture: each document becomes an 8x8 image whose
     pixels are the sha256 expansion of its text (deterministic, no
-    external data). The query then exercises the actual encode->decode
-    codec path, so a decoder bug breaks the golden match."""
+    external data) — even doc_ids as 24-bpp BMP, odd doc_ids as RGB PNG
+    with the per-row 'mixed' filter cycle, so the query exercises BOTH
+    real encode->decode codec paths; a bug in either breaks the golden
+    match (the golden derives features from the pixel rule alone, so
+    the container format must be lossless and pixel-identical)."""
     import hashlib
 
     import numpy as np
@@ -322,19 +325,22 @@ def _media_bmp_from_docs(spark, sf_dir):
                 img = np.frombuffer((d * reps)[: 8 * 8 * 3],
                                     np.uint8).reshape(8, 8, 3)
                 ids.append(mid)
-                pays.append(bytearray(encode_bmp(img)))
+                pays.append(bytearray(
+                    encode_bmp(img) if mid % 2 == 0
+                    else encode_png(img, filter_type="mixed")))
             yield pd.DataFrame({"media_id": ids, "payload": pays})
 
     return docs.mapInPandas(build, _MEDIA_BIN_SCHEMA)
 
 
 def q_media_image_features(spark, sf_dir):
-    """REAL BMP decode (no fake): deterministic BMP payloads built from
-    documents, decoded by operators/multimodal.decode_bmp, per-channel
+    """REAL image decode (no fake): deterministic BMP and PNG payloads
+    built from documents, decoded by operators/multimodal.decode_bmp /
+    decode_png via the decode_image magic-number dispatch, per-channel
     mean/std features. Golden re-derives the features independently from
-    the sha256 pixel rule (scripts/make_goldens.py) — any drift in the
-    BMP encoder OR decoder breaks the hash match."""
-    media = _media_bmp_from_docs(spark, sf_dir)
+    the sha256 pixel rule (scripts/make_goldens.py) — any drift in
+    either encoder OR decoder breaks the hash match."""
+    media = _media_img_from_docs(spark, sf_dir)
     feats = image_features(media)  # fake=False: real decode
     return (feats.select("media_id",
                          F.posexplode("features").alias("feat_idx", "_v"))

@@ -11,8 +11,12 @@ Decode support (pure NumPy, no media libs in this container):
   format is public and uncompressed, so a struct-level parser is exact.
 - **WAV** (RIFF/WAVE PCM: 8/16/32-bit integer and 32/64-bit IEEE float):
   ``decode_wav`` / ``encode_wav``.
-- Compressed codecs (PNG/JPEG deflate+DCT, MP3, H.264) require real
-  codec libraries and raise NotImplementedError; ``fake=True`` keeps the
+- **PNG** (8-bit depth, color types 0/2/3/4/6, all five scanline
+  filters, non-interlaced): ``decode_png`` / ``encode_png``. Deflate is
+  stdlib ``zlib``; the chunk/filter layer is a spec-level NumPy
+  implementation with CRC verification.
+- Codecs needing non-stdlib entropy/transform stages (JPEG DCT, MP3,
+  H.264) raise NotImplementedError; ``fake=True`` keeps the
   deterministic sha256 pseudo-decode for plumbing tests and the
   golden-pinned ``media_features`` driver query.
 """
@@ -32,7 +36,8 @@ from pyspark.sql import types as T
 
 __all__ = ["MEDIA_SCHEMA", "attach_media_metadata", "image_features",
            "frame_sample", "decode_bmp", "encode_bmp", "decode_wav",
-           "encode_wav", "decode_image", "audio_features"]
+           "encode_wav", "decode_png", "encode_png", "decode_image",
+           "audio_features"]
 
 MEDIA_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
@@ -239,9 +244,208 @@ def encode_wav(samples: np.ndarray, rate: int, bits: int = 16) -> bytes:
     return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# channels per pixel by PNG color type: 0=gray, 2=RGB, 3=palette index,
+# 4=gray+alpha, 6=RGBA
+_PNG_NCH = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse the five PNG scanline filters (spec §6): returns the
+    (h, stride) reconstructed bytes. None/Up/Sub rows are vectorized
+    (Sub is a per-lane cumsum mod 256); Average/Paeth recurse on the
+    just-reconstructed left pixel, so those rows walk pixels with
+    bpp-wide vector steps."""
+    arr = np.frombuffer(raw, dtype=np.uint8)
+    if arr.size != h * (stride + 1):
+        raise ValueError(
+            f"bad PNG pixel-data length: {arr.size} != {h * (stride + 1)}")
+    arr = arr.reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = int(arr[y, 0])
+        r = arr[y, 1:]
+        if f == 0:          # None
+            row = r.copy()
+        elif f == 2:        # Up (uint8 addition wraps mod 256)
+            row = r + prev
+        elif f == 1:        # Sub: recon[x] = raw[x] + recon[x-bpp]
+            lanes = r.reshape(-1, bpp).astype(np.int64)
+            row = (np.cumsum(lanes, axis=0) % 256).astype(
+                np.uint8).reshape(-1)
+        elif f in (3, 4):   # Average / Paeth: left-recursive
+            row = np.empty(stride, dtype=np.uint8)
+            ri = r.astype(np.int32)
+            pv = prev.astype(np.int32)
+            left = np.zeros(bpp, dtype=np.int32)
+            ul = np.zeros(bpp, dtype=np.int32)
+            for x0 in range(0, stride, bpp):
+                up = pv[x0:x0 + bpp]
+                if f == 3:
+                    pred = (left + up) >> 1
+                else:
+                    p = left + up - ul
+                    pa = np.abs(p - left)
+                    pb = np.abs(p - up)
+                    pc = np.abs(p - ul)
+                    pred = np.where((pa <= pb) & (pa <= pc), left,
+                                    np.where(pb <= pc, up, ul))
+                cur = (ri[x0:x0 + bpp] + pred) & 0xFF
+                row[x0:x0 + bpp] = cur
+                left = cur
+                ul = up
+        else:
+            raise ValueError(f"invalid PNG filter type {f}")
+        out[y] = row
+        prev = row
+    return out
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG → (height, width, 3) float64 RGB in [0, 1].
+
+    Spec-level implementation over stdlib zlib: chunk stream with CRC
+    verification, IHDR/PLTE/IDAT/IEND, bit depth 8, color types 0
+    (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), all five
+    scanline filters, non-interlaced only (Adam7 raises). Alpha is
+    dropped and gray is expanded to 3 channels so the pixel contract
+    matches decode_bmp (identical float64 array for identical pixels —
+    the media goldens rely on this)."""
+    import zlib
+    b = bytes(payload)
+    if b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload (missing signature)")
+    pos, ihdr, plte, idat, ended = 8, None, None, [], False
+    while pos + 12 <= len(b):
+        ln, typ = struct.unpack_from(">I4s", b, pos)
+        data = b[pos + 8: pos + 8 + ln]
+        if len(data) < ln:
+            raise ValueError("truncated PNG chunk")
+        crc = struct.unpack_from(">I", b, pos + 8 + ln)[0]
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {typ!r}")
+        pos += 12 + ln
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"PLTE":
+            if len(data) % 3:
+                raise ValueError("PLTE length not a multiple of 3")
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            ended = True
+            break
+    if ihdr is None or not ended or not idat:
+        raise ValueError("PNG missing IHDR/IDAT/IEND")
+    w, h, depth, ctype, comp, fmeth, interlace = ihdr
+    if w == 0 or h == 0:
+        raise ValueError("invalid PNG dimensions")
+    if comp != 0 or fmeth != 0:
+        raise ValueError("invalid PNG compression/filter method")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if depth != 8 or ctype not in _PNG_NCH:
+        raise NotImplementedError(
+            f"only 8-bit-depth PNG color types 0/2/3/4/6 supported "
+            f"(depth={depth}, color_type={ctype})")
+    if ctype == 3 and plte is None:
+        raise ValueError("palette PNG without PLTE chunk")
+    nch = _PNG_NCH[ctype]
+    stride = w * nch
+    recon = _png_unfilter(zlib.decompress(b"".join(idat)), h, stride, nch)
+    px = recon.reshape(h, w, nch)
+    if ctype == 0:
+        rgb = np.repeat(px, 3, axis=2)
+    elif ctype == 2:
+        rgb = px
+    elif ctype == 3:
+        if int(px.max()) >= len(plte):
+            raise ValueError("palette index out of range")
+        rgb = plte[px[:, :, 0]]
+    elif ctype == 4:
+        rgb = np.repeat(px[:, :, :1], 3, axis=2)
+    else:  # 6
+        rgb = px[:, :, :3]
+    # same canonical C layout + dtype rule as decode_bmp (see there)
+    return np.ascontiguousarray(rgb).astype(np.float64) / 255.0
+
+
+def _png_filter_row(f: int, row: np.ndarray, prev: np.ndarray,
+                    bpp: int) -> np.ndarray:
+    """Forward scanline filter for the encoder (filters reference the
+    reconstructed bytes, which equal the raw bytes — lossless)."""
+    if f == 0:
+        return row.copy()
+    r = row.astype(np.int32)
+    pv = prev.astype(np.int32)
+    left = np.concatenate([np.zeros(bpp, np.int32), r[:-bpp]]) \
+        if r.size >= bpp else np.zeros_like(r)
+    if f == 1:
+        return ((r - left) & 0xFF).astype(np.uint8)
+    if f == 2:
+        return ((r - pv) & 0xFF).astype(np.uint8)
+    if f == 3:
+        return ((r - ((left + pv) >> 1)) & 0xFF).astype(np.uint8)
+    if f == 4:
+        ul = np.concatenate([np.zeros(bpp, np.int32), pv[:-bpp]]) \
+            if pv.size >= bpp else np.zeros_like(pv)
+        p = left + pv - ul
+        pa = np.abs(p - left)
+        pb = np.abs(p - pv)
+        pc = np.abs(p - ul)
+        pred = np.where((pa <= pb) & (pa <= pc), left,
+                        np.where(pb <= pc, pv, ul))
+        return ((r - pred) & 0xFF).astype(np.uint8)
+    raise ValueError(f"invalid PNG filter type {f}")
+
+
+def encode_png(img: np.ndarray, color_type: int | None = None,
+               filter_type: int | str = 0) -> bytes:
+    """Pixels → PNG bytes (8-bit depth, non-interlaced).
+
+    ``img``: (h, w) gray, or (h, w, {1,2,3,4}) gray/gray+alpha/RGB/RGBA,
+    uint8 or float in [0, 1]. ``color_type`` defaults to match the
+    channel count (0/4/2/6; palette type 3 is decode-only).
+    ``filter_type``: one scanline filter 0-4 for every row,
+    or ``'mixed'`` to cycle through all five (row y uses filter y % 5) —
+    the fixture/test-data inverse of decode_png; round-trip is exact for
+    uint8 inputs under every filter choice."""
+    import zlib
+    a = np.asarray(img)
+    if a.dtype != np.uint8:
+        a = np.clip(np.round(a * 255.0), 0, 255).astype(np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, nch = a.shape
+    if color_type is None:
+        color_type = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
+    if _PNG_NCH.get(color_type) != nch or color_type == 3:
+        raise ValueError(
+            f"color_type {color_type} incompatible with {nch} channels")
+    rows = np.ascontiguousarray(a.reshape(h, w * nch))
+    prev = np.zeros(w * nch, dtype=np.uint8)
+    parts = []
+    for y in range(h):
+        f = (y % 5) if filter_type == "mixed" else int(filter_type)
+        parts.append(bytes([f]))
+        parts.append(_png_filter_row(f, rows[y], prev, nch).tobytes())
+        prev = rows[y]
+    raw = b"".join(parts)
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 9)) + chunk(b"IEND", b""))
+
+
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
-    """Dispatch decode by magic number. BMP decodes for real; PNG/JPEG
-    need codec libraries (deflate/DCT) and raise NotImplementedError;
+    """Dispatch decode by magic number. BMP and PNG decode for real;
+    JPEG needs a DCT codec library and raises NotImplementedError;
     ``fake=True`` routes everything through the deterministic sha256
     pseudo-decode (plumbing tests, golden-pinned queries)."""
     b = bytes(payload)
@@ -249,10 +453,12 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
         return _fake_decode(b)
     if b[:2] == b"BM":
         return decode_bmp(b)
-    if b[1:4] == b"PNG" or b[:3] == b"\xff\xd8\xff":
+    if b[:8] == _PNG_SIG:
+        return decode_png(b)
+    if b[:3] == b"\xff\xd8\xff":
         raise NotImplementedError(
-            "PNG/JPEG decode requires codec libraries not in this "
-            "container — supported real format: uncompressed BMP")
+            "JPEG decode requires codec libraries not in this "
+            "container — supported real formats: BMP, PNG")
     raise ValueError("unrecognized image payload")
 
 
