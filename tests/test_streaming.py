@@ -272,3 +272,134 @@ class TestStreamingChunkCompress:
         assert len(got) == 30
         for h in range(30):
             assert got[("c1", t0 + dt.timedelta(hours=h))] == float(1 + h)
+
+
+class TestStreamingDrift:
+    """streaming_drift: tumbling-window banded-DTW drift per conversation,
+    watermark-gated — the streaming twin of the batch tier_drift signal.
+    Contract under test: the FINAL emitted set depends only on the data
+    (batch-equivalence across micro-batch splits) and equals a NumPy
+    re-derivation of gapfill-zero windows scored with the same kernel."""
+
+    W, BS, RADIUS = 4, 60, 1
+
+    @staticmethod
+    def _mk_rows(base):
+        """3 convs over several windows of W=4 one-minute buckets:
+        ca dense across 3 windows; cb with an entirely EMPTY middle
+        window (synthesized-zeros path); cc a single window (emits
+        nothing — no predecessor)."""
+        import datetime as dt
+        rows = []
+        for m, v in [(0, 2.0), (1, 3.0), (2, 1.0), (3, 4.0),
+                     (4, 2.0), (6, 5.0),
+                     (8, 1.0), (9, 1.0), (10, 6.0), (11, 2.0)]:
+            rows.append(("ca", base + dt.timedelta(minutes=m), float(v)))
+        for m, v in [(0, 1.0), (2, 2.0), (8, 3.0), (11, 1.0)]:
+            rows.append(("cb", base + dt.timedelta(minutes=m), float(v)))
+        for m, v in [(4, 9.0), (5, 8.0)]:
+            rows.append(("cc", base + dt.timedelta(minutes=m), float(v)))
+        return rows
+
+    def _oracle(self, rows, base):
+        """Independent re-derivation: per conv, zero-fill windows over
+        the observed span, score consecutive pairs with the kernel."""
+        import numpy as np
+        from dynamicaxiswarping_jl_spark.kernels import dtw_cost
+        per = {}
+        for cid, ts, v in rows:
+            mins = int((ts - base).total_seconds() // 60)
+            per.setdefault(cid, {})[mins] = v
+        out = set()
+        for cid, buckets in per.items():
+            wids = sorted({m // self.W for m in buckets})
+            lo, hi = wids[0], wids[-1]
+            vecs, nobs = {}, {}
+            for w in range(lo, hi + 1):
+                vec = np.zeros(self.W)
+                n = 0
+                for m, v in buckets.items():
+                    if m // self.W == w:
+                        vec[m % self.W] = v
+                        n += 1
+                vecs[w], nobs[w] = vec, n
+            for w in range(lo + 1, hi + 1):
+                c = float(dtw_cost(vecs[w - 1], vecs[w], "sqeuclidean",
+                                   self.RADIUS))
+                out.add((cid, w * self.W, round(c, 9), nobs[w]))
+        return out
+
+    def _run_stream(self, spark, tmp_path, tranches, tag):
+        """Feed tranches through one checkpointed stream; a far-future
+        sentinel conv advances the watermark so every real window closes
+        (and state timeouts fire) before the final read."""
+        import datetime as dt
+        from dynamicaxiswarping_jl_spark.streaming import streaming_drift
+
+        src = str(tmp_path / f"src_{tag}")
+        out = str(tmp_path / f"out_{tag}")
+        ckpt = str(tmp_path / f"ckpt_{tag}")
+        schema = "conv_id string, bucket timestamp, turn_rate double"
+
+        def run_once():
+            stream = spark.readStream.schema(schema).parquet(src)
+            drift = streaming_drift(stream, window_buckets=self.W,
+                                    radius=self.RADIUS,
+                                    bucket_seconds=self.BS,
+                                    watermark="30 minutes")
+            q = (drift.writeStream.outputMode("append")
+                 .option("checkpointLocation", ckpt)
+                 .format("parquet").option("path", out)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+
+        mode = "overwrite"
+        for tr in tranches:
+            spark.createDataFrame(tr, schema).coalesce(1).write.mode(
+                mode).parquet(src)
+            mode = "append"
+            run_once()
+        base = tranches[0][0][1].replace(minute=0, second=0)
+        sentinel = [("zz", base + dt.timedelta(days=2), 0.0)]
+        spark.createDataFrame(sentinel, schema).coalesce(1).write.mode(
+            "append").parquet(src)
+        run_once()
+        run_once()  # one more pass: timeout fires on the advanced watermark
+        got = spark.read.parquet(out).collect()
+        base_ep = base.timestamp()
+        return {(r["conv_id"],
+                 int((r["window_start"].timestamp() - base_ep) // 60),
+                 round(r["drift"], 9), r["n_obs"])
+                for r in got if r["conv_id"] != "zz"}
+
+    def test_matches_numpy_oracle_and_is_batching_invariant(
+            self, spark, tmp_path):
+        import datetime as dt
+        base = dt.datetime(2024, 3, 1, 9, 0, 0)
+        rows = self._mk_rows(base)
+        want = self._oracle(rows, base)
+        assert want, "oracle produced no windows — test data broken"
+        # cb's empty middle window must be in the oracle (n_obs == 0)
+        assert any(cid == "cb" and n == 0 for cid, _, _, n in want)
+
+        got_one = self._run_stream(spark, tmp_path, [rows], "one")
+        assert got_one == want
+
+        # same rows split across 3 tranches, out-of-order within the
+        # 30-minute watermark: a window-2 bucket lands before the rest
+        # of window 1 — the final set must not change
+        t1 = [r for r in rows if r[0] == "ca"][:2] \
+            + [r for r in rows if r[0] == "cb"][:1]
+        t2 = [r for r in rows if r not in t1][::-1][:6]
+        t3 = [r for r in rows if r not in t1 and r not in t2]
+        got_split = self._run_stream(spark, tmp_path, [t1, t2, t3],
+                                     "split")
+        assert got_split == want
+
+    def test_single_window_conv_emits_nothing(self, spark, tmp_path):
+        import datetime as dt
+        base = dt.datetime(2024, 3, 2, 7, 0, 0)
+        rows = [("solo", base + dt.timedelta(minutes=m), 1.0)
+                for m in range(self.W)]
+        got = self._run_stream(spark, tmp_path, [rows], "solo")
+        assert got == set()
