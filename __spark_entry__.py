@@ -33,7 +33,8 @@ from dynamicaxiswarping_jl_spark.operators import (
     fingerprint, attach_media_metadata, image_features,
 )
 from dynamicaxiswarping_jl_spark.operators.multimodal import (
-    audio_features, encode_bmp, encode_png, encode_wav)
+    audio_features, encode_bmp, encode_gif, encode_png, encode_wav,
+    frame_sample)
 from dynamicaxiswarping_jl_spark.operators import sessionize_events
 from dynamicaxiswarping_jl_spark.sources import transcripts_df
 
@@ -345,6 +346,61 @@ def q_media_image_features(spark, sf_dir):
     return (feats.select("media_id",
                          F.posexplode("features").alias("feat_idx", "_v"))
             .select("media_id", "feat_idx", _r("_v", 4).alias("v")))
+
+
+def _media_gif_from_docs(spark, sf_dir):
+    """REAL animation fixture: each document becomes a 2-4-frame 8x8
+    animated GIF — frame f's pixels are the sha256 expansion of
+    text + '@' + f, per-frame delays 300/500/700 ms from (doc_id+f) % 3.
+    Deterministic, no external data; the query then exercises the actual
+    GIF encode→LZW→decode→composite path, so a codec bug breaks the
+    golden match (the golden derives frame features from the pixel +
+    timing rules alone)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    docs = (_t(spark, sf_dir, "documents")
+            .select(F.col("doc_id").alias("media_id"), "text"))
+
+    def build(batches):
+        for pdf in batches:
+            ids, pays = [], []
+            for mid, text in zip(pdf["media_id"], pdf["text"]):
+                nf = 2 + int(mid) % 3
+                frames, delays = [], []
+                for fidx in range(nf):
+                    d = hashlib.sha256(
+                        f"{text}@{fidx}".encode("utf-8")).digest()
+                    reps = (8 * 8 * 3) // len(d) + 1
+                    frames.append(np.frombuffer(
+                        (d * reps)[: 8 * 8 * 3], np.uint8).reshape(8, 8, 3))
+                    delays.append(300 + 200 * ((int(mid) + fidx) % 3))
+                ids.append(mid)
+                pays.append(bytearray(encode_gif(frames, delays)))
+            yield pd.DataFrame({"media_id": ids, "payload": pays})
+
+    return (docs.mapInPandas(build, _MEDIA_BIN_SCHEMA)
+            .withColumn("meta", F.struct(
+                F.lit(8).alias("width"), F.lit(8).alias("height"),
+                F.lit(0).cast("long").alias("duration_ms"))))
+
+
+def q_media_frame_features(spark, sf_dir):
+    """REAL animated-GIF frame sampling (no fake): deterministic GIF
+    payloads built from documents, decoded + composited by
+    operators/gif inside frame_sample(fake=False), sampled every 400 ms
+    by the cumulative-delay rule, per-channel frame means. Golden
+    re-derives the features independently from the sha256 pixel rule and
+    the delay rule (scripts/make_goldens.py) — any drift in the GIF
+    encoder, LZW, compositing, or sampling breaks the hash match."""
+    media = _media_gif_from_docs(spark, sf_dir)
+    fs = frame_sample(media, every_ms=400, fake=False)
+    return (fs.select("media_id", "frame_idx", "t_ms",
+                      F.posexplode("features").alias("feat_idx", "_v"))
+            .select("media_id", "frame_idx", "t_ms", "feat_idx",
+                    _r("_v", 4).alias("v")))
 
 
 def q_media_audio_features(spark, sf_dir):
@@ -701,6 +757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "media_image_features": q_media_image_features,
         "media_audio_features": q_media_audio_features,
+        "media_frame_features": q_media_frame_features,
         "ivf_ann_topk": q_ivf_ann_topk,
         "gdtw_pairs": q_gdtw_pairs,
         "dbaclust_assign": q_dbaclust_assign,
@@ -1065,5 +1122,6 @@ def oracle_sql() -> dict[str, str]:
                "dbaclust_assign", "gorilla_roundtrip", "transcripts_rollup",
                "minhash_pairs", "neardup_keep", "simhash", "simhash_neardup",
                "embedding_neardup_lsh", "lsh_ann_topk", "ivf_ann_topk",
-               "media_image_features", "media_audio_features")},
+               "media_image_features", "media_audio_features",
+               "media_frame_features")},
     }

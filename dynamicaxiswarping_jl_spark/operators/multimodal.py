@@ -15,6 +15,9 @@ Decode support (pure NumPy, no media libs in this container):
   filters, non-interlaced): ``decode_png`` / ``encode_png``. Deflate is
   stdlib ``zlib``; the chunk/filter layer is a spec-level NumPy
   implementation with CRC verification.
+- **GIF** (87a/89a animations: LZW, global/local palettes, per-frame
+  delay/disposal/transparency, interlace): ``decode_gif`` /
+  ``encode_gif`` (operators/gif) — the REAL path of ``frame_sample``.
 - Codecs needing non-stdlib entropy/transform stages (JPEG DCT, MP3,
   H.264) raise NotImplementedError; ``fake=True`` keeps the
   deterministic sha256 pseudo-decode for plumbing tests and the
@@ -34,10 +37,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .gif import decode_gif, encode_gif  # noqa: F401  (re-export)
+
 __all__ = ["MEDIA_SCHEMA", "attach_media_metadata", "image_features",
            "frame_sample", "decode_bmp", "encode_bmp", "decode_wav",
-           "encode_wav", "decode_png", "encode_png", "decode_image",
-           "audio_features"]
+           "encode_wav", "decode_png", "encode_png", "decode_gif",
+           "encode_gif", "decode_image", "audio_features"]
 
 MEDIA_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
@@ -455,10 +460,12 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
         return decode_bmp(b)
     if b[:8] == _PNG_SIG:
         return decode_png(b)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(b)[0][0]  # first composited frame
     if b[:3] == b"\xff\xd8\xff":
         raise NotImplementedError(
             "JPEG decode requires codec libraries not in this "
-            "container — supported real formats: BMP, PNG")
+            "container — supported real formats: BMP, PNG, GIF")
     raise ValueError("unrecognized image payload")
 
 
@@ -467,6 +474,7 @@ def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFr
     p = F.col(payload_col)
     mime = (F.when(F.expr(f"substring({payload_col}, 1, 3)") == bytes(b"\xff\xd8\xff"), "image/jpeg")
             .when(F.expr(f"substring({payload_col}, 2, 3)") == bytes(b"PNG"), "image/png")
+            .when(F.expr(f"substring({payload_col}, 1, 4)") == bytes(b"GIF8"), "image/gif")
             .otherwise("application/octet-stream"))
     return df.withColumn("n_bytes", F.length(p)).withColumn("mime_sniffed", mime)
 
@@ -531,7 +539,20 @@ def audio_features(media: DataFrame, id_col: str = "media_id") -> DataFrame:
 
 def frame_sample(media: DataFrame, every_ms: int = 1000, fake: bool = True,
                  id_col: str = "media_id") -> DataFrame:
-    """Video → sampled frame rows (media_id, frame_idx, t_ms, features)."""
+    """Video/animation → sampled frame rows (media_id, frame_idx, t_ms,
+    features).
+
+    ``fake=False`` decodes REAL animated-GIF payloads (operators/gif —
+    the one animation container whose entropy stage is in-scope without
+    codec libraries): frame timing comes from the Graphic Control
+    Extension delays, the frame visible at each sample instant t (the
+    last frame whose cumulative start time is <= t) is composited and
+    reduced to per-channel means. Sample instants run every ``every_ms``
+    over [0, total_duration) — a zero-total-duration animation yields
+    one sample at t=0 of the final canvas. Containers needing real
+    codecs (MP4/H.264 etc.) raise NotImplementedError. ``fake=True``
+    keeps the deterministic sha256 pseudo-decode driven by
+    meta.duration_ms (plumbing tests, golden-pinned queries)."""
     schema = T.StructType([
         T.StructField(id_col, T.LongType()),
         T.StructField("frame_idx", T.IntegerType()),
@@ -543,14 +564,32 @@ def frame_sample(media: DataFrame, every_ms: int = 1000, fake: bool = True,
         for pdf in batches:
             recs = []
             for row in pdf.itertuples(index=False):
+                rid = getattr(row, id_col)
                 if not fake:
-                    raise NotImplementedError(
-                        "real video decode requires libav — not in container")
+                    b = bytes(row.payload)
+                    if b[:6] not in (b"GIF87a", b"GIF89a"):
+                        raise NotImplementedError(
+                            "real video decode beyond animated GIF "
+                            "requires codec libraries not in this "
+                            "container")
+                    frames, delays = decode_gif(b)
+                    starts = np.concatenate(
+                        [[0], np.cumsum(delays)[:-1]])
+                    total = int(sum(delays))
+                    for i, t in enumerate(range(0, max(total, 1),
+                                                every_ms)):
+                        fi = int(np.searchsorted(starts, t,
+                                                 side="right") - 1)
+                        recs.append({id_col: rid, "frame_idx": i,
+                                     "t_ms": t,
+                                     "features": frames[fi].mean(
+                                         axis=(0, 1)).tolist()})
+                    continue
                 dur = int(row.meta["duration_ms"] if isinstance(row.meta, dict)
                           else (row.meta.duration_ms or 0))
                 for i, t in enumerate(range(0, max(dur, 1), every_ms)):
                     img = _fake_decode(bytes(row.payload) + t.to_bytes(8, "little"))
-                    recs.append({id_col: getattr(row, id_col), "frame_idx": i,
+                    recs.append({id_col: rid, "frame_idx": i,
                                  "t_ms": t,
                                  "features": img.mean(axis=(0, 1)).tolist()})
             yield pd.DataFrame(recs, columns=[f.name for f in schema.fields])

@@ -726,6 +726,44 @@ def g_media_image_features(sf_dir):
                           ("feat_idx", pa.int32()), ("v", pa.float64())])
 
 
+def g_media_frame_features(sf_dir):
+    """Independent re-derivation of q_media_frame_features: the sha256
+    per-frame pixel rule + the (doc_id+f) % 3 delay rule + the
+    cumulative-delay sampling rule (frame visible at t = last frame with
+    start <= t), WITHOUT the engine's GIF encoder/LZW/decoder/compositor
+    — if any codec stage corrupts a pixel or a delay, the engine's
+    decoded frame features diverge and the hash check fails."""
+    import hashlib
+
+    docs = _load(sf_dir, "documents")
+    recs = []
+    for mid, text in zip(docs["doc_id"].astype(int), docs["text"]):
+        mid = int(mid)
+        nf = 2 + mid % 3
+        frames, delays = [], []
+        for fidx in range(nf):
+            d = hashlib.sha256(f"{text}@{fidx}".encode("utf-8")).digest()
+            reps = (8 * 8 * 3) // len(d) + 1
+            img = np.frombuffer((d * reps)[: 8 * 8 * 3],
+                                np.uint8).reshape(8, 8, 3)
+            frames.append(img.astype(np.float64) / 255.0)
+            delays.append(300 + 200 * ((mid + fidx) % 3))
+        starts = np.concatenate([[0], np.cumsum(delays)[:-1]])
+        total = int(sum(delays))
+        for i, t in enumerate(range(0, max(total, 1), 400)):
+            fi = int(np.searchsorted(starts, t, side="right") - 1)
+            feats = frames[fi].mean(axis=(0, 1))
+            for j, v in enumerate(feats):
+                recs.append((mid, i, int(t), j, float(_r(v))))
+    df = pd.DataFrame(recs, columns=["media_id", "frame_idx", "t_ms",
+                                     "feat_idx", "v"])
+    return df, pa.schema([("media_id", pa.int64()),
+                          ("frame_idx", pa.int32()),
+                          ("t_ms", pa.int64()),
+                          ("feat_idx", pa.int32()),
+                          ("v", pa.float64())])
+
+
 def g_media_audio_features(sf_dir):
     """Independent re-derivation of q_media_audio_features: spec-level
     pure-Python xxhash64 sample rule + int16 quantization (the lossy
@@ -758,6 +796,7 @@ def g_media_audio_features(sf_dir):
 GOLDENS = {
     "media_image_features": g_media_image_features,
     "media_audio_features": g_media_audio_features,
+    "media_frame_features": g_media_frame_features,
     "ivf_ann_topk": g_ivf_ann_topk,
     "drift_1h_1d": g_drift_1h_1d,
     "dtwnn_series": g_dtwnn_series,

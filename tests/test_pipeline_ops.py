@@ -436,6 +436,171 @@ class TestMultimodal:
         with pytest.raises(NotImplementedError, match="depth"):
             decode_png(blob_16)
 
+
+    # ---- GIF ----
+
+    def test_gif_roundtrip_animation(self):
+        """encode_gif → decode_gif is exact across frames, delays,
+        interlace, and palette sizes (2, 20, 256 colors)."""
+        from dynamicaxiswarping_jl_spark.operators.multimodal import (
+            decode_gif, encode_gif)
+        rng = np.random.default_rng(31)
+        pal = rng.integers(0, 256, size=(20, 3), dtype=np.uint8)
+        frames = [pal[rng.integers(0, 20, size=(7, 9))] for _ in range(3)]
+        got, delays = decode_gif(encode_gif(frames, [100, 250, 50]))
+        assert delays == [100, 250, 50]
+        for g, f in zip(got, frames):
+            np.testing.assert_array_equal(
+                np.round(g * 255).astype(np.uint8), f)
+        # interlaced single frame
+        g, _ = decode_gif(encode_gif(frames[:1], interlace=True))
+        np.testing.assert_array_equal(
+            np.round(g[0] * 255).astype(np.uint8), frames[0])
+        # 256-color image exercises the full-byte code path + clears
+        img = np.arange(256, dtype=np.uint8).reshape(16, 16)[
+            :, :, None].repeat(3, axis=2)
+        g, _ = decode_gif(encode_gif([img]))
+        np.testing.assert_array_equal(
+            np.round(g[0] * 255).astype(np.uint8), img)
+
+    def test_gif_lzw_decoder_against_hand_built_codes(self):
+        """The LZW decoder is pinned by a code stream BUILT IN THIS TEST
+        (bit-packed by hand, never produced by the engine encoder),
+        exercising the KwKwK code==next_code case the uncompressed-trick
+        encoder can never emit: with min_code_size=2, CLEAR,1,6,EOI must
+        decode to pixels [1,1,1]."""
+        from dynamicaxiswarping_jl_spark.operators.gif import _lzw_decode
+
+        def pack(codes, width):
+            acc = nbits = 0
+            out = bytearray()
+            for c in codes:
+                acc |= c << nbits
+                nbits += width
+                while nbits >= 8:
+                    out.append(acc & 0xFF)
+                    acc >>= 8
+                    nbits -= 8
+            if nbits:
+                out.append(acc & 0xFF)
+            return bytes(out)
+
+        # clear=4, eoi=5; after CLEAR, code 1 → "1"; code 6 == next_code
+        # → KwKwK → "11"; total pixels 1,1,1
+        assert _lzw_decode(pack([4, 1, 6, 5], 3), 2) == bytes([1, 1, 1])
+        # normal dictionary growth: 1,2,6 → "1","2",dict[6]="12" → 1,2,1,2
+        assert _lzw_decode(pack([4, 1, 2, 6, 5], 3), 2) \
+            == bytes([1, 2, 1, 2])
+        # missing EOI raises
+        with pytest.raises(ValueError, match="EOI"):
+            _lzw_decode(pack([4, 1], 3), 2)
+
+    def test_gif_deinterlace_order_matches_spec(self):
+        """Stored-row → display-row map equals a straight-line spec
+        derivation (passes at strides 8/8/4/2 starting 0/4/2/1)."""
+        from dynamicaxiswarping_jl_spark.operators.gif import (
+            _deinterlace_order)
+        for h in range(1, 18):
+            want = [r for r in range(0, h, 8)] \
+                + [r for r in range(4, h, 8)] \
+                + [r for r in range(2, h, 4)] \
+                + [r for r in range(1, h, 2)]
+            got = _deinterlace_order(h).tolist()
+            assert got == want and sorted(got) == list(range(h)), h
+
+    def test_gif_disposal_and_transparency_compositing(self):
+        """Disposal 2 restores the frame region to the BACKGROUND color
+        before the next frame; disposal 3 restores the pre-frame canvas;
+        transparent pixels leave the underlying canvas visible."""
+        from dynamicaxiswarping_jl_spark.operators.multimodal import (
+            decode_gif, encode_gif)
+        black = np.zeros(3, np.uint8)          # sorts first → bg color
+        red = np.array([200, 10, 10], np.uint8)
+        blue = np.array([10, 10, 200], np.uint8)
+        f1 = np.tile(red, (4, 4, 1))
+        f2 = np.tile(black, (4, 4, 1)).copy()  # black == transparent
+        f2[0, 0] = blue
+        # disposal 2: before f2, canvas resets to background (black) —
+        # f2's transparent pixels show black, not f1's red
+        g, _ = decode_gif(encode_gif([f1, f2], disposal=2,
+                                     transparent_rgb=black))
+        exp = np.tile(black, (4, 4, 1)).copy()
+        exp[0, 0] = blue
+        np.testing.assert_array_equal(
+            np.round(g[1] * 255).astype(np.uint8), exp)
+        # disposal 1 (leave): f2's transparent pixels show f1's red
+        g, _ = decode_gif(encode_gif([f1, f2], disposal=1,
+                                     transparent_rgb=black))
+        exp = f1.copy()
+        exp[0, 0] = blue
+        np.testing.assert_array_equal(
+            np.round(g[1] * 255).astype(np.uint8), exp)
+        # disposal 3 (restore previous) ON F2 ONLY (per-frame list): f2
+        # draws over f1, but before f3 the canvas reverts to f1 — f3's
+        # transparent pixels show f1's red, not f2's blue pixel
+        f3 = np.tile(black, (4, 4, 1)).copy()
+        f3[3, 3] = blue
+        g, _ = decode_gif(encode_gif([f1, f2, f3], disposal=[1, 3, 1],
+                                     transparent_rgb=black))
+        exp2 = f1.copy()
+        exp2[0, 0] = blue
+        np.testing.assert_array_equal(       # f2 composited over f1
+            np.round(g[1] * 255).astype(np.uint8), exp2)
+        exp3 = f1.copy()
+        exp3[3, 3] = blue                    # f2's blue@(0,0) reverted
+        np.testing.assert_array_equal(
+            np.round(g[2] * 255).astype(np.uint8), exp3)
+
+    def test_gif_error_paths(self):
+        from dynamicaxiswarping_jl_spark.operators.multimodal import (
+            decode_gif, encode_gif)
+        with pytest.raises(ValueError, match="magic"):
+            decode_gif(b"not a gif" * 3)
+        blob = encode_gif([np.zeros((3, 3, 3), np.uint8)])
+        with pytest.raises(ValueError):
+            decode_gif(blob[:-4])  # trailer + data cut off
+        too_many = np.array([[i % 256, i // 256, 0] for i in range(300)],
+                            np.uint8).reshape(300, 1, 3)
+        with pytest.raises(ValueError, match="256"):
+            encode_gif([too_many])
+
+    def test_frame_sample_real_gif_spark_path(self, spark):
+        """frame_sample(fake=False) over real animated-GIF payloads:
+        sampled features equal a local re-derivation from decode_gif +
+        the cumulative-delay sampling rule; non-GIF payloads raise."""
+        from dynamicaxiswarping_jl_spark.operators.multimodal import (
+            decode_gif, encode_gif, frame_sample)
+        rng = np.random.default_rng(5)
+        pal = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
+        rows, want = [], {}
+        for mid in range(3):
+            frames = [pal[rng.integers(0, 8, size=(6, 6))]
+                      for _ in range(mid + 2)]
+            delays = [(i + 1) * 700 for i in range(len(frames))]
+            blob = encode_gif(frames, delays)
+            rows.append((mid, "video", "image/gif", bytes(blob),
+                         {"width": 6, "height": 6,
+                          "duration_ms": sum(delays)}))
+            dec, dl = decode_gif(bytes(blob))
+            starts = np.concatenate([[0], np.cumsum(dl)[:-1]])
+            for i, t in enumerate(range(0, sum(dl), 500)):
+                fi = int(np.searchsorted(starts, t, side="right") - 1)
+                want[(mid, i)] = (t, dec[fi].mean(axis=(0, 1)).tolist())
+        media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        got = frame_sample(media, every_ms=500, fake=False).collect()
+        assert len(got) == len(want)
+        for r in got:
+            t, feats = want[(r["media_id"], r["frame_idx"])]
+            assert r["t_ms"] == t
+            np.testing.assert_allclose(list(r["features"]), feats,
+                                       rtol=0, atol=0)
+        jpeg = spark.createDataFrame(
+            [(9, "video", "video/mp4", b"\x00\x00\x00\x18ftypmp42",
+              {"width": 1, "height": 1, "duration_ms": 100})],
+            MEDIA_SCHEMA)
+        with pytest.raises(Exception, match="NotImplemented|GIF"):
+            frame_sample(jpeg, fake=False).collect()
+
     def test_wav_roundtrip_against_stdlib_wave(self, tmp_path):
         """encode_wav → decode_wav round-trips, and the stdlib `wave`
         module (a fully independent RIFF implementation) parses our
