@@ -381,10 +381,7 @@ def _media_gif_from_docs(spark, sf_dir):
                 pays.append(bytearray(encode_gif(frames, delays)))
             yield pd.DataFrame({"media_id": ids, "payload": pays})
 
-    return (docs.mapInPandas(build, _MEDIA_BIN_SCHEMA)
-            .withColumn("meta", F.struct(
-                F.lit(8).alias("width"), F.lit(8).alias("height"),
-                F.lit(0).cast("long").alias("duration_ms"))))
+    return docs.mapInPandas(build, _MEDIA_BIN_SCHEMA)
 
 
 def q_media_frame_features(spark, sf_dir):

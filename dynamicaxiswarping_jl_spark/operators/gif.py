@@ -315,7 +315,13 @@ def encode_gif(frames, delays_ms=None, disposal=1,
     t_idx = (lookup[tuple(np.asarray(transparent_rgb, np.uint8))]
              if transparent_rgb is not None else None)
     min_code = max(2, ctbits)
-    delays_ms = delays_ms or [0] * len(fr)
+    # explicit None check + per-element int(): a numpy delays array would
+    # break a truthiness check, and zip() would silently DROP frames on a
+    # short list instead of failing loudly
+    delays_ms = ([0] * len(fr) if delays_ms is None
+                 else [int(d) for d in delays_ms])
+    if len(delays_ms) != len(fr):
+        raise ValueError("per-frame delays list length mismatch")
     disposals = (list(disposal) if isinstance(disposal, (list, tuple))
                  else [int(disposal)] * len(fr))
     if len(disposals) != len(fr):

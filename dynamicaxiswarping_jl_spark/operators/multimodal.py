@@ -483,10 +483,11 @@ def image_features(media: DataFrame, fake: bool = False,
                    id_col: str = "media_id") -> DataFrame:
     """Per-image feature vector (mean/std per channel) via mapInPandas.
 
-    ``fake=False`` (default) decodes REAL payloads (uncompressed BMP;
-    PNG/JPEG raise — no codec libs in this container). ``fake=True``
-    keeps the deterministic sha256 pseudo-decode on the identical Arrow
-    path (plumbing tests + the golden-pinned ``media_features`` query).
+    ``fake=False`` (default) decodes REAL payloads (BMP, PNG, GIF first
+    frame — see decode_image; JPEG raises, DCT needs codec libs).
+    ``fake=True`` keeps the deterministic sha256 pseudo-decode on the
+    identical Arrow path (plumbing tests + the golden-pinned
+    ``media_features`` query).
     """
     schema = T.StructType([
         T.StructField(id_col, T.LongType()),
@@ -594,4 +595,7 @@ def frame_sample(media: DataFrame, every_ms: int = 1000, fake: bool = True,
                                  "features": img.mean(axis=(0, 1)).tolist()})
             yield pd.DataFrame(recs, columns=[f.name for f in schema.fields])
 
-    return media.select(id_col, "payload", "meta").mapInPandas(run, schema)
+    # the real path gets timing from the GIF's own delays — only the
+    # fake path needs meta.duration_ms, so only it requires the column
+    cols = [id_col, "payload"] + (["meta"] if fake else [])
+    return media.select(*cols).mapInPandas(run, schema)

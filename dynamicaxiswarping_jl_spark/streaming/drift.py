@@ -72,8 +72,11 @@ def streaming_drift(stream_1m: DataFrame, window_buckets: int = 32,
     bus = int(bucket_seconds) * 1_000_000      # µs per bucket
     wus = W * bus                              # µs per window
 
+    # the key column keeps the INPUT's type — hardcoding StringType
+    # breaks every non-string-keyed caller at the Arrow boundary
+    key_type = stream_1m.schema[key].dataType
     out_schema = T.StructType([
-        T.StructField(key, T.StringType()),
+        T.StructField(key, key_type),
         T.StructField("window_start", T.TimestampType()),
         T.StructField("drift", T.DoubleType()),
         T.StructField("n_obs", T.IntegerType()),

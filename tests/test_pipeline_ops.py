@@ -563,6 +563,14 @@ class TestMultimodal:
                             np.uint8).reshape(300, 1, 3)
         with pytest.raises(ValueError, match="256"):
             encode_gif([too_many])
+        # a short delays list must fail loudly, not drop frames (r04
+        # review: zip truncation silently lost animation frames)
+        fr = [np.zeros((2, 2, 3), np.uint8), np.ones((2, 2, 3), np.uint8)]
+        with pytest.raises(ValueError, match="delays"):
+            encode_gif(fr, [100])
+        # numpy delay arrays are accepted (no truthiness trap)
+        g, d = decode_gif(encode_gif(fr, np.array([100, 200])))
+        assert d == [100, 200] and len(g) == 2
 
     def test_frame_sample_real_gif_spark_path(self, spark):
         """frame_sample(fake=False) over real animated-GIF payloads:

@@ -403,3 +403,45 @@ class TestStreamingDrift:
                 for m in range(self.W)]
         got = self._run_stream(spark, tmp_path, [rows], "solo")
         assert got == set()
+
+    def test_non_string_key_type_preserved(self, spark, tmp_path):
+        """The output key column keeps the input's type (r04 review: a
+        hardcoded StringType broke long-keyed streams at the Arrow
+        boundary)."""
+        import datetime as dt
+        from dynamicaxiswarping_jl_spark.streaming import streaming_drift
+
+        src = str(tmp_path / "src_lk")
+        out = str(tmp_path / "out_lk")
+        ckpt = str(tmp_path / "ckpt_lk")
+        schema = "conv_id long, bucket timestamp, turn_rate double"
+        base = dt.datetime(2024, 3, 3, 8, 0, 0)
+        rows = [(42, base + dt.timedelta(minutes=m), float(m + 1))
+                for m in range(2 * self.W)]
+
+        def run_once():
+            stream = spark.readStream.schema(schema).parquet(src)
+            drift = streaming_drift(stream, window_buckets=self.W,
+                                    radius=self.RADIUS,
+                                    bucket_seconds=self.BS,
+                                    watermark="30 minutes")
+            assert drift.schema["conv_id"].dataType.simpleString() \
+                == "bigint"
+            q = (drift.writeStream.outputMode("append")
+                 .option("checkpointLocation", ckpt)
+                 .format("parquet").option("path", out)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite").parquet(src)
+        run_once()
+        spark.createDataFrame(
+            [(99, base + dt.timedelta(days=2), 0.0)],
+            schema).coalesce(1).write.mode("append").parquet(src)
+        run_once()
+        run_once()
+        got = [r for r in spark.read.parquet(out).collect()
+               if r["conv_id"] != 99]
+        assert len(got) == 1 and got[0]["conv_id"] == 42
+        assert got[0]["n_obs"] == self.W
