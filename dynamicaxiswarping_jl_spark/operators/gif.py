@@ -170,6 +170,23 @@ def _deinterlace_order(h: int) -> np.ndarray:
 # Decode
 # ---------------------------------------------------------------------------
 
+def _clean_gif_errors(fn):
+    """struct internals from corrupt payloads surface as ValueError —
+    the (ValueError, NotImplementedError) decoder error contract."""
+    import functools
+
+    @functools.wraps(fn)
+    def inner(*a, **k):
+        try:
+            return fn(*a, **k)
+        except (struct.error, OverflowError, IndexError) as e:
+            # IndexError = a bytes[] access past a truncation point —
+            # every such site is a corrupt-payload symptom
+            raise ValueError(f"corrupt GIF payload: {e}") from e
+    return inner
+
+
+@_clean_gif_errors
 def decode_gif(payload: bytes) -> Tuple[List[np.ndarray], List[int]]:
     """GIF bytes → (frames, delays_ms).
 
@@ -186,7 +203,9 @@ def decode_gif(payload: bytes) -> Tuple[List[np.ndarray], List[int]]:
     if len(b) < 13:
         raise ValueError("truncated GIF header")
     w, h, packed, bg_idx, _aspect = struct.unpack_from("<HHBBB", b, 6)
-    if w == 0 or h == 0:
+    if w == 0 or h == 0 or w * h > (1 << 26):
+        # same decompression-bomb guard as the other decoders: a corrupt
+        # dimension field raises instead of allocating a huge canvas
         raise ValueError("invalid GIF dimensions")
     pos = 13
     gct = None

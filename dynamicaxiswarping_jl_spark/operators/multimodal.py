@@ -68,10 +68,40 @@ def _fake_decode(payload: bytes, w: int = 8, h: int = 8) -> np.ndarray:
     return buf.reshape(h, w, 3).astype(np.float64) / 255.0
 
 
+# decompression-bomb / corrupt-header guard shared by the image
+# decoders: a flipped 4-byte dimension field must raise ValueError, not
+# attempt a multi-GB canvas allocation on an executor (on_error='skip'
+# then shields the job). 2^26 pixels = a 8192x8192 RGB image = 1.5 GB
+# as float64 — beyond any sane training-data payload.
+_MAX_PIXELS = 1 << 26
+
+
+def _clean_decode_errors(fmt: str):
+    """Decorator: translate struct/zlib/overflow internals from corrupt
+    payloads into ValueError so the decoders' error surface is exactly
+    (ValueError, NotImplementedError) — the contract the on_error='skip'
+    fuzz pins."""
+    import functools
+    import zlib as _z
+
+    def wrap(fn):
+        @functools.wraps(fn)
+        def inner(*a, **k):
+            try:
+                return fn(*a, **k)
+            except (struct.error, _z.error, OverflowError,
+                    IndexError) as e:
+                # IndexError = a bytes[] access past a truncation point
+                raise ValueError(f"corrupt {fmt} payload: {e}") from e
+        return inner
+    return wrap
+
+
 # ---------------------------------------------------------------------------
 # Real decoders (public uncompressed formats, pure NumPy)
 # ---------------------------------------------------------------------------
 
+@_clean_decode_errors("BMP")
 def decode_bmp(payload: bytes) -> np.ndarray:
     """Windows BMP → (height, width, 3) float64 RGB in [0, 1].
 
@@ -115,7 +145,8 @@ def decode_bmp(payload: bytes) -> np.ndarray:
                 f"non-default BI_BITFIELDS masks "
                 f"(R={r_m:#010x} G={g_m:#010x} B={b_m:#010x}); only the "
                 f"BGRA default layout is supported")
-    if width <= 0 or height == 0 or planes != 1:
+    if width <= 0 or height == 0 or planes != 1 \
+            or width * abs(height) > _MAX_PIXELS:
         raise ValueError("invalid BMP dimensions")
     top_down = height < 0
     h = abs(height)
@@ -172,6 +203,7 @@ def encode_bmp(img: np.ndarray, bpp: int = 24,
     return file_hdr + info_hdr + data
 
 
+@_clean_decode_errors("WAV")
 def decode_wav(payload: bytes) -> Tuple[np.ndarray, int]:
     """RIFF/WAVE → ((n_samples, n_channels) float64 in [-1, 1], rate).
 
@@ -307,6 +339,7 @@ def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
+@_clean_decode_errors("PNG")
 def decode_png(payload: bytes) -> np.ndarray:
     """PNG → (height, width, 3) float64 RGB in [0, 1].
 
@@ -332,6 +365,8 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"PNG chunk CRC mismatch in {typ!r}")
         pos += 12 + ln
         if typ == b"IHDR":
+            if len(data) != 13:
+                raise ValueError("bad PNG IHDR length")
             ihdr = struct.unpack(">IIBBBBB", data)
         elif typ == b"PLTE":
             if len(data) % 3:
@@ -345,7 +380,7 @@ def decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None or not ended or not idat:
         raise ValueError("PNG missing IHDR/IDAT/IEND")
     w, h, depth, ctype, comp, fmeth, interlace = ihdr
-    if w == 0 or h == 0:
+    if w == 0 or h == 0 or w * h > _MAX_PIXELS:
         raise ValueError("invalid PNG dimensions")
     if comp != 0 or fmeth != 0:
         raise ValueError("invalid PNG compression/filter method")
@@ -359,7 +394,14 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError("palette PNG without PLTE chunk")
     nch = _PNG_NCH[ctype]
     stride = w * nch
-    recon = _png_unfilter(zlib.decompress(b"".join(idat)), h, stride, nch)
+    # bounded inflate: the expected pixel-data size is known, so a
+    # deflate bomb can never expand past it (+1 detects oversize)
+    want = h * (stride + 1)
+    dec = zlib.decompressobj()
+    raw = dec.decompress(b"".join(idat), want + 1)
+    if len(raw) > want or (not dec.eof and dec.unconsumed_tail):
+        raise ValueError("PNG pixel data exceeds expected size")
+    recon = _png_unfilter(raw, h, stride, nch)
     px = recon.reshape(h, w, nch)
     if ctype == 0:
         rgb = np.repeat(px, 3, axis=2)
@@ -479,16 +521,33 @@ def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFr
     return df.withColumn("n_bytes", F.length(p)).withColumn("mime_sniffed", mime)
 
 
+def _skip_guard(on_error: str):
+    """Shared error policy for the media feature extractors. At cluster
+    scale one corrupt payload must not kill a 1000-executor job:
+    ``on_error='skip'`` drops the failing row (any decode exception —
+    corrupt bytes raise ValueError, unsupported-but-valid formats raise
+    NotImplementedError, and a skip must shield against both plus
+    anything unforeseen) while ``'raise'`` (default) keeps fail-fast
+    semantics for gated/golden paths. Skipped ids are discoverable with
+    an anti-join against the input."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError("on_error must be 'raise' or 'skip'")
+    return on_error == "skip"
+
+
 def image_features(media: DataFrame, fake: bool = False,
-                   id_col: str = "media_id") -> DataFrame:
+                   id_col: str = "media_id",
+                   on_error: str = "raise") -> DataFrame:
     """Per-image feature vector (mean/std per channel) via mapInPandas.
 
     ``fake=False`` (default) decodes REAL payloads (BMP, PNG, GIF first
     frame — see decode_image; JPEG raises, DCT needs codec libs).
     ``fake=True`` keeps the deterministic sha256 pseudo-decode on the
     identical Arrow path (plumbing tests + the golden-pinned
-    ``media_features`` query).
+    ``media_features`` query). ``on_error='skip'`` drops undecodable
+    rows instead of failing the job (see _skip_guard).
     """
+    skip = _skip_guard(on_error)
     schema = T.StructType([
         T.StructField(id_col, T.LongType()),
         T.StructField("features", T.ArrayType(T.DoubleType())),
@@ -498,20 +557,30 @@ def image_features(media: DataFrame, fake: bool = False,
         for pdf in batches:
             ids, feats = [], []
             for mid, payload in zip(pdf[id_col], pdf["payload"]):
-                img = decode_image(bytes(payload), fake=fake)
+                try:
+                    img = decode_image(bytes(payload), fake=fake)
+                except Exception:
+                    if skip:
+                        continue
+                    raise
                 feats.append(np.concatenate([img.mean(axis=(0, 1)),
                                              img.std(axis=(0, 1))]).tolist())
                 ids.append(mid)
-            yield pd.DataFrame({id_col: ids, "features": feats})
+            if ids:  # an all-skipped batch yields nothing (a bare
+                # {[], []} dict would give Arrow an untyped float column)
+                yield pd.DataFrame({id_col: ids, "features": feats})
 
     return media.select(id_col, "payload").mapInPandas(run, schema)
 
 
-def audio_features(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+def audio_features(media: DataFrame, id_col: str = "media_id",
+                   on_error: str = "raise") -> DataFrame:
     """Per-clip audio features from REAL WAV payloads via mapInPandas:
     duration_ms, per-clip RMS, mean, and zero-crossing rate (channel-
     averaged) — the standard cheap audio-quality signals for a
-    training-data pipeline."""
+    training-data pipeline. ``on_error='skip'`` drops undecodable rows
+    instead of failing the job (see _skip_guard)."""
+    skip = _skip_guard(on_error)
     schema = T.StructType([
         T.StructField(id_col, T.LongType()),
         T.StructField("duration_ms", T.LongType()),
@@ -524,7 +593,12 @@ def audio_features(media: DataFrame, id_col: str = "media_id") -> DataFrame:
         for pdf in batches:
             recs = []
             for mid, payload in zip(pdf[id_col], pdf["payload"]):
-                x, rate = decode_wav(bytes(payload))
+                try:
+                    x, rate = decode_wav(bytes(payload))
+                except Exception:
+                    if skip:
+                        continue
+                    raise
                 n = x.shape[0]
                 zc = (np.signbit(x[1:]) != np.signbit(x[:-1])).mean() \
                     if n > 1 else 0.0
@@ -539,7 +613,8 @@ def audio_features(media: DataFrame, id_col: str = "media_id") -> DataFrame:
 
 
 def frame_sample(media: DataFrame, every_ms: int = 1000, fake: bool = True,
-                 id_col: str = "media_id") -> DataFrame:
+                 id_col: str = "media_id",
+                 on_error: str = "raise") -> DataFrame:
     """Video/animation → sampled frame rows (media_id, frame_idx, t_ms,
     features).
 
@@ -553,7 +628,10 @@ def frame_sample(media: DataFrame, every_ms: int = 1000, fake: bool = True,
     one sample at t=0 of the final canvas. Containers needing real
     codecs (MP4/H.264 etc.) raise NotImplementedError. ``fake=True``
     keeps the deterministic sha256 pseudo-decode driven by
-    meta.duration_ms (plumbing tests, golden-pinned queries)."""
+    meta.duration_ms (plumbing tests, golden-pinned queries).
+    ``on_error='skip'`` drops undecodable/unsupported rows instead of
+    failing the job (see _skip_guard)."""
+    skip = _skip_guard(on_error)
     schema = T.StructType([
         T.StructField(id_col, T.LongType()),
         T.StructField("frame_idx", T.IntegerType()),
@@ -567,13 +645,18 @@ def frame_sample(media: DataFrame, every_ms: int = 1000, fake: bool = True,
             for row in pdf.itertuples(index=False):
                 rid = getattr(row, id_col)
                 if not fake:
-                    b = bytes(row.payload)
-                    if b[:6] not in (b"GIF87a", b"GIF89a"):
-                        raise NotImplementedError(
-                            "real video decode beyond animated GIF "
-                            "requires codec libraries not in this "
-                            "container")
-                    frames, delays = decode_gif(b)
+                    try:
+                        b = bytes(row.payload)
+                        if b[:6] not in (b"GIF87a", b"GIF89a"):
+                            raise NotImplementedError(
+                                "real video decode beyond animated GIF "
+                                "requires codec libraries not in this "
+                                "container")
+                        frames, delays = decode_gif(b)
+                    except Exception:
+                        if skip:
+                            continue
+                        raise
                     starts = np.concatenate(
                         [[0], np.cumsum(delays)[:-1]])
                     total = int(sum(delays))

@@ -609,6 +609,85 @@ class TestMultimodal:
         with pytest.raises(Exception, match="NotImplemented|GIF"):
             frame_sample(jpeg, fake=False).collect()
 
+    def test_on_error_skip_drops_corrupt_rows(self, spark):
+        """on_error='skip': a corrupt payload in the batch must not kill
+        the job (the 100 TB contract — one bad blob vs 1000 executors);
+        good rows still come through, bad ids are simply absent, and the
+        default on_error='raise' keeps fail-fast semantics."""
+        from dynamicaxiswarping_jl_spark.operators.multimodal import (
+            audio_features, encode_bmp, encode_gif, encode_wav,
+            frame_sample, image_features)
+        img = np.full((4, 4, 3), 9, np.uint8)
+        gif = encode_gif([img, img], [100, 100])
+        wav = encode_wav(np.zeros((50, 1)), rate=8000)
+        imgs = spark.createDataFrame(
+            [(1, bytearray(encode_bmp(img))), (2, bytearray(b"garbage!")),
+             (3, bytearray(encode_bmp(img))[:-6])],  # truncated
+            "media_id long, payload binary")
+        got = image_features(imgs, on_error="skip").collect()
+        assert [r["media_id"] for r in got] == [1]
+        with pytest.raises(Exception):
+            image_features(imgs).collect()
+        with pytest.raises(ValueError, match="on_error"):
+            image_features(imgs, on_error="ignore")
+        auds = spark.createDataFrame(
+            [(1, bytearray(wav)), (2, bytearray(b"RIFFjunk")),
+             (3, bytearray(wav))],
+            "media_id long, payload binary")
+        got = audio_features(auds, on_error="skip").collect()
+        assert sorted(r["media_id"] for r in got) == [1, 3]
+        vids = spark.createDataFrame(
+            [(1, "video", "image/gif", bytes(gif),
+              {"width": 4, "height": 4, "duration_ms": 200}),
+             (2, "video", "video/mp4", b"\x00\x00ftyp",
+              {"width": 4, "height": 4, "duration_ms": 200}),
+             (3, "video", "image/gif", bytes(gif)[:-10],
+              {"width": 4, "height": 4, "duration_ms": 200})],
+            MEDIA_SCHEMA)
+        got = frame_sample(vids, every_ms=100, fake=False,
+                           on_error="skip").collect()
+        assert {r["media_id"] for r in got} == {1}
+
+    def test_decoders_fail_cleanly_on_corrupt_bytes(self):
+        """Robustness fuzz: arbitrary corruptions of valid payloads (and
+        random blobs) must raise ValueError/NotImplementedError — never
+        IndexError/KeyError/struct.error/segfault-adjacent states — so
+        on_error='skip' can shield a distributed job deterministically.
+        numpy/struct internals are allowed to surface only as those two
+        types."""
+        from dynamicaxiswarping_jl_spark.operators.multimodal import (
+            decode_bmp, decode_gif, decode_png, decode_wav, encode_bmp,
+            encode_gif, encode_png, encode_wav)
+        rng = np.random.default_rng(77)
+        img = rng.integers(0, 8, size=(5, 6, 3), dtype=np.uint8) * 30
+        blobs = {
+            decode_bmp: bytearray(encode_bmp(img)),
+            decode_png: bytearray(encode_png(img)),
+            decode_gif: bytearray(encode_gif([img, img], [50, 50])),
+            decode_wav: bytearray(
+                encode_wav(np.zeros((40, 2)), rate=8000)),
+        }
+        checked = 0
+        for dec, blob in blobs.items():
+            for trial in range(120):
+                b = bytearray(blob)
+                kind = trial % 3
+                if kind == 0:      # truncate
+                    b = b[: int(rng.integers(0, len(b)))]
+                elif kind == 1:    # flip random bytes
+                    for _ in range(int(rng.integers(1, 6))):
+                        b[int(rng.integers(0, len(b)))] = int(
+                            rng.integers(0, 256))
+                else:              # random garbage, same length
+                    b = bytearray(rng.integers(
+                        0, 256, size=len(b)).astype(np.uint8).tobytes())
+                try:
+                    dec(bytes(b))  # surviving a benign flip is fine
+                except (ValueError, NotImplementedError):
+                    pass
+                checked += 1
+        assert checked == 480
+
     def test_wav_roundtrip_against_stdlib_wave(self, tmp_path):
         """encode_wav → decode_wav round-trips, and the stdlib `wave`
         module (a fully independent RIFF implementation) parses our
