@@ -983,6 +983,12 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN length(trim(text)) = 0 THEN 0
                         ELSE len(regexp_split_to_array(lower(trim(text)), '\s+'))
                    END AS n_tokens,
+                   -- same GPT-2-style pre-tokenizer pattern as
+                   -- operators/text.PRETOKEN_RE (ASCII-scoped, no
+                   -- lookahead: Java regex and RE2 agree)
+                   CAST(len(regexp_extract_all(text,
+                       '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+'))
+                       AS BIGINT) AS n_pretokens,
                    CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens_bpe
             FROM documents
         """,

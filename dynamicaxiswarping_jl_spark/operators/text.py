@@ -25,16 +25,31 @@ def _tokens(text_col: str):
     return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
 
 
+# GPT-2-style pre-tokenizer (the public BPE pipeline's first stage):
+# contractions, space-prefixed letter runs, space-prefixed digit runs,
+# space-prefixed punctuation runs, residual whitespace. Scoped to ASCII
+# classes and written without lookahead so the SAME pattern runs
+# identically under Java regex (Spark codegen), RE2 (the DuckDB oracle),
+# and Python re — all three use leftmost-first alternation. Real BPE
+# splits pre-tokens further, so the count is a sound lower bound on BPE
+# tokens and a far better estimate than chars/4 for natural text.
+PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+" \
+              r"| ?[^\sA-Za-z0-9]+|\s+"
+
+
 def token_stats(docs: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
-    """Whitespace tokens + BPE-ish subword estimate (len/4 heuristic) +
-    char counts. All codegen, no UDF."""
+    """Whitespace tokens + GPT-2-style pre-token count (PRETOKEN_RE) +
+    BPE-ish subword estimate (len/4 heuristic) + char counts. All
+    codegen, no UDF."""
     toks = _tokens(text_col)
     return docs.select(
         id_col,
         F.length(text_col).alias("n_chars_obs"),
         F.when(F.length(F.trim(F.col(text_col))) == 0, 0)
          .otherwise(F.size(toks)).alias("n_tokens"),
+        F.regexp_count(F.col(text_col), F.lit(PRETOKEN_RE))
+         .cast("long").alias("n_pretokens"),
         F.ceil(F.length(text_col) / 4.0).cast("long").alias("n_tokens_bpe"),
     )
 

@@ -193,6 +193,25 @@ class TestText:
         got = {r.doc_id: r.n_tokens for r in token_stats(df).collect()}
         assert got == {1: 3, 2: 0, 3: 1}
 
+    def test_pretoken_count_matches_python_re(self, spark):
+        """The GPT-2-style pre-tokenizer count (Java regexp_count in
+        codegen) must agree with Python re on the identical PRETOKEN_RE
+        — same leftmost-first alternation the DuckDB oracle relies on.
+        Cases cover contractions (both cases), digit runs, punctuation
+        runs, unicode residue, and leading/trailing whitespace."""
+        import re
+        from dynamicaxiswarping_jl_spark.operators.text import PRETOKEN_RE
+        cases = ["", "hello world", "it's a test, isn't it?  yes!\n\ttabs",
+                 "num 1234 and x2", "'quoted' 'll", "别的 unicode 字符 m",
+                 "  leading", "trailing  ", "a'b'c", "don't CAN'T won'T"]
+        df = spark.createDataFrame(list(enumerate(cases)),
+                                   "doc_id long, text string")
+        got = {r.doc_id: r.n_pretokens
+               for r in token_stats(df).collect()}
+        want = {i: len(re.findall(PRETOKEN_RE, c))
+                for i, c in enumerate(cases)}
+        assert got == want
+
     def test_quality_score_ranges(self, docs):
         q = quality_score(docs).toPandas()
         assert ((q["quality"] >= 0) & (q["quality"] <= 1)).all()
