@@ -34,7 +34,7 @@ from dynamicaxiswarping_jl_spark.operators import (
 )
 from dynamicaxiswarping_jl_spark.operators.multimodal import (
     audio_features, encode_bmp, encode_gif, encode_png, encode_wav,
-    frame_sample)
+    frame_sample, resize_images)
 from dynamicaxiswarping_jl_spark.operators import sessionize_events
 from dynamicaxiswarping_jl_spark.sources import transcripts_df
 
@@ -400,6 +400,23 @@ def q_media_frame_features(spark, sf_dir):
                     _r("_v", 4).alias("v")))
 
 
+def q_media_resized_features(spark, sf_dir):
+    """REAL resize pipeline (no fake): the BMP/PNG fixture images are
+    decoded, bilinear-resampled 8x8 → 5x3 (non-integer ratio, so real
+    interpolation weights fire), re-encoded as PNG by resize_images,
+    then image_features decodes the resized payloads — per-channel
+    mean/std over the uint8-quantized resample. Golden re-derives the
+    whole chain with a straight-line scalar bilinear loop from the
+    sha256 pixel rule (scripts/make_goldens.py) — pinned-order weights
+    make scalar and vectorized bitwise identical."""
+    media = _media_img_from_docs(spark, sf_dir)
+    resized = resize_images(media, width=5, height=3, method="bilinear")
+    feats = image_features(resized)
+    return (feats.select("media_id",
+                         F.posexplode("features").alias("feat_idx", "_v"))
+            .select("media_id", "feat_idx", _r("_v", 4).alias("v")))
+
+
 def q_media_audio_features(spark, sf_dir):
     """REAL WAV decode: deterministic 16-bit PCM clips built from
     documents (samples are xxhash64-derived JVM-side), encoded by
@@ -755,6 +772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_image_features": q_media_image_features,
         "media_audio_features": q_media_audio_features,
         "media_frame_features": q_media_frame_features,
+        "media_resized_features": q_media_resized_features,
         "ivf_ann_topk": q_ivf_ann_topk,
         "gdtw_pairs": q_gdtw_pairs,
         "dbaclust_assign": q_dbaclust_assign,
@@ -1126,5 +1144,5 @@ def oracle_sql() -> dict[str, str]:
                "minhash_pairs", "neardup_keep", "simhash", "simhash_neardup",
                "embedding_neardup_lsh", "lsh_ann_topk", "ivf_ann_topk",
                "media_image_features", "media_audio_features",
-               "media_frame_features")},
+               "media_frame_features", "media_resized_features")},
     }

@@ -42,7 +42,8 @@ from .gif import decode_gif, encode_gif  # noqa: F401  (re-export)
 __all__ = ["MEDIA_SCHEMA", "attach_media_metadata", "image_features",
            "frame_sample", "decode_bmp", "encode_bmp", "decode_wav",
            "encode_wav", "decode_png", "encode_png", "decode_gif",
-           "encode_gif", "decode_image", "audio_features"]
+           "encode_gif", "decode_image", "audio_features",
+           "resize_bilinear", "resize_nearest", "resize_images"]
 
 MEDIA_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
@@ -95,6 +96,94 @@ def _clean_decode_errors(fmt: str):
                 raise ValueError(f"corrupt {fmt} payload: {e}") from e
         return inner
     return wrap
+
+
+def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Deterministic float64 bilinear resample with half-pixel centers
+    (the align_corners=False convention PIL/torch/TF2 default to):
+    output pixel i samples input coordinate (i + 0.5)·scale − 0.5,
+    border-clamped. The expression order is pinned —
+    tl·(1−fy)(1−fx) + tr·(1−fy)fx + bl·fy(1−fx) + br·fy·fx — so a
+    straight-line scalar re-derivation (the golden oracle) is bitwise
+    identical to this vectorized form."""
+    a = np.asarray(img, dtype=np.float64)
+    h, w = a.shape[:2]
+    if out_h < 1 or out_w < 1:
+        raise ValueError("resize dimensions must be >= 1")
+    ys = (np.arange(out_h) + 0.5) * (h / out_h) - 0.5
+    xs = (np.arange(out_w) + 0.5) * (w / out_w) - 0.5
+    y0 = np.clip(np.floor(ys), 0, h - 1).astype(np.int64)
+    x0 = np.clip(np.floor(xs), 0, w - 1).astype(np.int64)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    fy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
+    fx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
+    tl = a[y0][:, x0]
+    tr = a[y0][:, x1]
+    bl = a[y1][:, x0]
+    br = a[y1][:, x1]
+    out = (tl * (1 - fy) * (1 - fx) + tr * (1 - fy) * fx
+           + bl * fy * (1 - fx) + br * fy * fx)
+    return np.ascontiguousarray(out)
+
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resample, half-pixel centers, border-clamped."""
+    a = np.asarray(img, dtype=np.float64)
+    h, w = a.shape[:2]
+    if out_h < 1 or out_w < 1:
+        raise ValueError("resize dimensions must be >= 1")
+    ys = np.clip(np.floor((np.arange(out_h) + 0.5) * (h / out_h)),
+                 0, h - 1).astype(np.int64)
+    xs = np.clip(np.floor((np.arange(out_w) + 0.5) * (w / out_w)),
+                 0, w - 1).astype(np.int64)
+    return np.ascontiguousarray(a[ys][:, xs])
+
+
+def resize_images(media: DataFrame, width: int, height: int,
+                  method: str = "bilinear", fake: bool = False,
+                  id_col: str = "media_id",
+                  on_error: str = "raise") -> DataFrame:
+    """Decode → resample → re-encode (PNG) via mapInPandas:
+    (id, payload PNG bytes, width, height). The training-data-pipeline
+    normalization step — every image lands at one (width, height) in a
+    lossless container. ``method``: 'bilinear' (half-pixel centers,
+    values rounded back to uint8 with np.round half-to-even) or
+    'nearest'.
+    ``on_error='skip'`` drops undecodable rows (see _skip_guard)."""
+    if method not in ("bilinear", "nearest"):
+        raise ValueError("method must be 'bilinear' or 'nearest'")
+    skip = _skip_guard(on_error)
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ])
+    fn = resize_bilinear if method == "bilinear" else resize_nearest
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, pays = [], []
+            for mid, payload in zip(pdf[id_col], pdf["payload"]):
+                try:
+                    img = decode_image(bytes(payload), fake=fake)
+                    out = fn(img, height, width)
+                except Exception:
+                    if skip:
+                        continue
+                    raise
+                ids.append(mid)
+                pays.append(bytearray(encode_png(
+                    np.clip(np.round(out * 255.0), 0, 255)
+                    .astype(np.uint8))))
+            if ids:
+                yield pd.DataFrame({
+                    id_col: ids, "payload": pays,
+                    "width": [width] * len(ids),
+                    "height": [height] * len(ids)})
+
+    return media.select(id_col, "payload").mapInPandas(run, schema)
 
 
 # ---------------------------------------------------------------------------

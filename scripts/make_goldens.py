@@ -764,6 +764,52 @@ def g_media_frame_features(sf_dir):
                           ("v", pa.float64())])
 
 
+def g_media_resized_features(sf_dir):
+    """Independent re-derivation of q_media_resized_features: the sha256
+    pixel rule -> a STRAIGHT-LINE per-output-pixel scalar bilinear loop
+    (half-pixel centers, border-clamped, the pinned weight order
+    tl(1-fy)(1-fx) + tr(1-fy)fx + bl·fy(1-fx) + br·fy·fx) -> np.round
+    uint8 quantization -> per-channel mean/std. No engine resize or
+    codec code anywhere in this path."""
+    import hashlib
+    import math
+
+    oh, ow = 3, 5
+    docs = _load(sf_dir, "documents")
+    recs = []
+    for mid, text in zip(docs["doc_id"].astype(int), docs["text"]):
+        d = hashlib.sha256(str(text).encode("utf-8")).digest()
+        reps = (8 * 8 * 3) // len(d) + 1
+        img = np.frombuffer((d * reps)[: 8 * 8 * 3],
+                            np.uint8).reshape(8, 8, 3)
+        a = img.astype(np.float64) / 255.0
+        h, w = 8, 8
+        out = np.empty((oh, ow, 3), dtype=np.float64)
+        for i in range(oh):
+            y = (i + 0.5) * (h / oh) - 0.5
+            y0 = min(max(math.floor(y), 0), h - 1)
+            y1 = min(y0 + 1, h - 1)
+            fy = min(max(y - y0, 0.0), 1.0)
+            for j in range(ow):
+                x = (j + 0.5) * (w / ow) - 0.5
+                x0 = min(max(math.floor(x), 0), w - 1)
+                x1 = min(x0 + 1, w - 1)
+                fx = min(max(x - x0, 0.0), 1.0)
+                for c in range(3):
+                    out[i, j, c] = (a[y0, x0, c] * (1 - fy) * (1 - fx)
+                                    + a[y0, x1, c] * (1 - fy) * fx
+                                    + a[y1, x0, c] * fy * (1 - fx)
+                                    + a[y1, x1, c] * fy * fx)
+        q = np.clip(np.round(out * 255.0), 0, 255).astype(np.uint8)
+        f = q.astype(np.float64) / 255.0
+        feats = np.concatenate([f.mean(axis=(0, 1)), f.std(axis=(0, 1))])
+        for j, v in enumerate(feats):
+            recs.append((int(mid), j, float(_r(v))))
+    df = pd.DataFrame(recs, columns=["media_id", "feat_idx", "v"])
+    return df, pa.schema([("media_id", pa.int64()),
+                          ("feat_idx", pa.int32()), ("v", pa.float64())])
+
+
 def g_media_audio_features(sf_dir):
     """Independent re-derivation of q_media_audio_features: spec-level
     pure-Python xxhash64 sample rule + int16 quantization (the lossy
@@ -797,6 +843,7 @@ GOLDENS = {
     "media_image_features": g_media_image_features,
     "media_audio_features": g_media_audio_features,
     "media_frame_features": g_media_frame_features,
+    "media_resized_features": g_media_resized_features,
     "ivf_ann_topk": g_ivf_ann_topk,
     "drift_1h_1d": g_drift_1h_1d,
     "dtwnn_series": g_dtwnn_series,

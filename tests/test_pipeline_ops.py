@@ -707,6 +707,68 @@ class TestMultimodal:
                 checked += 1
         assert checked == 480
 
+    def test_resize_bilinear_matches_scalar_loop(self):
+        """Vectorized bilinear == a straight-line scalar re-derivation
+        (the golden-oracle pattern), bitwise — the weight expression
+        order is pinned; identity resize returns the exact input."""
+        import math
+        from dynamicaxiswarping_jl_spark.operators.multimodal import (
+            resize_bilinear, resize_nearest)
+        rng = np.random.default_rng(41)
+        a = rng.random((8, 8, 3))
+        np.testing.assert_array_equal(resize_bilinear(a, 8, 8), a)
+        for oh, ow in [(3, 5), (16, 16), (1, 1), (5, 11)]:
+            got = resize_bilinear(a, oh, ow)
+            h, w = a.shape[:2]
+            for i in range(oh):
+                y = (i + 0.5) * (h / oh) - 0.5
+                y0 = min(max(math.floor(y), 0), h - 1)
+                y1 = min(y0 + 1, h - 1)
+                fy = min(max(y - y0, 0.0), 1.0)
+                for j in range(ow):
+                    x = (j + 0.5) * (w / ow) - 0.5
+                    x0 = min(max(math.floor(x), 0), w - 1)
+                    x1 = min(x0 + 1, w - 1)
+                    fx = min(max(x - x0, 0.0), 1.0)
+                    for c in range(3):
+                        want = (a[y0, x0, c] * (1 - fy) * (1 - fx)
+                                + a[y0, x1, c] * (1 - fy) * fx
+                                + a[y1, x0, c] * fy * (1 - fx)
+                                + a[y1, x1, c] * fy * fx)
+                        assert got[i, j, c] == want, (oh, ow, i, j, c)
+        # constant image stays exactly constant under any resize
+        const = np.full((4, 6, 3), 0.25)
+        assert (resize_bilinear(const, 7, 2) == 0.25).all()
+        # nearest: 2x upscale duplicates pixels exactly
+        up = resize_nearest(a, 16, 16)
+        np.testing.assert_array_equal(up[::2, ::2], a)
+        np.testing.assert_array_equal(up[1::2, 1::2], a)
+
+    def test_resize_images_spark_path(self, spark):
+        """resize_images decode->resample->PNG re-encode on real BMP/PNG
+        payloads: output dims are as asked and decoding a payload back
+        gives the quantized resample exactly; corrupt rows skippable."""
+        from dynamicaxiswarping_jl_spark.operators.multimodal import (
+            decode_png, encode_bmp, resize_bilinear, resize_images)
+        rng = np.random.default_rng(43)
+        imgs = {i: rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+                for i in range(3)}
+        rows = [(i, bytearray(encode_bmp(v))) for i, v in imgs.items()]
+        rows.append((9, bytearray(b"corrupt")))
+        df = spark.createDataFrame(rows, "media_id long, payload binary")
+        out = {r["media_id"]: r for r in resize_images(
+            df, width=5, height=3, on_error="skip").collect()}
+        assert set(out) == {0, 1, 2}
+        for i, v in imgs.items():
+            r = out[i]
+            assert (r["width"], r["height"]) == (5, 3)
+            got = np.round(decode_png(bytes(r["payload"])) * 255
+                           ).astype(np.uint8)
+            want = np.clip(np.round(resize_bilinear(
+                v.astype(np.float64) / 255.0, 3, 5) * 255.0),
+                0, 255).astype(np.uint8)
+            np.testing.assert_array_equal(got, want)
+
     def test_wav_roundtrip_against_stdlib_wave(self, tmp_path):
         """encode_wav → decode_wav round-trips, and the stdlib `wave`
         module (a fully independent RIFF implementation) parses our
