@@ -18,10 +18,14 @@ Decode support (pure NumPy, no media libs in this container):
 - **GIF** (87a/89a animations: LZW, global/local palettes, per-frame
   delay/disposal/transparency, interlace): ``decode_gif`` /
   ``encode_gif`` (operators/gif) — the REAL path of ``frame_sample``.
-- Codecs needing non-stdlib entropy/transform stages (JPEG DCT, MP3,
-  H.264) raise NotImplementedError; ``fake=True`` keeps the
-  deterministic sha256 pseudo-decode for plumbing tests and the
-  golden-pinned ``media_features`` driver query.
+- **JPEG** (baseline sequential ITU-T T.81, 8-bit, Huffman; grayscale +
+  YCbCr at any integer sampling ratio incl. 4:4:4/4:2:2/4:2:0, restart
+  markers): ``decode_jpeg`` / ``encode_jpeg`` (operators/jpeg) — lossy
+  stages are pinned integer fixed-point so goldens can re-derive
+  decode(encode(px)) bitwise without the codecs. Progressive/
+  arithmetic/12-bit JPEG, MP3 and H.264 stay NotImplementedError;
+  ``fake=True`` keeps the deterministic sha256 pseudo-decode for
+  plumbing tests and the golden-pinned ``media_features`` driver query.
 """
 
 from __future__ import annotations
@@ -38,12 +42,14 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .gif import decode_gif, encode_gif  # noqa: F401  (re-export)
+from .jpeg import decode_jpeg, encode_jpeg  # noqa: F401  (re-export)
 
 __all__ = ["MEDIA_SCHEMA", "attach_media_metadata", "image_features",
            "frame_sample", "decode_bmp", "encode_bmp", "decode_wav",
            "encode_wav", "decode_png", "encode_png", "decode_gif",
-           "encode_gif", "decode_image", "audio_features",
-           "resize_bilinear", "resize_nearest", "resize_images"]
+           "encode_gif", "decode_jpeg", "encode_jpeg", "decode_image",
+           "audio_features", "resize_bilinear", "resize_nearest",
+           "resize_images"]
 
 MEDIA_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
@@ -580,10 +586,10 @@ def encode_png(img: np.ndarray, color_type: int | None = None,
 
 
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
-    """Dispatch decode by magic number. BMP and PNG decode for real;
-    JPEG needs a DCT codec library and raises NotImplementedError;
-    ``fake=True`` routes everything through the deterministic sha256
-    pseudo-decode (plumbing tests, golden-pinned queries)."""
+    """Dispatch decode by magic number. BMP, PNG, GIF (first composited
+    frame) and baseline JPEG decode for real; ``fake=True`` routes
+    everything through the deterministic sha256 pseudo-decode (plumbing
+    tests, golden-pinned queries)."""
     b = bytes(payload)
     if fake:
         return _fake_decode(b)
@@ -594,9 +600,7 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     if b[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(b)[0][0]  # first composited frame
     if b[:3] == b"\xff\xd8\xff":
-        raise NotImplementedError(
-            "JPEG decode requires codec libraries not in this "
-            "container — supported real formats: BMP, PNG, GIF")
+        return decode_jpeg(b)
     raise ValueError("unrecognized image payload")
 
 
@@ -630,7 +634,7 @@ def image_features(media: DataFrame, fake: bool = False,
     """Per-image feature vector (mean/std per channel) via mapInPandas.
 
     ``fake=False`` (default) decodes REAL payloads (BMP, PNG, GIF first
-    frame — see decode_image; JPEG raises, DCT needs codec libs).
+    frame, baseline JPEG — see decode_image).
     ``fake=True`` keeps the deterministic sha256 pseudo-decode on the
     identical Arrow path (plumbing tests + the golden-pinned
     ``media_features`` query). ``on_error='skip'`` drops undecodable

@@ -264,10 +264,12 @@ class TestMultimodal:
         assert (got.groupby("media_id").size() == 3).all()
         assert set(got.columns) == {"media_id", "frame_idx", "t_ms", "features"}
 
-    def test_compressed_codecs_still_raise(self, media):
-        # JPEG/PNG need codec libs; the REAL decode path must say so
-        # instead of pseudo-decoding silently
-        with pytest.raises(Exception, match="NotImplemented|decode|BMP"):
+    def test_corrupt_jpeg_raises_not_pseudo_decodes(self, media):
+        # the fixture payloads are JPEG magic + ascii junk: the REAL
+        # decode path must surface ValueError (corrupt), never silently
+        # pseudo-decode (baseline JPEG itself decodes for real now —
+        # tests/test_jpeg.py)
+        with pytest.raises(Exception, match="JPEG|truncated|corrupt"):
             image_features(media, fake=False).collect()
 
     def test_bmp_roundtrip_and_independent_parse(self):
