@@ -33,8 +33,8 @@ from dynamicaxiswarping_jl_spark.operators import (
     fingerprint, attach_media_metadata, image_features,
 )
 from dynamicaxiswarping_jl_spark.operators.multimodal import (
-    audio_features, encode_bmp, encode_gif, encode_png, encode_wav,
-    frame_sample, resize_images)
+    audio_features, encode_bmp, encode_gif, encode_jpeg, encode_png,
+    encode_wav, frame_sample, resize_images)
 from dynamicaxiswarping_jl_spark.operators import sessionize_events
 from dynamicaxiswarping_jl_spark.sources import transcripts_df
 
@@ -417,6 +417,60 @@ def q_media_resized_features(spark, sf_dir):
             .select("media_id", "feat_idx", _r("_v", 4).alias("v")))
 
 
+def _media_jpeg_from_docs(spark, sf_dir):
+    """REAL lossy-image fixture: each document becomes a 16x16 image
+    whose pixels are the sha256 expansion of text + '!jpeg'
+    (deterministic, no external data), encoded as baseline JPEG — even
+    doc_ids at quality 90 / 4:4:4, odd at quality 75 / 4:2:0, so one
+    query exercises multi-block MCUs, chroma downsampling, and both
+    quantization strengths. The codec's pinned integer fixed-point
+    pipeline (operators/jpeg.py docstring) is what makes a lossy format
+    golden-checkable: decode(encode(px)) is bitwise re-derivable without
+    the engine codecs."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    docs = (_t(spark, sf_dir, "documents")
+            .select(F.col("doc_id").alias("media_id"), "text"))
+
+    def build(batches):
+        for pdf in batches:
+            ids, pays = [], []
+            for mid, text in zip(pdf["media_id"], pdf["text"]):
+                d = hashlib.sha256(
+                    f"{text}!jpeg".encode("utf-8")).digest()
+                reps = (16 * 16 * 3) // len(d) + 1
+                img = np.frombuffer((d * reps)[: 16 * 16 * 3],
+                                    np.uint8).reshape(16, 16, 3)
+                q, ss = ((90, "4:4:4") if mid % 2 == 0
+                         else (75, "4:2:0"))
+                ids.append(mid)
+                pays.append(bytearray(
+                    encode_jpeg(img, quality=q, subsampling=ss)))
+            yield pd.DataFrame({"media_id": ids, "payload": pays})
+
+    return docs.mapInPandas(build, _MEDIA_BIN_SCHEMA)
+
+
+def q_media_jpeg_features(spark, sf_dir):
+    """REAL lossy JPEG decode (no fake): deterministic baseline-JPEG
+    payloads built from documents, decoded by operators/jpeg.decode_jpeg
+    via the decode_image magic-number dispatch, per-channel mean/std
+    features of the reconstruction. Golden re-derives the whole lossy
+    pipeline (color transform, 4:2:0 box downsample, fDCT, quantization,
+    IDCT, upsample, inverse color) from the sha256 pixel rule with an
+    independent integer implementation (scripts/make_goldens.py) — any
+    drift in the Huffman layer, the transforms, or their pinned rounding
+    breaks the hash match."""
+    media = _media_jpeg_from_docs(spark, sf_dir)
+    feats = image_features(media)  # fake=False: real decode
+    return (feats.select("media_id",
+                         F.posexplode("features").alias("feat_idx", "_v"))
+            .select("media_id", "feat_idx", _r("_v", 4).alias("v")))
+
+
 def q_media_audio_features(spark, sf_dir):
     """REAL WAV decode: deterministic 16-bit PCM clips built from
     documents (samples are xxhash64-derived JVM-side), encoded by
@@ -773,6 +827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_audio_features": q_media_audio_features,
         "media_frame_features": q_media_frame_features,
         "media_resized_features": q_media_resized_features,
+        "media_jpeg_features": q_media_jpeg_features,
         "ivf_ann_topk": q_ivf_ann_topk,
         "gdtw_pairs": q_gdtw_pairs,
         "dbaclust_assign": q_dbaclust_assign,
@@ -1144,5 +1199,6 @@ def oracle_sql() -> dict[str, str]:
                "minhash_pairs", "neardup_keep", "simhash", "simhash_neardup",
                "embedding_neardup_lsh", "lsh_ann_topk", "ivf_ann_topk",
                "media_image_features", "media_audio_features",
-               "media_frame_features", "media_resized_features")},
+               "media_frame_features", "media_resized_features",
+               "media_jpeg_features")},
     }

@@ -839,11 +839,110 @@ def g_media_audio_features(sf_dir):
                           ("zcr", pa.float64())])
 
 
+def g_media_jpeg_features(sf_dir):
+    """Independent re-derivation of q_media_jpeg_features: the sha256
+    pixel rule -> the full baseline-JPEG lossy pipeline re-implemented
+    here from the public spec (ITU-T T.81 Annex K tables, IJG quality
+    scaling, JFIF color transform) in order-independent integer
+    arithmetic -> per-channel mean/std. No engine codec code anywhere in
+    this path: the DCT basis is re-derived from the cosine formula, and
+    only integer matmuls + pinned floor-shifts are used, so this matches
+    the engine's vectorized codec bitwise iff both implement the pinned
+    numerics correctly (the Huffman layer must round-trip losslessly for
+    the engine side to agree)."""
+    import hashlib
+
+    # DCT-II basis at 2^13 fixed point, from the spec formula
+    u = np.arange(8)
+    cu = np.where(u == 0, 1.0 / np.sqrt(2.0), 1.0)
+    M = np.round((1 << 13) * 0.5 * cu[:, None]
+                 * np.cos((2 * np.arange(8)[None, :] + 1)
+                          * u[:, None] * np.pi / 16)).astype(np.int64)
+    base_l = np.array([
+        16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113,
+        92, 49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112,
+        100, 103, 99], dtype=np.int64).reshape(8, 8)
+    base_c = np.array([
+        17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+        99], dtype=np.int64).reshape(8, 8)
+
+    def scaled(base, quality):
+        s = 5000 // quality if quality < 50 else 200 - 2 * quality
+        return np.clip((base * s + 50) // 100, 1, 255)
+
+    half = np.int64(1 << 15)
+
+    def block_pipe(plane, qt):
+        h, w = plane.shape
+        out = np.empty_like(plane)
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                x = plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128
+                t = M @ x @ M.T                     # scale 2^26, exact
+                d = qt << 26
+                q = np.sign(t) * ((2 * np.abs(t) + d) // (2 * d))
+                c = q * qt
+                s = M.T @ c @ M
+                r = ((s + (1 << 25)) >> 26) + 128
+                out[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = \
+                    np.clip(r, 0, 255)
+        return out
+
+    docs = _load(sf_dir, "documents")
+    recs = []
+    for mid, text in zip(docs["doc_id"].astype(int), docs["text"]):
+        mid = int(mid)
+        d = hashlib.sha256(f"{text}!jpeg".encode("utf-8")).digest()
+        reps = (16 * 16 * 3) // len(d) + 1
+        img = np.frombuffer((d * reps)[: 16 * 16 * 3],
+                            np.uint8).reshape(16, 16, 3).astype(np.int64)
+        quality = 90 if mid % 2 == 0 else 75
+        r, g, b = img[:, :, 0], img[:, :, 1], img[:, :, 2]
+        y = (19595 * r + 38470 * g + 7471 * b + half) >> 16
+        cb = np.clip(((-11058 * r - 21710 * g + 32768 * b + half) >> 16)
+                     + 128, 0, 255)
+        cr = np.clip(((32768 * r - 27439 * g - 5329 * b + half) >> 16)
+                     + 128, 0, 255)
+        y = np.clip(y, 0, 255)
+        qtl, qtc = scaled(base_l, quality), scaled(base_c, quality)
+        yp = block_pipe(y, qtl)
+        if mid % 2 == 0:                            # 4:4:4
+            cbp, crp = block_pipe(cb, qtc), block_pipe(cr, qtc)
+        else:                                       # 4:2:0
+            def down(p):
+                s = p.reshape(8, 2, 8, 2).sum(axis=(1, 3))
+                return (s + 2) >> 2
+
+            def up(p):
+                return np.repeat(np.repeat(p, 2, axis=0), 2, axis=1)
+
+            cbp = up(block_pipe(down(cb), qtc))
+            crp = up(block_pipe(down(cr), qtc))
+        yy = yp << 16
+        cbd, crd = cbp - 128, crp - 128
+        rr = np.clip((yy + 91881 * crd + half) >> 16, 0, 255)
+        gg = np.clip((yy - 22553 * cbd - 46802 * crd + half) >> 16, 0, 255)
+        bb = np.clip((yy + 116130 * cbd + half) >> 16, 0, 255)
+        px = np.stack([rr, gg, bb], axis=2).astype(np.float64) / 255.0
+        feats = np.concatenate([px.mean(axis=(0, 1)), px.std(axis=(0, 1))])
+        for j, v in enumerate(feats):
+            recs.append((mid, j, float(_r(v))))
+    df = pd.DataFrame(recs, columns=["media_id", "feat_idx", "v"])
+    return df, pa.schema([("media_id", pa.int64()),
+                          ("feat_idx", pa.int32()), ("v", pa.float64())])
+
+
 GOLDENS = {
     "media_image_features": g_media_image_features,
     "media_audio_features": g_media_audio_features,
     "media_frame_features": g_media_frame_features,
     "media_resized_features": g_media_resized_features,
+    "media_jpeg_features": g_media_jpeg_features,
     "ivf_ann_topk": g_ivf_ann_topk,
     "drift_1h_1d": g_drift_1h_1d,
     "dtwnn_series": g_dtwnn_series,
