@@ -330,9 +330,10 @@ def encode_jpeg(img: np.ndarray, quality: int = 75,
 
     Accepts float in [0, 1] (quantized with the shared
     clip(round(x*255)) rule) or uint8. 3-channel input is encoded as
-    YCbCr with ``subsampling`` '4:4:4' or '4:2:0'; 2-D input as single-
-    component grayscale. ``restart_interval`` > 0 emits DRI + RSTn
-    markers every that many MCUs (exercises the decoder's resync path).
+    YCbCr with ``subsampling`` '4:4:4', '4:2:2' or '4:2:0'; 2-D input as
+    single-component grayscale. ``restart_interval`` > 0 emits DRI +
+    RSTn markers every that many MCUs (exercises the decoder's resync
+    path).
     """
     a = np.asarray(img)
     if a.dtype != np.uint8:
@@ -341,8 +342,9 @@ def encode_jpeg(img: np.ndarray, quality: int = 75,
     gray = a.ndim == 2
     if not gray and (a.ndim != 3 or a.shape[2] != 3):
         raise ValueError("image must be (h, w) or (h, w, 3)")
-    if subsampling not in ("4:4:4", "4:2:0"):
-        raise ValueError("subsampling must be '4:4:4' or '4:2:0'")
+    if subsampling not in ("4:4:4", "4:2:2", "4:2:0"):
+        raise ValueError(
+            "subsampling must be '4:4:4', '4:2:2' or '4:2:0'")
     h, w = a.shape[:2]
     if h < 1 or w < 1:
         raise ValueError("empty image")
@@ -354,6 +356,8 @@ def encode_jpeg(img: np.ndarray, quality: int = 75,
         comps = [(1, 1, 1, 0)]                      # (id, H, V, Tq)
     elif subsampling == "4:4:4":
         comps = [(1, 1, 1, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+    elif subsampling == "4:2:2":
+        comps = [(1, 2, 1, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
     else:
         comps = [(1, 2, 2, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
     hmax = max(c[1] for c in comps)

@@ -104,6 +104,12 @@ def _inv_color(Y, Cb, Cr, h, w):
     return out
 
 
+def _boxh(P):
+    h, w = len(P), len(P[0])
+    return [[(P[i][2 * j] + P[i][2 * j + 1] + 1) >> 1
+             for j in range(w // 2)] for i in range(h)]
+
+
 def jpeg_oracle(px, quality, subsampling):
     """Expected decode(encode(px)) as uint8 RGB, engine-free."""
     h, w, _ = px.shape
@@ -114,6 +120,13 @@ def jpeg_oracle(px, quality, subsampling):
         return _inv_color(_block_pipe(_pad_edge(Y, 8, 8), qtl),
                           _block_pipe(_pad_edge(Cb, 8, 8), qtc),
                           _block_pipe(_pad_edge(Cr, 8, 8), qtc), h, w)
+    if subsampling == "4:2:2":
+        Yp = _block_pipe(_pad_edge(Y, 8, 16), qtl)
+        Cbp = _block_pipe(_boxh(_pad_edge(Cb, 8, 16)), qtc)
+        Crp = _block_pipe(_boxh(_pad_edge(Cr, 8, 16)), qtc)
+        H, W = len(Yp), len(Yp[0])
+        up = lambda P: [[P[i][j // 2] for j in range(W)] for i in range(H)]
+        return _inv_color(Yp, up(Cbp), up(Crp), h, w)
     Yp = _block_pipe(_pad_edge(Y, 16, 16), qtl)
     Cbp = _block_pipe(_box2(_pad_edge(Cb, 16, 16)), qtc)
     Crp = _block_pipe(_box2(_pad_edge(Cr, 16, 16)), qtc)
@@ -130,7 +143,7 @@ def _rt(px, **kw):
 class TestScalarOracleParity:
     @pytest.mark.parametrize("shape", [(8, 8), (13, 9), (21, 35)])
     @pytest.mark.parametrize("quality", [30, 90])
-    @pytest.mark.parametrize("ss", ["4:4:4", "4:2:0"])
+    @pytest.mark.parametrize("ss", ["4:4:4", "4:2:2", "4:2:0"])
     def test_color_bitwise(self, shape, quality, ss):
         rng = np.random.default_rng(hash((shape, quality)) % 2**31)
         px = rng.integers(0, 256, (*shape, 3), dtype=np.uint8)
