@@ -196,21 +196,166 @@ class TestCatalogConformance:
         assert "v:string" in r2["schema"] and "v:string" not in r1["schema"]
         assert cat.read("t").columns == ["id", "v"]
 
-    def test_degraded_single_writer_documented(self, spark, tmp_path):
-        """DEGRADE row: Iceberg serializes concurrent commits via
-        optimistic retry on the catalog pointer; the parquet emulation
-        is single-writer (last read-modify-write of the JSON log wins,
-        losing the other's snapshot RECORD — data dirs survive). Pin the
-        exact degraded behavior so a silent change is caught."""
-        cat_a = TableCatalog(spark, str(tmp_path))
-        cat_b = TableCatalog(spark, str(tmp_path))
-        cat_a.write("t", spark.range(3))
-        # interleave: both read the log, then both commit
-        snaps_before = cat_a.snapshots("t")
-        rec_b = cat_b.write("t", spark.range(4), mode="append")
-        # a's stale in-memory view isn't used by write() (it re-reads),
-        # so sequential writes through two handles DO serialize:
-        rec_a = cat_a.write("t", spark.range(5), mode="append")
-        ids = [s["snapshot_id"] for s in cat_a.snapshots("t")]
-        assert rec_b["snapshot_id"] in ids and rec_a["snapshot_id"] in ids
-        assert cat_a.read("t").count() == 12
+    def test_concurrent_appends_all_commit(self, spark, tmp_path):
+        """Iceberg serializes concurrent commits via optimistic retry on
+        the catalog pointer; the emulation serializes them with the
+        per-table O_EXCL commit lock (parents re-read INSIDE the lock),
+        so every writer's snapshot record AND rows survive a race."""
+        from concurrent.futures import ThreadPoolExecutor
+        cat = TableCatalog(spark, str(tmp_path))
+        cat.write("t", spark.range(1))
+
+        def app(i):
+            return TableCatalog(spark, str(tmp_path)).write(
+                "t", spark.range(10), mode="append")
+
+        with ThreadPoolExecutor(4) as ex:
+            recs = list(ex.map(app, range(4)))
+        ids = [s["snapshot_id"] for s in cat.snapshots("t")]
+        assert all(r["snapshot_id"] in ids for r in recs)
+        assert len(ids) == 5                     # no record lost
+        assert cat.read("t").count() == 41       # no rows lost
+
+    def test_concurrent_merges_serialize(self, spark, tmp_path):
+        # lost-update check: each merge holds the lock across its
+        # read-compute-write, so no delta erases an earlier one
+        from concurrent.futures import ThreadPoolExecutor
+        cat = TableCatalog(spark, str(tmp_path))
+        cat.write("t", spark.createDataFrame([(0, "z")], "k int, v string"))
+
+        def m(i):
+            d = spark.createDataFrame([(i, f"v{i}")], "k int, v string")
+            TableCatalog(spark, str(tmp_path)).merge("t", d, keys=["k"])
+
+        with ThreadPoolExecutor(4) as ex:
+            list(ex.map(m, [1, 2, 3, 4]))
+        got = {(r.k, r.v) for r in cat.read("t").collect()}
+        assert got == {(0, "z"), (1, "v1"), (2, "v2"), (3, "v3"), (4, "v4")}
+
+    def test_commit_lock_timeout_raises(self, spark, tmp_path):
+        import os
+        from dynamicaxiswarping_jl_spark.sources.storage import (
+            CatalogCommitTimeout)
+        cat = TableCatalog(spark, str(tmp_path), lock_timeout=0.3)
+        os.makedirs(cat._dir("t"), exist_ok=True)
+        with open(os.path.join(cat._dir("t"), "_commit.lock"), "w") as f:
+            f.write("{}")                        # a live foreign holder
+        with pytest.raises(CatalogCommitTimeout):
+            cat.write("t", spark.range(1))
+
+    def test_stale_lock_broken(self, spark, tmp_path):
+        import os
+        import time
+        cat = TableCatalog(spark, str(tmp_path), lock_stale=0.05)
+        os.makedirs(cat._dir("t"), exist_ok=True)
+        lock = os.path.join(cat._dir("t"), "_commit.lock")
+        with open(lock, "w") as f:
+            f.write("{}")                        # a crashed holder
+        time.sleep(0.1)
+        rec = cat.write("t", spark.range(3))     # breaks it and commits
+        assert rec["rows_written"] == 3
+        assert not os.path.exists(lock)          # released after commit
+
+    def test_expire_snapshots_reclaims_only_dead_dirs(self, spark,
+                                                      tmp_path):
+        import os
+        cat = TableCatalog(spark, str(tmp_path))
+        s1 = cat.write("t", spark.range(5))
+        cat.write("t", spark.range(6), mode="append")   # refs dir1+dir2
+        cat.write("t", spark.range(7))                  # refs dir3 only
+        out = cat.expire_snapshots("t", keep_last=1)
+        assert out == {"expired": 2, "data_dirs_removed": 2}
+        assert len(cat.snapshots("t")) == 1
+        assert cat.read("t").count() == 7
+        with pytest.raises(KeyError):                   # travel expired
+            cat.read("t", s1["snapshot_id"])
+        snapdirs = [d for d in os.listdir(cat._dir("t"))
+                    if d.startswith("snap-")]
+        assert len(snapdirs) == 1
+        # a dir still referenced by a retained snapshot is NOT removed
+        cat.write("t2", spark.range(2))
+        cat.write("t2", spark.range(3), mode="append")
+        out2 = cat.expire_snapshots("t2", keep_last=1)
+        assert out2 == {"expired": 1, "data_dirs_removed": 0}
+        assert cat.read("t2").count() == 5
+
+    def test_compact_rewrites_fragments_history_kept(self, spark,
+                                                     tmp_path):
+        cat = TableCatalog(spark, str(tmp_path))
+        cat.write("t", spark.range(5))
+        cat.write("t", spark.range(5, 12), mode="append")
+        rec = cat.compact("t")
+        assert rec["mode"] == "compact" and len(rec["data_dirs"]) == 1
+        assert sorted(r.id for r in cat.read("t").collect()) == \
+            list(range(12))
+        assert len(cat.snapshots("t")) == 3      # history preserved
+        out = cat.expire_snapshots("t", keep_last=1)
+        assert out["data_dirs_removed"] == 2     # fragments reclaimed
+
+
+class TestHiddenPartitioning:
+    """Iceberg hidden-partitioning emulation: transforms derive _p_*
+    directory columns at write, invisible at read; partition_filter
+    rewrites source-column predicates so the scan prunes."""
+
+    @staticmethod
+    def _fixture(spark):
+        import datetime
+        return spark.createDataFrame(
+            [(i, datetime.datetime(2025, 1, 1 + i % 3, i % 24, 0),
+              f"doc-{i:03d}") for i in range(30)],
+            "id int, ts timestamp, name string")
+
+    def test_hidden_columns_invisible_and_in_layout(self, spark, tmp_path):
+        import os
+        cat = TableCatalog(spark, str(tmp_path))
+        rec = cat.write("t", self._fixture(spark),
+                        partition_spec={"day": "days(ts)",
+                                        "b": "bucket(4, id)"})
+        assert rec["partition_spec"] == {"day": "days(ts)",
+                                         "b": "bucket(4, id)"}
+        got = cat.read("t")
+        assert got.columns == ["id", "ts", "name"]   # hidden cols dropped
+        d = rec["data_dirs"][0]
+        assert any(x.startswith("_p_day=") for x in os.listdir(d))
+        assert got.count() == 30
+
+    def test_partition_filter_sound_and_reaches_scan(self, spark,
+                                                     tmp_path):
+        cat = TableCatalog(spark, str(tmp_path))
+        cat.write("t", self._fixture(spark),
+                  partition_spec={"day": "days(ts)", "b": "bucket(4, id)"})
+        pred = cat.partition_filter("t", "ts", ">=", "2025-01-02")
+        row = F.col("ts") >= "2025-01-02"
+        pruned = sorted(r.id for r in
+                        cat.read("t", where=pred).filter(row).collect())
+        full = sorted(r.id for r in cat.read("t").filter(row).collect())
+        assert pruned == full and len(full) > 0
+        # the predicate lands in the scan's PartitionFilters, not as a
+        # post-scan row filter
+        plan = cat.read("t", where=pred)._jdf.queryExecution() \
+                  .executedPlan().toString()
+        pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+        assert pf and "_p_day" in pf[0]
+
+    def test_partition_filter_bucket_equality(self, spark, tmp_path):
+        cat = TableCatalog(spark, str(tmp_path))
+        cat.write("t", self._fixture(spark),
+                  partition_spec={"b": "bucket(4, id)"})
+        pred = cat.partition_filter("t", "id", "=", 7)
+        got = cat.read("t", where=pred).filter(F.col("id") == 7)
+        assert [r.id for r in got.collect()] == [7]
+        with pytest.raises(ValueError):          # range can't prune bucket
+            cat.partition_filter("t", "id", "<", 7)
+
+    def test_partition_filter_truncate_and_errors(self, spark, tmp_path):
+        cat = TableCatalog(spark, str(tmp_path))
+        cat.write("t", self._fixture(spark),
+                  partition_spec={"pfx": "truncate(5, name)"})
+        pred = cat.partition_filter("t", "name", "=", "doc-012")
+        got = cat.read("t", where=pred).filter(F.col("name") == "doc-012")
+        assert [r.id for r in got.collect()] == [12]
+        with pytest.raises(KeyError):            # not a partition source
+            cat.partition_filter("t", "ts", "=", "x")
+        with pytest.raises(ValueError):
+            cat.partition_filter("t", "name", "!=", "doc-012")
