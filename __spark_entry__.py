@@ -33,8 +33,8 @@ from dynamicaxiswarping_jl_spark.operators import (
     fingerprint, attach_media_metadata, image_features,
 )
 from dynamicaxiswarping_jl_spark.operators.multimodal import (
-    audio_features, encode_bmp, encode_gif, encode_jpeg, encode_png,
-    encode_wav, frame_sample, resize_images)
+    audio_features, encode_avi, encode_bmp, encode_gif, encode_jpeg,
+    encode_png, encode_wav, frame_sample, resize_images)
 from dynamicaxiswarping_jl_spark.operators import sessionize_events
 from dynamicaxiswarping_jl_spark.sources import transcripts_df
 
@@ -471,6 +471,65 @@ def q_media_jpeg_features(spark, sf_dir):
             .select("media_id", "feat_idx", _r("_v", 4).alias("v")))
 
 
+def _media_avi_from_docs(spark, sf_dir):
+    """REAL video fixture: each document becomes an MJPEG AVI of
+    2 + doc_id % 3 frames at 16x16 — frame f's pixels are the sha256
+    expansion of text + '@v' + f; even doc_ids encode at quality 90 /
+    4:4:4 and 3 fps, odd at quality 75 / 4:2:0 and 2 fps (deterministic,
+    no external data). The query then exercises the actual RIFF/AVI
+    demux + per-frame baseline-JPEG decode + dwScale/dwRate timing, so a
+    container or codec bug breaks the golden match (the golden re-derives
+    frame features from the pixel rule + the independent integer lossy
+    pipeline + the integer fps timing rule alone)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    docs = (_t(spark, sf_dir, "documents")
+            .select(F.col("doc_id").alias("media_id"), "text"))
+
+    def build(batches):
+        for pdf in batches:
+            ids, pays = [], []
+            for mid, text in zip(pdf["media_id"], pdf["text"]):
+                nf = 2 + int(mid) % 3
+                frames = []
+                for fidx in range(nf):
+                    d = hashlib.sha256(
+                        f"{text}@v{fidx}".encode("utf-8")).digest()
+                    reps = (16 * 16 * 3) // len(d) + 1
+                    frames.append(np.frombuffer(
+                        (d * reps)[: 16 * 16 * 3],
+                        np.uint8).reshape(16, 16, 3))
+                q, ss, fps = ((90, "4:4:4", 3) if mid % 2 == 0
+                              else (75, "4:2:0", 2))
+                ids.append(mid)
+                pays.append(bytearray(encode_avi(
+                    frames, fps=fps, quality=q, subsampling=ss)))
+            yield pd.DataFrame({"media_id": ids, "payload": pays})
+
+    return docs.mapInPandas(build, _MEDIA_BIN_SCHEMA)
+
+
+def q_media_video_features(spark, sf_dir):
+    """REAL video decode (no fake): deterministic MJPEG-AVI payloads
+    built from documents, demuxed + frame-decoded by operators/avi
+    inside frame_sample(fake=False), sampled every 400 ms by the
+    cumulative-start rule, per-channel frame means. Golden re-derives
+    the features independently from the sha256 pixel rule, the
+    independent integer JPEG lossy pipeline, and the ((i+1)*1000)//fps
+    timing rule (scripts/make_goldens.py) — drift anywhere in the RIFF
+    demux, the Huffman/DCT stages, frame timing, or sampling breaks the
+    hash match."""
+    media = _media_avi_from_docs(spark, sf_dir)
+    fs = frame_sample(media, every_ms=400, fake=False)
+    return (fs.select("media_id", "frame_idx", "t_ms",
+                      F.posexplode("features").alias("feat_idx", "_v"))
+            .select("media_id", "frame_idx", "t_ms", "feat_idx",
+                    _r("_v", 4).alias("v")))
+
+
 def q_media_audio_features(spark, sf_dir):
     """REAL WAV decode: deterministic 16-bit PCM clips built from
     documents (samples are xxhash64-derived JVM-side), encoded by
@@ -828,6 +887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_features": q_media_frame_features,
         "media_resized_features": q_media_resized_features,
         "media_jpeg_features": q_media_jpeg_features,
+        "media_video_features": q_media_video_features,
         "ivf_ann_topk": q_ivf_ann_topk,
         "gdtw_pairs": q_gdtw_pairs,
         "dbaclust_assign": q_dbaclust_assign,
@@ -1200,5 +1260,5 @@ def oracle_sql() -> dict[str, str]:
                "embedding_neardup_lsh", "lsh_ann_topk", "ivf_ann_topk",
                "media_image_features", "media_audio_features",
                "media_frame_features", "media_resized_features",
-               "media_jpeg_features")},
+               "media_jpeg_features", "media_video_features")},
     }

@@ -22,10 +22,16 @@ Decode support (pure NumPy, no media libs in this container):
   YCbCr at any integer sampling ratio incl. 4:4:4/4:2:2/4:2:0, restart
   markers): ``decode_jpeg`` / ``encode_jpeg`` (operators/jpeg) — lossy
   stages are pinned integer fixed-point so goldens can re-derive
-  decode(encode(px)) bitwise without the codecs. Progressive/
-  arithmetic/12-bit JPEG, MP3 and H.264 stay NotImplementedError;
-  ``fake=True`` keeps the deterministic sha256 pseudo-decode for
-  plumbing tests and the golden-pinned ``media_features`` driver query.
+  decode(encode(px)) bitwise without the codecs.
+- **AVI/MJPEG** (RIFF AVI container, Motion-JPEG video stream — every
+  frame a complete baseline JPEG): ``decode_avi`` / ``encode_avi``
+  (operators/avi) — real VIDEO for ``frame_sample``, with exact
+  integer frame timing from the stream header's dwScale/dwRate.
+
+Progressive/arithmetic/12-bit JPEG, MP3 and inter-frame video codecs
+(H.264 etc.) stay NotImplementedError; ``fake=True`` keeps the
+deterministic sha256 pseudo-decode for plumbing tests and the
+golden-pinned ``media_features`` driver query.
 """
 
 from __future__ import annotations
@@ -41,13 +47,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .avi import decode_avi, encode_avi  # noqa: F401  (re-export)
 from .gif import decode_gif, encode_gif  # noqa: F401  (re-export)
 from .jpeg import decode_jpeg, encode_jpeg  # noqa: F401  (re-export)
 
 __all__ = ["MEDIA_SCHEMA", "attach_media_metadata", "image_features",
            "frame_sample", "decode_bmp", "encode_bmp", "decode_wav",
            "encode_wav", "decode_png", "encode_png", "decode_gif",
-           "encode_gif", "decode_jpeg", "encode_jpeg", "decode_image",
+           "encode_gif", "decode_jpeg", "encode_jpeg", "decode_avi",
+           "encode_avi", "decode_image",
            "audio_features", "resize_bilinear", "resize_nearest",
            "resize_images"]
 
@@ -601,6 +609,8 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
         return decode_gif(b)[0][0]  # first composited frame
     if b[:3] == b"\xff\xd8\xff":
         return decode_jpeg(b)
+    if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+        return decode_avi(b)[0][0]  # first frame
     raise ValueError("unrecognized image payload")
 
 
@@ -610,6 +620,12 @@ def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFr
     mime = (F.when(F.expr(f"substring({payload_col}, 1, 3)") == bytes(b"\xff\xd8\xff"), "image/jpeg")
             .when(F.expr(f"substring({payload_col}, 2, 3)") == bytes(b"PNG"), "image/png")
             .when(F.expr(f"substring({payload_col}, 1, 4)") == bytes(b"GIF8"), "image/gif")
+            .when((F.expr(f"substring({payload_col}, 1, 4)") == bytes(b"RIFF"))
+                  & (F.expr(f"substring({payload_col}, 9, 4)") == bytes(b"AVI ")),
+                  "video/x-msvideo")
+            .when((F.expr(f"substring({payload_col}, 1, 4)") == bytes(b"RIFF"))
+                  & (F.expr(f"substring({payload_col}, 9, 4)") == bytes(b"WAVE")),
+                  "audio/wav")
             .otherwise("application/octet-stream"))
     return df.withColumn("n_bytes", F.length(p)).withColumn("mime_sniffed", mime)
 
@@ -711,19 +727,21 @@ def frame_sample(media: DataFrame, every_ms: int = 1000, fake: bool = True,
     """Video/animation → sampled frame rows (media_id, frame_idx, t_ms,
     features).
 
-    ``fake=False`` decodes REAL animated-GIF payloads (operators/gif —
-    the one animation container whose entropy stage is in-scope without
-    codec libraries): frame timing comes from the Graphic Control
-    Extension delays, the frame visible at each sample instant t (the
-    last frame whose cumulative start time is <= t) is composited and
-    reduced to per-channel means. Sample instants run every ``every_ms``
-    over [0, total_duration) — a zero-total-duration animation yields
-    one sample at t=0 of the final canvas. Containers needing real
-    codecs (MP4/H.264 etc.) raise NotImplementedError. ``fake=True``
-    keeps the deterministic sha256 pseudo-decode driven by
-    meta.duration_ms (plumbing tests, golden-pinned queries).
-    ``on_error='skip'`` drops undecodable/unsupported rows instead of
-    failing the job (see _skip_guard)."""
+    ``fake=False`` decodes REAL payloads: animated GIF (operators/gif)
+    and MJPEG AVI video (operators/avi) — the two moving-picture
+    containers whose entropy stages are in-scope without codec
+    libraries. Frame timing comes from the container (GIF: Graphic
+    Control Extension delays; AVI: the vids stream's dwScale/dwRate);
+    the frame visible at each sample instant t (the last frame whose
+    cumulative start time is <= t) is composited and reduced to
+    per-channel means. Sample instants run every ``every_ms`` over
+    [0, total_duration) — a zero-total-duration animation yields one
+    sample at t=0 of the final canvas. Containers needing real codecs
+    (MP4/H.264 etc.) raise NotImplementedError. ``fake=True`` keeps the
+    deterministic sha256 pseudo-decode driven by meta.duration_ms
+    (plumbing tests, golden-pinned queries). ``on_error='skip'`` drops
+    undecodable/unsupported rows instead of failing the job (see
+    _skip_guard)."""
     skip = _skip_guard(on_error)
     schema = T.StructType([
         T.StructField(id_col, T.LongType()),
@@ -740,12 +758,15 @@ def frame_sample(media: DataFrame, every_ms: int = 1000, fake: bool = True,
                 if not fake:
                     try:
                         b = bytes(row.payload)
-                        if b[:6] not in (b"GIF87a", b"GIF89a"):
+                        if b[:6] in (b"GIF87a", b"GIF89a"):
+                            frames, delays = decode_gif(b)
+                        elif b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+                            frames, delays = decode_avi(b)
+                        else:
                             raise NotImplementedError(
                                 "real video decode beyond animated GIF "
-                                "requires codec libraries not in this "
-                                "container")
-                        frames, delays = decode_gif(b)
+                                "and MJPEG AVI requires codec libraries "
+                                "not in this container")
                     except Exception:
                         if skip:
                             continue

@@ -839,19 +839,17 @@ def g_media_audio_features(sf_dir):
                           ("zcr", pa.float64())])
 
 
-def g_media_jpeg_features(sf_dir):
-    """Independent re-derivation of q_media_jpeg_features: the sha256
-    pixel rule -> the full baseline-JPEG lossy pipeline re-implemented
-    here from the public spec (ITU-T T.81 Annex K tables, IJG quality
-    scaling, JFIF color transform) in order-independent integer
-    arithmetic -> per-channel mean/std. No engine codec code anywhere in
-    this path: the DCT basis is re-derived from the cosine formula, and
-    only integer matmuls + pinned floor-shifts are used, so this matches
-    the engine's vectorized codec bitwise iff both implement the pinned
-    numerics correctly (the Huffman layer must round-trip losslessly for
-    the engine side to agree)."""
-    import hashlib
-
+def _jpeg_lossy_px(img: np.ndarray, quality: int, chroma_444: bool):
+    """The baseline-JPEG lossy pipeline re-implemented from the public
+    spec (ITU-T T.81 Annex K tables, IJG quality scaling, JFIF color
+    transform) in order-independent integer arithmetic: uint8 (16n,16n,3)
+    pixels -> decode(encode(px)) reconstruction as float64 RGB in [0,1].
+    No engine codec code anywhere in this path: the DCT basis is
+    re-derived from the cosine formula, and only integer matmuls +
+    pinned floor-shifts are used, so this matches the engine's
+    vectorized codec bitwise iff both implement the pinned numerics
+    correctly (the Huffman layer must round-trip losslessly for the
+    engine side to agree). Shared by the JPEG and MJPEG-AVI goldens."""
     # DCT-II basis at 2^13 fixed point, from the spec formula
     u = np.arange(8)
     cu = np.where(u == 0, 1.0 / np.sqrt(2.0), 1.0)
@@ -893,6 +891,44 @@ def g_media_jpeg_features(sf_dir):
                     np.clip(r, 0, 255)
         return out
 
+    img = np.asarray(img).astype(np.int64)
+    r, g, b = img[:, :, 0], img[:, :, 1], img[:, :, 2]
+    y = (19595 * r + 38470 * g + 7471 * b + half) >> 16
+    cb = np.clip(((-11058 * r - 21710 * g + 32768 * b + half) >> 16)
+                 + 128, 0, 255)
+    cr = np.clip(((32768 * r - 27439 * g - 5329 * b + half) >> 16)
+                 + 128, 0, 255)
+    y = np.clip(y, 0, 255)
+    qtl, qtc = scaled(base_l, quality), scaled(base_c, quality)
+    yp = block_pipe(y, qtl)
+    if chroma_444:                                  # 4:4:4
+        cbp, crp = block_pipe(cb, qtc), block_pipe(cr, qtc)
+    else:                                           # 4:2:0
+        hh, ww = img.shape[0], img.shape[1]
+
+        def down(p):
+            s = p.reshape(hh // 2, 2, ww // 2, 2).sum(axis=(1, 3))
+            return (s + 2) >> 2
+
+        def up(p):
+            return np.repeat(np.repeat(p, 2, axis=0), 2, axis=1)
+
+        cbp = up(block_pipe(down(cb), qtc))
+        crp = up(block_pipe(down(cr), qtc))
+    yy = yp << 16
+    cbd, crd = cbp - 128, crp - 128
+    rr = np.clip((yy + 91881 * crd + half) >> 16, 0, 255)
+    gg = np.clip((yy - 22553 * cbd - 46802 * crd + half) >> 16, 0, 255)
+    bb = np.clip((yy + 116130 * cbd + half) >> 16, 0, 255)
+    return np.stack([rr, gg, bb], axis=2).astype(np.float64) / 255.0
+
+
+def g_media_jpeg_features(sf_dir):
+    """Independent re-derivation of q_media_jpeg_features: the sha256
+    pixel rule -> the independent integer lossy pipeline
+    (_jpeg_lossy_px) -> per-channel mean/std."""
+    import hashlib
+
     docs = _load(sf_dir, "documents")
     recs = []
     for mid, text in zip(docs["doc_id"].astype(int), docs["text"]):
@@ -900,35 +936,9 @@ def g_media_jpeg_features(sf_dir):
         d = hashlib.sha256(f"{text}!jpeg".encode("utf-8")).digest()
         reps = (16 * 16 * 3) // len(d) + 1
         img = np.frombuffer((d * reps)[: 16 * 16 * 3],
-                            np.uint8).reshape(16, 16, 3).astype(np.int64)
-        quality = 90 if mid % 2 == 0 else 75
-        r, g, b = img[:, :, 0], img[:, :, 1], img[:, :, 2]
-        y = (19595 * r + 38470 * g + 7471 * b + half) >> 16
-        cb = np.clip(((-11058 * r - 21710 * g + 32768 * b + half) >> 16)
-                     + 128, 0, 255)
-        cr = np.clip(((32768 * r - 27439 * g - 5329 * b + half) >> 16)
-                     + 128, 0, 255)
-        y = np.clip(y, 0, 255)
-        qtl, qtc = scaled(base_l, quality), scaled(base_c, quality)
-        yp = block_pipe(y, qtl)
-        if mid % 2 == 0:                            # 4:4:4
-            cbp, crp = block_pipe(cb, qtc), block_pipe(cr, qtc)
-        else:                                       # 4:2:0
-            def down(p):
-                s = p.reshape(8, 2, 8, 2).sum(axis=(1, 3))
-                return (s + 2) >> 2
-
-            def up(p):
-                return np.repeat(np.repeat(p, 2, axis=0), 2, axis=1)
-
-            cbp = up(block_pipe(down(cb), qtc))
-            crp = up(block_pipe(down(cr), qtc))
-        yy = yp << 16
-        cbd, crd = cbp - 128, crp - 128
-        rr = np.clip((yy + 91881 * crd + half) >> 16, 0, 255)
-        gg = np.clip((yy - 22553 * cbd - 46802 * crd + half) >> 16, 0, 255)
-        bb = np.clip((yy + 116130 * cbd + half) >> 16, 0, 255)
-        px = np.stack([rr, gg, bb], axis=2).astype(np.float64) / 255.0
+                            np.uint8).reshape(16, 16, 3)
+        px = _jpeg_lossy_px(img, 90 if mid % 2 == 0 else 75,
+                            chroma_444=(mid % 2 == 0))
         feats = np.concatenate([px.mean(axis=(0, 1)), px.std(axis=(0, 1))])
         for j, v in enumerate(feats):
             recs.append((mid, j, float(_r(v))))
@@ -937,12 +947,57 @@ def g_media_jpeg_features(sf_dir):
                           ("feat_idx", pa.int32()), ("v", pa.float64())])
 
 
+def g_media_video_features(sf_dir):
+    """Independent re-derivation of q_media_video_features: the sha256
+    per-frame pixel rule -> the independent integer lossy JPEG pipeline
+    (_jpeg_lossy_px — every MJPEG frame is a baseline JPEG) -> the exact
+    integer timing rule delay[i] = ((i+1)*1000)//fps - (i*1000)//fps ->
+    the cumulative-start sampling rule (frame visible at t = last frame
+    with start <= t) -> per-channel frame means. No engine AVI demux,
+    JPEG codec, or sampling code anywhere in this path — drift in the
+    RIFF layer, the Huffman/DCT stages, dwScale/dwRate timing, or the
+    sampler breaks the hash match."""
+    import hashlib
+
+    docs = _load(sf_dir, "documents")
+    recs = []
+    for mid, text in zip(docs["doc_id"].astype(int), docs["text"]):
+        mid = int(mid)
+        nf = 2 + mid % 3
+        quality, c444, fps = ((90, True, 3) if mid % 2 == 0
+                              else (75, False, 2))
+        frames = []
+        for fidx in range(nf):
+            d = hashlib.sha256(f"{text}@v{fidx}".encode("utf-8")).digest()
+            reps = (16 * 16 * 3) // len(d) + 1
+            img = np.frombuffer((d * reps)[: 16 * 16 * 3],
+                                np.uint8).reshape(16, 16, 3)
+            frames.append(_jpeg_lossy_px(img, quality, chroma_444=c444))
+        delays = [((i + 1) * 1000) // fps - (i * 1000) // fps
+                  for i in range(nf)]
+        starts = np.concatenate([[0], np.cumsum(delays)[:-1]])
+        total = int(sum(delays))
+        for i, t in enumerate(range(0, max(total, 1), 400)):
+            fi = int(np.searchsorted(starts, t, side="right") - 1)
+            feats = frames[fi].mean(axis=(0, 1))
+            for j, v in enumerate(feats):
+                recs.append((mid, i, int(t), j, float(_r(v))))
+    df = pd.DataFrame(recs, columns=["media_id", "frame_idx", "t_ms",
+                                     "feat_idx", "v"])
+    return df, pa.schema([("media_id", pa.int64()),
+                          ("frame_idx", pa.int32()),
+                          ("t_ms", pa.int64()),
+                          ("feat_idx", pa.int32()),
+                          ("v", pa.float64())])
+
+
 GOLDENS = {
     "media_image_features": g_media_image_features,
     "media_audio_features": g_media_audio_features,
     "media_frame_features": g_media_frame_features,
     "media_resized_features": g_media_resized_features,
     "media_jpeg_features": g_media_jpeg_features,
+    "media_video_features": g_media_video_features,
     "ivf_ann_topk": g_ivf_ann_topk,
     "drift_1h_1d": g_drift_1h_1d,
     "dtwnn_series": g_dtwnn_series,

@@ -593,6 +593,227 @@ class TestMultimodal:
         g, d = decode_gif(encode_gif(fr, np.array([100, 200])))
         assert d == [100, 200] and len(g) == 2
 
+    # ---- AVI (MJPEG video container) ----
+
+    def test_avi_roundtrip_and_independent_container_parse(self):
+        """encode_avi → decode_avi: every frame equals the JPEG codec's
+        own decode(encode(frame)) (MJPEG = per-frame baseline JPEG) and
+        delays follow the exact integer dwScale/dwRate rule. The
+        container layout is then verified by an independent struct-level
+        RIFF walk that shares no code with operators/avi."""
+        import struct
+
+        from dynamicaxiswarping_jl_spark.operators.avi import (
+            decode_avi, encode_avi)
+        from dynamicaxiswarping_jl_spark.operators.jpeg import (
+            decode_jpeg, encode_jpeg)
+        rng = np.random.default_rng(11)
+        frames = [rng.integers(0, 256, (16, 8, 3), dtype=np.uint8)
+                  for _ in range(5)]
+        blob = encode_avi(frames, fps=3, quality=80, subsampling="4:2:0")
+        out, delays = decode_avi(blob)
+        assert len(out) == 5
+        assert delays == [((i + 1) * 1000) // 3 - (i * 1000) // 3
+                          for i in range(5)]
+        for f, o in zip(frames, out):
+            ref = decode_jpeg(encode_jpeg(f, quality=80,
+                                          subsampling="4:2:0"))
+            assert np.array_equal(ref, o)
+
+        # independent container walk: RIFF size, header fields, movi
+        # chunk payloads, idx1 offsets
+        assert blob[:4] == b"RIFF" and blob[8:12] == b"AVI "
+        assert struct.unpack_from("<I", blob, 4)[0] == len(blob) - 8
+        pos, tops = 12, {}
+        while pos + 8 <= len(blob):
+            fcc = blob[pos:pos + 4]
+            size = struct.unpack_from("<I", blob, pos + 4)[0]
+            key = blob[pos + 8:pos + 12] if fcc == b"LIST" else fcc
+            tops[bytes(key)] = (pos + 8, size)
+            pos += 8 + size + (size & 1)
+        hs, hz = tops[b"hdrl"]
+        # avih immediately follows the list type; dwTotalFrames at +16,
+        # dwStreams at +24, dwWidth/dwHeight at +32
+        assert blob[hs + 4:hs + 8] == b"avih"
+        avih = hs + 12
+        assert struct.unpack_from("<I", blob, avih + 16)[0] == 5
+        assert struct.unpack_from("<I", blob, avih + 24)[0] == 1
+        assert struct.unpack_from("<II", blob, avih + 32) == (8, 16)
+        ms, mz = tops[b"movi"]
+        payloads, mpos = [], ms + 4
+        while mpos + 8 <= ms + mz:
+            ck = blob[mpos:mpos + 4]
+            cz = struct.unpack_from("<I", blob, mpos + 4)[0]
+            assert ck == b"00dc"
+            payloads.append(blob[mpos + 8:mpos + 8 + cz])
+            mpos += 8 + cz + (cz & 1)
+        assert [decode_jpeg(p).shape for p in payloads] == [(16, 8, 3)] * 5
+        idx_s, idx_z = tops[b"idx1"]
+        assert idx_z == 16 * 5
+        for i in range(5):
+            ckid, fl, off, ln = struct.unpack_from("<4sIII", blob,
+                                                   idx_s + 16 * i)
+            assert ckid == b"00dc" and fl == 0x10
+            # offset is relative to the 'movi' fourcc position
+            chunk_at = (ms - 8 + 8) + off  # = ms + off
+            assert blob[chunk_at:chunk_at + 4] == b"00dc"
+            assert struct.unpack_from("<I", blob, chunk_at + 4)[0] == ln
+
+    def test_avi_hand_built_container_with_rec_list_and_junk(self):
+        """decode_avi against a hand-assembled AVI that encode_avi never
+        produces: a JUNK chunk, a second (audio) stream listed first, a
+        'rec ' record sub-list, a 00db chunk id, odd-size padding, and
+        dwScale=2/dwRate=5 timing."""
+        import struct
+
+        from dynamicaxiswarping_jl_spark.operators.avi import decode_avi
+        from dynamicaxiswarping_jl_spark.operators.jpeg import (
+            decode_jpeg, encode_jpeg)
+
+        def chunk(fcc, data):
+            return fcc + struct.pack("<I", len(data)) + data \
+                + (b"\x00" if len(data) & 1 else b"")
+
+        def lst(t, body):
+            return chunk(b"LIST", t + body)
+
+        img = np.arange(16 * 16 * 3, dtype=np.uint8).reshape(16, 16, 3)
+        j0 = encode_jpeg(img, quality=90, subsampling="4:4:4")
+        j1 = encode_jpeg(img[::-1], quality=90, subsampling="4:4:4")
+        avih = struct.pack("<IIIIIIIIII4I", 400000, 0, 0, 0, 2, 0, 2, 0,
+                           16, 16, 0, 0, 0, 0)
+        strh_aud = struct.pack("<4s4sIHHIIIIIIiI4h", b"auds", b"\x00" * 4,
+                               0, 0, 0, 0, 1, 8000, 0, 100, 0, -1, 2,
+                               0, 0, 0, 0)
+        strf_aud = struct.pack("<HHIIHHH", 1, 1, 8000, 16000, 2, 16, 0)
+        strh_vid = struct.pack("<4s4sIHHIIIIIIiI4h", b"vids", b"mjpg",
+                               0, 0, 0, 0, 2, 5, 0, 2, 0, -1, 0,
+                               0, 0, 16, 16)
+        strf_vid = struct.pack("<IiiHH4sIiiII", 40, 16, 16, 1, 24,
+                               b"MJPG", 16 * 16 * 3, 0, 0, 0, 0)
+        hdrl = lst(b"hdrl",
+                   chunk(b"avih", avih)
+                   + lst(b"strl", chunk(b"strh", strh_aud)
+                         + chunk(b"strf", strf_aud))
+                   + lst(b"strl", chunk(b"strh", strh_vid)
+                         + chunk(b"strf", strf_vid)))
+        movi = lst(b"movi",
+                   chunk(b"01wb", b"\x00" * 7)        # audio, odd size
+                   + chunk(b"01dc", j0)               # video frame 0
+                   + lst(b"rec ", chunk(b"01db", j1)  # frame 1 in a rec
+                         + chunk(b"01wb", b"\x00" * 4)))
+        body = b"AVI " + hdrl + chunk(b"JUNK", b"\x00" * 11) + movi
+        blob = b"RIFF" + struct.pack("<I", len(body)) + body
+        frames, delays = decode_avi(blob)
+        assert len(frames) == 2
+        assert np.array_equal(frames[0], decode_jpeg(j0))
+        assert np.array_equal(frames[1], decode_jpeg(j1))
+        # dwScale=2, dwRate=5 → 400 ms/frame exactly
+        assert delays == [400, 400]
+
+    def test_avi_error_paths(self):
+        import struct
+
+        from dynamicaxiswarping_jl_spark.operators.avi import (
+            decode_avi, encode_avi)
+        with pytest.raises(ValueError, match="magic"):
+            decode_avi(b"RIFF\x10\x00\x00\x00WAVEfmt ")
+        with pytest.raises(ValueError, match="magic"):
+            decode_avi(b"garbage")
+        blob = encode_avi([np.zeros((8, 8, 3), np.uint8)] * 2, fps=2)
+        with pytest.raises(ValueError):
+            decode_avi(blob[:60])              # truncated mid-header
+        with pytest.raises(ValueError, match="truncated"):
+            decode_avi(blob[:-10])             # RIFF size > payload
+        # zero dwRate → ValueError (corrupt timing, not a crash)
+        z = bytearray(blob)
+        sh = z.find(b"strh") + 8
+        z[sh + 24:sh + 28] = struct.pack("<I", 0)
+        with pytest.raises(ValueError, match="dwRate|dwScale"):
+            decode_avi(bytes(z))
+        # frame dims disagreeing with BITMAPINFOHEADER → ValueError
+        w = bytearray(blob)
+        sf = w.find(b"strf") + 8
+        w[sf + 4:sf + 8] = struct.pack("<i", 99)
+        with pytest.raises(ValueError, match="dimensions"):
+            decode_avi(bytes(w))
+        # unsupported-but-valid codec → NotImplementedError
+        h = bytearray(blob)
+        for _ in range(2):
+            i = h.find(b"MJPG")
+            h[i:i + 4] = b"H264"
+        with pytest.raises(NotImplementedError, match="H264"):
+            decode_avi(bytes(h))
+        with pytest.raises(ValueError, match="frame"):
+            encode_avi([], fps=2)
+        with pytest.raises(ValueError, match="fps"):
+            encode_avi([np.zeros((4, 4, 3), np.uint8)], fps=0)
+        with pytest.raises(ValueError, match="h, w"):
+            encode_avi([np.zeros((4, 4, 3), np.uint8),
+                        np.zeros((4, 6, 3), np.uint8)], fps=2)
+
+    def test_avi_decode_image_and_mime_sniff(self, spark):
+        """decode_image returns the AVI's first frame; the metadata
+        sniffer labels RIFF containers (AVI vs WAVE) without decoding."""
+        from dynamicaxiswarping_jl_spark.operators.avi import encode_avi
+        from dynamicaxiswarping_jl_spark.operators.jpeg import (
+            decode_jpeg, encode_jpeg)
+        from dynamicaxiswarping_jl_spark.operators.multimodal import (
+            decode_image, encode_wav)
+        img = np.full((8, 8, 3), 37, np.uint8)
+        blob = encode_avi([img, 255 - img], fps=1, quality=90)
+        first = decode_image(blob)
+        assert np.array_equal(first, decode_jpeg(
+            encode_jpeg(img, quality=90, subsampling="4:4:4")))
+        wav = encode_wav(np.zeros((16, 1)), rate=8000, bits=16)
+        rows = [(1, "video", "", bytes(blob), None),
+                (2, "audio", "", bytes(wav), None),
+                (3, "text", "", b"plain bytes", None)]
+        got = {r["media_id"]: r["mime_sniffed"]
+               for r in attach_media_metadata(
+                   spark.createDataFrame(rows, MEDIA_SCHEMA)).collect()}
+        assert got == {1: "video/x-msvideo", 2: "audio/wav",
+                       3: "application/octet-stream"}
+
+    def test_frame_sample_real_avi_spark_path(self, spark):
+        """frame_sample(fake=False) dispatches GIF and AVI payloads in
+        the same batch; AVI features equal a local re-derivation from
+        decode_avi + the cumulative-start sampling rule."""
+        from dynamicaxiswarping_jl_spark.operators.avi import (
+            decode_avi, encode_avi)
+        from dynamicaxiswarping_jl_spark.operators.multimodal import (
+            decode_gif, encode_gif, frame_sample)
+        rng = np.random.default_rng(23)
+        rows, want = [], {}
+        for mid in range(2):
+            frames = [rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+                      for _ in range(mid + 2)]
+            blob = bytes(encode_avi(frames, fps=2, quality=85))
+            rows.append((mid, "video", "video/x-msvideo", blob, None))
+            dec, dl = decode_avi(blob)
+            starts = np.concatenate([[0], np.cumsum(dl)[:-1]])
+            for i, t in enumerate(range(0, sum(dl), 300)):
+                fi = int(np.searchsorted(starts, t, side="right") - 1)
+                want[(mid, i)] = (t, dec[fi].mean(axis=(0, 1)).tolist())
+        pal = rng.integers(0, 256, size=(4, 3), dtype=np.uint8)
+        gif_frames = [pal[rng.integers(0, 4, size=(5, 5))]
+                      for _ in range(2)]
+        gif = bytes(encode_gif(gif_frames, [350, 350]))
+        rows.append((9, "video", "image/gif", gif, None))
+        gdec, gdl = decode_gif(gif)
+        gstarts = np.concatenate([[0], np.cumsum(gdl)[:-1]])
+        for i, t in enumerate(range(0, sum(gdl), 300)):
+            fi = int(np.searchsorted(gstarts, t, side="right") - 1)
+            want[(9, i)] = (t, gdec[fi].mean(axis=(0, 1)).tolist())
+        media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        got = frame_sample(media, every_ms=300, fake=False).collect()
+        assert len(got) == len(want)
+        for r in got:
+            t, feats = want[(r["media_id"], r["frame_idx"])]
+            assert r["t_ms"] == t
+            np.testing.assert_allclose(list(r["features"]), feats,
+                                       rtol=0, atol=0)
+
     def test_frame_sample_real_gif_spark_path(self, spark):
         """frame_sample(fake=False) over real animated-GIF payloads:
         sampled features equal a local re-derivation from decode_gif +
