@@ -33,7 +33,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def run_level(spark_submit: str, zip_path: str, cores: int, n_conv: int,
               seed: int, job: str = "pipeline", sf_dir: str = "",
-              n_queries: int = 32, partitions: int = 32) -> dict:
+              n_queries: int = 32, partitions: int = 32,
+              dba_mode: str = "grouped", driver_memory: str = "",
+              timeout: int = 1800) -> dict:
     # The job config (shuffle partitions, kernel-stage task count) is
     # PINNED across levels: on a real cluster, going from N to 4N
     # executors re-schedules the same task decomposition onto more slots
@@ -47,6 +49,8 @@ def run_level(spark_submit: str, zip_path: str, cores: int, n_conv: int,
         "--conf", "spark.sql.session.timeZone=UTC",
         "--py-files", zip_path,
     ]
+    if driver_memory:
+        cmd += ["--driver-memory", driver_memory]
     if job == "nn":
         cmd += [os.path.join(REPO, "scripts", "nn_search_job.py"),
                 "--sf-dir", sf_dir, "--n-queries", str(n_queries),
@@ -55,8 +59,9 @@ def run_level(spark_submit: str, zip_path: str, cores: int, n_conv: int,
         workdir = tempfile.mkdtemp(prefix=f"scaling-{cores}-")
         cmd += [os.path.join(REPO, "scripts", "run_pipeline.py"),
                 "--workdir", workdir, "--n-conv", str(n_conv),
-                "--seed", str(seed)]
-    out = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
+                "--seed", str(seed), "--dba-mode", dba_mode]
+    out = subprocess.run(cmd, capture_output=True, text=True,
+                         timeout=timeout)
     if out.returncode != 0:
         sys.stderr.write(out.stderr[-4000:])
         raise SystemExit(f"spark-submit at local[{cores}] failed")
@@ -84,6 +89,17 @@ def main() -> int:
                    help="task decomposition, identical at both levels "
                         "(cluster analogy: job config does not change "
                         "with executor count)")
+    p.add_argument("--dba-mode", choices=["grouped", "distributed"],
+                   default="grouped",
+                   help="pipeline job only: passed through to "
+                        "run_pipeline.py (distributed = the production "
+                        "scale shape)")
+    p.add_argument("--driver-memory", default="",
+                   help="spark-submit --driver-memory for both levels "
+                        "(local mode hosts all executor threads in the "
+                        "driver JVM)")
+    p.add_argument("--timeout", type=int, default=1800,
+                   help="per-run spark-submit timeout, seconds")
     p.add_argument("--repeats", type=int, default=2,
                    help="runs per level, best wall kept — this host "
                         "carries external background load with 2-3x "
@@ -104,7 +120,8 @@ def main() -> int:
     def best_of(cores: int) -> dict:
         runs = [run_level(spark_submit, zip_path, cores, args.n_conv,
                           args.seed, args.job, args.sf_dir, args.n_queries,
-                          args.partitions)
+                          args.partitions, args.dba_mode,
+                          args.driver_memory, args.timeout)
                 for _ in range(max(1, args.repeats))]
         return min(runs, key=lambda r: r["elapsed_sec"])
 
