@@ -36,6 +36,8 @@ from dynamicaxiswarping_jl_spark.operators.multimodal import (
     audio_features, encode_avi, encode_bmp, encode_gif, encode_jpeg,
     encode_png, encode_wav, frame_sample, resize_images)
 from dynamicaxiswarping_jl_spark.operators import sessionize_events
+from dynamicaxiswarping_jl_spark.operators import (
+    asof_join, rolling_stats, lttb_downsample)
 from dynamicaxiswarping_jl_spark.sources import transcripts_df
 
 
@@ -839,6 +841,41 @@ def q_retention_1m(spark, sf_dir):
                  F.min("bucket").alias("first_bucket")))
 
 
+def q_asof_tier(spark, sf_dir):
+    """Events stamped with the most recent BUSY hour (>=2 events) of the
+    same user — the as-of backward join (operators/asof.py, union-marker
+    single-shuffle plan). The oracle is DuckDB's native ASOF JOIN, so
+    the engine's equal-ts / tie / unmatched-drop semantics are pinned
+    against an independent implementation of the same operator."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    busy = (q_rollup_1h_cascade(spark, sf_dir)
+            .filter(F.col("n_events") >= 2)
+            .withColumnRenamed("n_events", "busy_events"))
+    return asof_join(ev, busy, "user_id", left_ts="ts", right_ts="bucket",
+                     how="inner", matched_ts_col="asof_bucket")
+
+
+def q_rolling_1h(spark, sf_dir):
+    """Trailing-24h rolling stats over the hourly tier
+    (operators/rolling.py — pure JVM window, pinned integer-exact
+    variance expression so the DuckDB window oracle hash-matches at
+    full double precision)."""
+    t1h = q_rollup_1h_cascade(spark, sf_dir)
+    return rolling_stats(t1h, "n_events", key="user_id",
+                         bucket_col="bucket", n_rows=24)
+
+
+def q_lttb_downsample(spark, sf_dir):
+    """LTTB shape-preserving downsample of the gap-filled hourly series
+    to 32 points per user (operators/downsample.py; algorithm semantics
+    pinned in kernels/lttb.py and re-derived straight-line by the
+    golden generator)."""
+    series = _series_from_events(spark, sf_dir)
+    return (lttb_downsample(series, m=32)
+            .select("conv_id", "sel_idx", "bucket",
+                    _r("value", 4).alias("value")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m": q_rollup_1m,
@@ -863,6 +900,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "embedding_norms": q_embedding_norms,
         "fingerprint_dupes": q_fingerprint_dupes,
+        "asof_tier": q_asof_tier,
+        "rolling_1h": q_rolling_1h,
         # non-SQL-expressible (rows-only):
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
@@ -895,6 +934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_keep": q_neardup_keep,
         "simhash_neardup": q_simhash_neardup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
+        "lttb_downsample": q_lttb_downsample,
     }
 
 
@@ -1244,6 +1284,41 @@ def oracle_sql() -> dict[str, str]:
             FROM rev
             ORDER BY rk LIMIT 10
         """,
+        "asof_tier": """
+            WITH busy AS (
+              SELECT user_id, date_trunc('hour', ts) AS bucket,
+                     count(*) AS busy_events
+              FROM events GROUP BY 1, 2 HAVING count(*) >= 2)
+            SELECT e.user_id, e.ts, e.event_id,
+                   b.bucket AS asof_bucket, b.busy_events
+            FROM events e ASOF JOIN busy b
+              ON e.user_id = b.user_id AND e.ts >= b.bucket
+        """,
+        # rolling stats: avg/var are computed from the EXACT integer
+        # window sums with the same pinned expression as the engine
+        # (rolling.py docstring) — bitwise-identical doubles, no rounding
+        "rolling_1h": """
+            WITH t1h AS (
+              SELECT user_id, date_trunc('hour', ts) AS bucket,
+                     count(*) AS n_events
+              FROM events GROUP BY 1, 2)
+            SELECT user_id, bucket, n_events,
+                   CAST(count(n_events) OVER w AS BIGINT) AS roll_n,
+                   CAST(sum(n_events) OVER w AS BIGINT) AS roll_sum,
+                   CAST(sum(n_events) OVER w AS DOUBLE)
+                     / count(n_events) OVER w AS roll_avg,
+                   CAST(min(n_events) OVER w AS BIGINT) AS roll_min,
+                   CAST(max(n_events) OVER w AS BIGINT) AS roll_max,
+                   CASE WHEN count(n_events) OVER w > 1 THEN
+                     (CAST(sum(n_events * n_events) OVER w AS DOUBLE)
+                      - CAST(sum(n_events) OVER w AS DOUBLE)
+                        * CAST(sum(n_events) OVER w AS DOUBLE)
+                        / count(n_events) OVER w)
+                     / (count(n_events) OVER w - 1) END AS roll_var
+            FROM t1h
+            WINDOW w AS (PARTITION BY user_id ORDER BY bucket
+                         ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+        """,
         # ---- golden-parquet oracles (DTW/DBA/LSH family) -----------------
         # DuckDB can't express these; the goldens are generated by
         # scripts/make_goldens.py WITHOUT the Spark operators (pandas
@@ -1260,5 +1335,6 @@ def oracle_sql() -> dict[str, str]:
                "embedding_neardup_lsh", "lsh_ann_topk", "ivf_ann_topk",
                "media_image_features", "media_audio_features",
                "media_frame_features", "media_resized_features",
-               "media_jpeg_features", "media_video_features")},
+               "media_jpeg_features", "media_video_features",
+               "lttb_downsample")},
     }

@@ -991,7 +991,64 @@ def g_media_video_features(sf_dir):
                           ("v", pa.float64())])
 
 
+def g_lttb_downsample(sf_dir, m: int = 32):
+    """Straight-line LTTB re-derivation (shares no code with
+    kernels/lttb.py): per-conv gap-filled hourly turn_rate series →
+    the m kept points. Pinned semantics mirrored scalar-wise: float
+    bucket bounds 1+floor(k*(n-2)/(m-2)), next-bucket centroid via
+    np.mean on the contiguous slice, cross product evaluated
+    (xa-cx)*(y-ya) - (xa-x)*(cy-ya) per candidate, strict > keeps the
+    earliest max."""
+    ev = _events_conv(sf_dir)
+    freq = "h"
+    df = ev.assign(bucket=ev["ts"].dt.floor(freq))
+    cnt = (df.groupby(["conv_id", "bucket"]).size().rename("n")
+           .reset_index())
+    recs = []
+    for cid in sorted(cnt["conv_id"].unique(), key=int):
+        sub = cnt[cnt["conv_id"] == cid]
+        idx = pd.date_range(sub["bucket"].min(), sub["bucket"].max(),
+                            freq=freq)
+        y = (sub.set_index("bucket")["n"].reindex(idx, fill_value=0)
+             .to_numpy(dtype=np.float64)) * 60.0 / 3600
+        n = len(y)
+        if n <= m:
+            keep = list(range(n))
+        else:
+            keep, a = [0], 0
+            every = (n - 2) / (m - 2)
+            for k in range(m - 2):
+                lo = 1 + int(np.floor(k * every))
+                hi = (1 + int(np.floor((k + 1) * every))
+                      if k + 1 < m - 2 else n - 1)
+                if k + 1 < m - 2:
+                    nlo = 1 + int(np.floor((k + 1) * every))
+                    nhi = (1 + int(np.floor((k + 2) * every))
+                           if k + 2 < m - 2 else n - 1)
+                else:
+                    nlo, nhi = n - 1, n
+                cx = float(np.mean(np.arange(nlo, nhi, dtype=np.float64)))
+                cy = float(np.mean(y[nlo:nhi]))
+                best, best_area = lo, -1.0
+                for i in range(lo, hi):
+                    area = abs((a - cx) * (y[i] - y[a])
+                               - (a - i) * (cy - y[a]))
+                    if area > best_area:
+                        best, best_area = i, area
+                keep.append(best)
+                a = best
+            keep.append(n - 1)
+        for i in keep:
+            recs.append((str(cid), int(i), idx[i].to_pydatetime(),
+                         float(_r(y[i]))))
+    df = pd.DataFrame(recs, columns=["conv_id", "sel_idx", "bucket", "value"])
+    return df, pa.schema([("conv_id", pa.string()), ("sel_idx", pa.int32()),
+                          ("bucket", pa.timestamp("us")),
+                          ("value", pa.float64())])
+
+
 GOLDENS = {
+    "lttb_downsample": g_lttb_downsample,
     "media_image_features": g_media_image_features,
     "media_audio_features": g_media_audio_features,
     "media_frame_features": g_media_frame_features,

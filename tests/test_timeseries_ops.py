@@ -1,0 +1,215 @@
+"""As-of join, rolling stats, LTTB downsample — the round-4 engine-added
+time-series relational operators, against pandas/straight-line oracles."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dynamicaxiswarping_jl_spark.kernels.lttb import lttb_indices, lttb
+from dynamicaxiswarping_jl_spark.operators import (
+    asof_join, rolling_stats, lttb_downsample, assemble_series)
+
+
+def _mk_asof_frames(spark, seed=7, n_keys=4, n_left=60, n_right=25):
+    rng = np.random.default_rng(seed)
+    base = pd.Timestamp("2025-01-01")
+    lrows = pd.DataFrame({
+        "k": rng.integers(0, n_keys, n_left).astype(str),
+        "ts": base + pd.to_timedelta(rng.integers(0, 10_000, n_left), unit="s"),
+        "lval": rng.normal(size=n_left).round(3),
+    })
+    rrows = pd.DataFrame({
+        "k": rng.integers(0, n_keys, n_right).astype(str),
+        "bucket": base + pd.to_timedelta(rng.integers(0, 10_000, n_right), unit="s"),
+        "rval": rng.normal(size=n_right).round(3),
+    }).drop_duplicates(["k", "bucket"])
+    return (spark.createDataFrame(lrows), spark.createDataFrame(rrows),
+            lrows, rrows)
+
+
+def _pandas_asof(lrows, rrows, direction="backward", tolerance=None):
+    out = []
+    for k, lg in lrows.groupby("k"):
+        rg = rrows[rrows["k"] == k]
+        lg = lg.sort_values("ts").reset_index(drop=True)
+        if rg.empty:
+            m = lg.assign(asof_ts=pd.NaT, rval=np.nan)
+        else:
+            m = pd.merge_asof(
+                lg, rg.sort_values("bucket").reset_index(drop=True),
+                left_on="ts", right_on="bucket", by="k",
+                direction=direction, tolerance=tolerance)
+            m = m.rename(columns={"bucket": "asof_ts"})
+        out.append(m[["k", "ts", "lval", "asof_ts", "rval"]])
+    return pd.concat(out, ignore_index=True)
+
+
+def _cmp(spark_df, pdf_expect):
+    got = (spark_df.toPandas()
+           .sort_values(["k", "ts", "lval"]).reset_index(drop=True))
+    exp = (pdf_expect.sort_values(["k", "ts", "lval"]).reset_index(drop=True)
+           [got.columns.tolist()])
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+class TestAsofJoin:
+    def test_backward_matches_pandas_merge_asof(self, spark):
+        l, r, lp, rp = _mk_asof_frames(spark)
+        out = asof_join(l, r, "k", left_ts="ts", right_ts="bucket", how="left")
+        _cmp(out, _pandas_asof(lp, rp))
+
+    def test_forward_matches_pandas(self, spark):
+        l, r, lp, rp = _mk_asof_frames(spark, seed=11)
+        out = asof_join(l, r, "k", left_ts="ts", right_ts="bucket",
+                        direction="forward", how="left")
+        _cmp(out, _pandas_asof(lp, rp, direction="forward"))
+
+    def test_tolerance_voids_far_matches(self, spark):
+        l, r, lp, rp = _mk_asof_frames(spark, seed=13)
+        out = asof_join(l, r, "k", left_ts="ts", right_ts="bucket",
+                        tolerance_s=600, how="left")
+        _cmp(out, _pandas_asof(lp, rp, tolerance=pd.Timedelta(seconds=600)))
+
+    def test_equal_timestamp_matches(self, spark):
+        t = pd.Timestamp("2025-01-01 00:10:00").to_pydatetime()
+        l = spark.createDataFrame(
+            [("a", t, 1.0)], "k string, ts timestamp, lval double")
+        r = spark.createDataFrame(
+            [("a", t, 9.0)], "k string, bucket timestamp, rval double")
+        row = asof_join(l, r, "k", "ts", "bucket").collect()[0]
+        assert row["rval"] == 9.0 and row["asof_ts"] == row["ts"]
+
+    def test_inner_drops_unmatched(self, spark):
+        l, r, lp, rp = _mk_asof_frames(spark, seed=17)
+        exp = _pandas_asof(lp, rp)
+        inner = asof_join(l, r, "k", "ts", "bucket", how="inner")
+        assert inner.count() == int(exp["asof_ts"].notna().sum())
+        assert inner.filter(F.col("asof_ts").isNull()).count() == 0
+
+    def test_payload_collision_raises(self, spark):
+        l, r, _, _ = _mk_asof_frames(spark)
+        with pytest.raises(ValueError, match="collide"):
+            asof_join(l, r.withColumnRenamed("rval", "lval"), "k", "ts", "bucket")
+
+    def test_plan_single_shuffle_no_nested_loop(self, spark):
+        l, r, _, _ = _mk_asof_frames(spark)
+        plan = (asof_join(l, r, "k", "ts", "bucket")
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "NestedLoop" not in plan and "Cartesian" not in plan
+        # the union-marker form needs exactly one hash exchange (on the key)
+        assert plan.count("hashpartitioning") <= 2  # initial + possible AQE read
+
+
+class TestRollingStats:
+    def test_matches_pandas_rolling(self, spark):
+        rng = np.random.default_rng(3)
+        pdf = pd.DataFrame({
+            "conv_id": np.repeat([str(i) for i in range(5)], 40),
+            "bucket": np.tile(
+                pd.Timestamp("2025-01-01")
+                + pd.to_timedelta(np.arange(40), unit="min"), 5),
+            "n_events": rng.integers(0, 50, 200).astype(np.int64),
+        })
+        out = (rolling_stats(spark.createDataFrame(pdf), "n_events",
+                             n_rows=7).toPandas()
+               .sort_values(["conv_id", "bucket"]).reset_index(drop=True))
+        for _, g in out.groupby("conv_id"):
+            s = pd.Series(g["n_events"].to_numpy())
+            roll = s.rolling(7, min_periods=1)
+            np.testing.assert_array_equal(g["roll_n"], roll.count())
+            np.testing.assert_array_equal(g["roll_sum"], roll.sum())
+            np.testing.assert_allclose(g["roll_avg"], roll.mean(), rtol=1e-12)
+            np.testing.assert_array_equal(g["roll_min"], roll.min())
+            np.testing.assert_array_equal(g["roll_max"], roll.max())
+            v = roll.var(ddof=1)  # NaN at n==1 == engine NULL
+            np.testing.assert_allclose(
+                g["roll_var"].to_numpy(dtype=float), v, rtol=1e-9, equal_nan=True)
+
+    def test_bad_n_raises(self, spark):
+        df = spark.range(1)
+        with pytest.raises(ValueError, match="n_rows"):
+            rolling_stats(df, "id", n_rows=0)
+
+
+def _lttb_straightline(y, m):
+    """Independent scalar LTTB (shares no code with the kernel): same
+    pinned semantics — float bucket bounds, next-bucket centroid via
+    np.mean on the contiguous slice, first-max tie rule."""
+    y = np.asarray(y, dtype=np.float64)
+    n = len(y)
+    if n <= m:
+        return list(range(n))
+    out = [0]
+    a = 0
+    every = (n - 2) / (m - 2)
+    for k in range(m - 2):
+        lo = 1 + int(np.floor(k * every))
+        hi = 1 + int(np.floor((k + 1) * every)) if k + 1 < m - 2 else n - 1
+        if k + 1 < m - 2:
+            nlo = 1 + int(np.floor((k + 1) * every))
+            nhi = 1 + int(np.floor((k + 2) * every)) if k + 2 < m - 2 else n - 1
+        else:
+            nlo, nhi = n - 1, n
+        cx = float(np.mean(np.arange(nlo, nhi, dtype=np.float64)))
+        cy = float(np.mean(y[nlo:nhi]))
+        best, best_area = lo, -1.0
+        for i in range(lo, hi):
+            area = abs((a - cx) * (y[i] - y[a]) - (a - i) * (cy - y[a]))
+            if area > best_area:
+                best, best_area = i, area
+        out.append(best)
+        a = best
+    out.append(n - 1)
+    return out
+
+
+class TestLTTB:
+    def test_matches_straightline_oracle(self):
+        rng = np.random.default_rng(5)
+        for n, m in [(100, 10), (1000, 48), (57, 9), (10, 3), (500, 499)]:
+            y = rng.normal(size=n).cumsum()
+            np.testing.assert_array_equal(
+                lttb_indices(y, m), _lttb_straightline(y, m))
+
+    def test_short_series_pass_through(self):
+        y = np.arange(5.0)
+        idx, vals = lttb(y, 8)
+        np.testing.assert_array_equal(idx, np.arange(5))
+        np.testing.assert_array_equal(vals, y)
+
+    def test_endpoints_and_spike_survive(self):
+        y = np.zeros(500)
+        y[237] = 100.0  # an extreme a bucket-average would smooth away
+        idx = lttb_indices(y, 20)
+        assert idx[0] == 0 and idx[-1] == 499
+        assert 237 in idx
+        assert len(idx) == 20 and np.all(np.diff(idx) > 0)
+
+    def test_m_too_small_raises(self):
+        with pytest.raises(ValueError, match="m must be"):
+            lttb_indices(np.arange(10.0), 2)
+
+    def test_spark_operator_matches_kernel(self, spark):
+        rng = np.random.default_rng(9)
+        rows = []
+        for cid in range(6):
+            n = int(rng.integers(20, 300))
+            ev_ts = (pd.Timestamp("2025-03-01")
+                     + pd.to_timedelta(np.arange(n), unit="h"))
+            vals = rng.normal(size=n).cumsum()
+            rows.append(pd.DataFrame(
+                {"conv_id": str(cid), "bucket": ev_ts, "turn_rate": vals}))
+        tier = spark.createDataFrame(pd.concat(rows, ignore_index=True))
+        series = assemble_series(tier, "turn_rate", step_s=3600)
+        out = (lttb_downsample(series, m=16).toPandas()
+               .sort_values(["conv_id", "sel_idx"]).reset_index(drop=True))
+        for cid, pdf in pd.concat(rows, ignore_index=True).groupby("conv_id"):
+            y = pdf["turn_rate"].to_numpy()
+            idx, vals = lttb(y, 16)
+            g = out[out["conv_id"] == cid]
+            np.testing.assert_array_equal(g["sel_idx"].to_numpy(), idx)
+            np.testing.assert_array_equal(g["value"].to_numpy(), vals)
+            np.testing.assert_array_equal(
+                g["bucket"].to_numpy(),
+                pdf["bucket"].to_numpy()[idx])
