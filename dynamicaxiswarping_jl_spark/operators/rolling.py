@@ -54,7 +54,12 @@ def rolling_stats(tier_df: DataFrame, value_col: str = "n_events",
     v = F.col(value_col)
     n = F.count(v).over(w)
     s = F.sum(v).over(w)
-    ss = F.sum(v * v).over(w)
+    # pre-project v*v so every agg references a plain column — Catalyst
+    # then fuses all six into ONE Window node (an inline v*v forces an
+    # intermediate projection and a second window pass over the sort)
+    sq = "__" + prefix + "sq"
+    tier_df = tier_df.withColumn(sq, v * v)
+    ss = F.sum(F.col(sq)).over(w)
     out = (tier_df
            .withColumn(prefix + "n", n)
            .withColumn(prefix + "sum", s)
@@ -67,4 +72,4 @@ def rolling_stats(tier_df: DataFrame, value_col: str = "n_events",
                       (ss.cast("double")
                        - s.cast("double") * s.cast("double") / n)
                       / (n - F.lit(1)))))
-    return out
+    return out.drop(sq)
