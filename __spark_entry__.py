@@ -37,7 +37,7 @@ from dynamicaxiswarping_jl_spark.operators.multimodal import (
     encode_png, encode_wav, frame_sample, resize_images)
 from dynamicaxiswarping_jl_spark.operators import sessionize_events
 from dynamicaxiswarping_jl_spark.operators import (
-    asof_join, rolling_stats, lttb_downsample)
+    asof_join, rolling_stats, lttb_downsample, ewma_smooth)
 from dynamicaxiswarping_jl_spark.sources import transcripts_df
 
 
@@ -876,6 +876,18 @@ def q_lttb_downsample(spark, sf_dir):
                     _r("value", 4).alias("value")))
 
 
+def q_ewma_1h(spark, sf_dir):
+    """EWMA smoothing (alpha=0.25 — exact in binary, so the recurrence
+    is bitwise reproducible) of the gap-filled hourly series
+    (operators/downsample.py:ewma_smooth; golden re-derives the same
+    left-to-right recurrence scalar-wise)."""
+    series = _series_from_events(spark, sf_dir)
+    return (ewma_smooth(series, alpha=0.25)
+            .select("conv_id", "idx", "bucket",
+                    _r("raw", 4).alias("raw"),
+                    _r("smoothed", 4).alias("smoothed")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m": q_rollup_1m,
@@ -935,6 +947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": q_simhash_neardup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "lttb_downsample": q_lttb_downsample,
+        "ewma_1h": q_ewma_1h,
     }
 
 
@@ -1336,5 +1349,5 @@ def oracle_sql() -> dict[str, str]:
                "media_image_features", "media_audio_features",
                "media_frame_features", "media_resized_features",
                "media_jpeg_features", "media_video_features",
-               "lttb_downsample")},
+               "lttb_downsample", "ewma_1h")},
     }

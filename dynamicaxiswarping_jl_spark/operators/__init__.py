@@ -21,7 +21,7 @@ from .multimodal import audio_features, decode_bmp, encode_bmp, decode_wav, \
 from .sessionize import sessionize_events
 from .asof import asof_join
 from .rolling import rolling_stats
-from .downsample import lttb_downsample
+from .downsample import lttb_downsample, ewma_smooth
 
 __all__ = [
     "rollup_turns", "cascade", "assemble_series", "TIERS", "gapfill",
@@ -40,5 +40,5 @@ __all__ = [
     "attach_media_metadata", "image_features", "frame_sample", "MEDIA_SCHEMA",
     "audio_features", "decode_bmp", "encode_bmp", "decode_wav", "encode_wav",
     "sessionize_events",
-    "asof_join", "rolling_stats", "lttb_downsample",
+    "asof_join", "rolling_stats", "lttb_downsample", "ewma_smooth",
 ]

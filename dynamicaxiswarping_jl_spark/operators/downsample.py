@@ -1,4 +1,4 @@
-"""Tier-series downsampling operators (LTTB).
+"""Tier-series downsampling & smoothing operators (LTTB, EWMA).
 
 Engine-added: the north-star cascade downsamples by time-bucket
 averaging (``rollup.cascade``) and the reference by resolution halving
@@ -27,7 +27,7 @@ from pyspark.sql import types as T
 
 from .dtw_ops import _spread
 
-__all__ = ["lttb_downsample"]
+__all__ = ["lttb_downsample", "ewma_smooth"]
 
 
 def lttb_downsample(series: DataFrame, m: int, key: str = "conv_id") -> DataFrame:
@@ -63,6 +63,48 @@ def lttb_downsample(series: DataFrame, m: int, key: str = "conv_id") -> DataFram
                     "sel_idx": idx.astype(np.int32),
                     "bucket": t0 + idx * step,
                     "value": y[idx],
+                }))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return _spread(series.select(key, "t0", "step_s", "points")).mapInPandas(run, schema)
+
+
+def ewma_smooth(series: DataFrame, alpha: float, key: str = "conv_id") -> DataFrame:
+    """Exponentially weighted moving average of each assembled series
+    (``kernels/smoothing.py`` — recurrence order is the pinned
+    contract). Output one row per point: ``(key, idx — 0-based position,
+    bucket — t0 + idx*step_s, raw, smoothed)``.
+
+    Same grouped-kernel shape as ``lttb_downsample``: point data stays
+    JVM-side until the Arrow batch, O(n) per series, no shuffle beyond
+    the caller's series assembly. The per-point Python recurrence costs
+    ~0.1 µs — a month-long 1m-tier segment (43k points) is ~4 ms, far
+    under the task floor; series are bounded by ``assemble_series``'s
+    ``window=`` argument, never by turn volume.
+    """
+    schema = T.StructType([
+        T.StructField(key, T.StringType()),
+        T.StructField("idx", T.IntegerType()),
+        T.StructField("bucket", T.TimestampType()),
+        T.StructField("raw", T.DoubleType()),
+        T.StructField("smoothed", T.DoubleType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernels.smoothing import ewma
+
+        for pdf in batches:
+            frames = []
+            for row in pdf.itertuples(index=False):
+                y = np.ascontiguousarray(row.points, dtype=np.float64)
+                s = ewma(y, alpha)
+                t0 = pd.Timestamp(row.t0)
+                step = pd.to_timedelta(int(row.step_s), unit="s")
+                idx = np.arange(len(y), dtype=np.int32)
+                frames.append(pd.DataFrame({
+                    key: getattr(row, key), "idx": idx,
+                    "bucket": t0 + idx * step, "raw": y, "smoothed": s,
                 }))
             if frames:
                 yield pd.concat(frames, ignore_index=True)

@@ -1047,8 +1047,40 @@ def g_lttb_downsample(sf_dir, m: int = 32):
                           ("value", pa.float64())])
 
 
+def g_ewma_1h(sf_dir, alpha: float = 0.25):
+    """Scalar EWMA re-derivation over the gap-filled hourly series —
+    the same left-to-right recurrence the engine kernel pins
+    (s[0]=y[0]; s[t]=alpha*y[t]+(1-alpha)*s[t-1]); alpha=0.25 is exact
+    in binary so both sides produce bitwise-identical doubles."""
+    ev = _events_conv(sf_dir)
+    df = ev.assign(bucket=ev["ts"].dt.floor("h"))
+    cnt = (df.groupby(["conv_id", "bucket"]).size().rename("n")
+           .reset_index())
+    recs = []
+    beta = 1.0 - alpha
+    for cid in sorted(cnt["conv_id"].unique(), key=int):
+        sub = cnt[cnt["conv_id"] == cid]
+        idx = pd.date_range(sub["bucket"].min(), sub["bucket"].max(),
+                            freq="h")
+        y = (sub.set_index("bucket")["n"].reindex(idx, fill_value=0)
+             .to_numpy(dtype=np.float64)) * 60.0 / 3600
+        s = y[0] if len(y) else 0.0
+        for i in range(len(y)):
+            if i:
+                s = alpha * y[i] + beta * s
+            recs.append((str(cid), int(i), idx[i].to_pydatetime(),
+                         float(_r(y[i])), float(_r(s))))
+    out = pd.DataFrame(recs, columns=["conv_id", "idx", "bucket",
+                                      "raw", "smoothed"])
+    return out, pa.schema([("conv_id", pa.string()), ("idx", pa.int32()),
+                           ("bucket", pa.timestamp("us")),
+                           ("raw", pa.float64()),
+                           ("smoothed", pa.float64())])
+
+
 GOLDENS = {
     "lttb_downsample": g_lttb_downsample,
+    "ewma_1h": g_ewma_1h,
     "media_image_features": g_media_image_features,
     "media_audio_features": g_media_audio_features,
     "media_frame_features": g_media_frame_features,

@@ -7,8 +7,10 @@ import pytest
 from pyspark.sql import functions as F
 
 from dynamicaxiswarping_jl_spark.kernels.lttb import lttb_indices, lttb
+from dynamicaxiswarping_jl_spark.kernels.smoothing import ewma
 from dynamicaxiswarping_jl_spark.operators import (
-    asof_join, rolling_stats, lttb_downsample, assemble_series)
+    asof_join, rolling_stats, lttb_downsample, ewma_smooth,
+    assemble_series)
 
 
 def _mk_asof_frames(spark, seed=7, n_keys=4, n_left=60, n_right=25):
@@ -189,6 +191,45 @@ class TestLTTB:
     def test_m_too_small_raises(self):
         with pytest.raises(ValueError, match="m must be"):
             lttb_indices(np.arange(10.0), 2)
+
+    def test_ewma_matches_pandas_and_scalar(self):
+        rng = np.random.default_rng(21)
+        y = rng.normal(size=200).cumsum()
+        got = ewma(y, 0.3)
+        exp = pd.Series(y).ewm(alpha=0.3, adjust=False).mean().to_numpy()
+        np.testing.assert_allclose(got, exp, rtol=1e-12)
+        s = y[0]
+        for t in range(1, len(y)):  # scalar recurrence, pinned order
+            s = 0.3 * y[t] + 0.7 * s
+        assert got[-1] == s
+
+    def test_ewma_alpha_one_identity_and_bad_alpha(self):
+        y = np.arange(5.0)
+        np.testing.assert_array_equal(ewma(y, 1.0), y)
+        with pytest.raises(ValueError, match="alpha"):
+            ewma(y, 0.0)
+
+    def test_ewma_spark_operator_matches_kernel(self, spark):
+        rng = np.random.default_rng(23)
+        rows = []
+        for cid in range(4):
+            n = int(rng.integers(10, 80))
+            ts = (pd.Timestamp("2025-04-01")
+                  + pd.to_timedelta(np.arange(n), unit="h"))
+            rows.append(pd.DataFrame(
+                {"conv_id": str(cid), "bucket": ts,
+                 "turn_rate": rng.normal(size=n).cumsum()}))
+        pdf = pd.concat(rows, ignore_index=True)
+        series = assemble_series(spark.createDataFrame(pdf), "turn_rate",
+                                 step_s=3600)
+        out = (ewma_smooth(series, alpha=0.25).toPandas()
+               .sort_values(["conv_id", "idx"]).reset_index(drop=True))
+        for cid, g in pdf.groupby("conv_id"):
+            y = g["turn_rate"].to_numpy()
+            got = out[out["conv_id"] == cid]
+            np.testing.assert_array_equal(got["raw"].to_numpy(), y)
+            np.testing.assert_array_equal(got["smoothed"].to_numpy(),
+                                          ewma(y, 0.25))
 
     def test_spark_operator_matches_kernel(self, spark):
         rng = np.random.default_rng(9)
