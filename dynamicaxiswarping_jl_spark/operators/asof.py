@@ -73,6 +73,11 @@ def asof_join(left: DataFrame, right: DataFrame, key,
                          " — rename before joining")
     if matched_ts_col in left.columns:
         raise ValueError(f"matched_ts_col {matched_ts_col!r} already in left")
+    reserved = {"_asof_t", "_asof_tag"}
+    taken = reserved & (set(left.columns) | set(right.columns))
+    if taken:
+        raise ValueError(f"columns {sorted(taken)} are reserved by asof_join"
+                         " — rename before joining")
 
     lcols = [c for c in left.columns if c not in keys and c != left_ts]
     l_schema = {f.name: f.dataType for f in left.schema.fields}

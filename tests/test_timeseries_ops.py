@@ -93,6 +93,9 @@ class TestAsofJoin:
         l, r, _, _ = _mk_asof_frames(spark)
         with pytest.raises(ValueError, match="collide"):
             asof_join(l, r.withColumnRenamed("rval", "lval"), "k", "ts", "bucket")
+        with pytest.raises(ValueError, match="reserved"):
+            asof_join(l.withColumnRenamed("lval", "_asof_tag"), r,
+                      "k", "ts", "bucket")
 
     def test_plan_single_shuffle_no_nested_loop(self, spark):
         l, r, _, _ = _mk_asof_frames(spark)
