@@ -38,6 +38,7 @@ from dynamicaxiswarping_jl_spark.operators.multimodal import (
 from dynamicaxiswarping_jl_spark.operators import sessionize_events
 from dynamicaxiswarping_jl_spark.operators import (
     asof_join, rolling_stats, lttb_downsample, ewma_smooth)
+from dynamicaxiswarping_jl_spark.operators import quantile_rollup
 from dynamicaxiswarping_jl_spark.sources import transcripts_df
 
 
@@ -876,6 +877,18 @@ def q_lttb_downsample(spark, sf_dir):
                     _r("value", 4).alias("value")))
 
 
+def q_quantiles_1h(spark, sf_dir):
+    """Per-hour EXACT p50/p95 of the per-minute event counts — the
+    percentile continuous-aggregate view (operators/rollup.py:
+    quantile_rollup; Spark `percentile` and DuckDB `quantile_cont`
+    share the p*(n-1) linear-interpolation definition)."""
+    t1m = _events_1m(spark, sf_dir)
+    out = quantile_rollup(t1m, "1h", (0.5, 0.95),
+                          value_col="n_events", key="user_id")
+    return out.select("user_id", "bucket",
+                      _r("q50", 4).alias("q50"), _r("q95", 4).alias("q95"))
+
+
 def q_ewma_1h(spark, sf_dir):
     """EWMA smoothing (alpha=0.25 — exact in binary, so the recurrence
     is bitwise reproducible) of the gap-filled hourly series
@@ -914,6 +927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_dupes": q_fingerprint_dupes,
         "asof_tier": q_asof_tier,
         "rolling_1h": q_rolling_1h,
+        "quantiles_1h": q_quantiles_1h,
         # non-SQL-expressible (rows-only):
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
@@ -1306,6 +1320,16 @@ def oracle_sql() -> dict[str, str]:
                    b.bucket AS asof_bucket, b.busy_events
             FROM events e ASOF JOIN busy b
               ON e.user_id = b.user_id AND e.ts >= b.bucket
+        """,
+        "quantiles_1h": """
+            WITH t1m AS (
+              SELECT user_id, date_trunc('minute', ts) AS bucket,
+                     count(*) AS n_events
+              FROM events GROUP BY 1, 2)
+            SELECT user_id, date_trunc('hour', bucket) AS bucket,
+                   round(quantile_cont(n_events, 0.5), 4) AS q50,
+                   round(quantile_cont(n_events, 0.95), 4) AS q95
+            FROM t1m GROUP BY 1, 2
         """,
         # rolling stats: avg/var are computed from the EXACT integer
         # window sums with the same pinned expression as the engine

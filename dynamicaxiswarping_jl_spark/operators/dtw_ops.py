@@ -730,8 +730,17 @@ def _dtwnn_search_blocked(queries: DataFrame, series: DataFrame,
             return pd.DataFrame(columns=out_cols)
         return _combine_task_winners(recs, key, out_cols)
 
-    per_block = (ser_b.groupby("sb")
-                 .cogroup(qrep.groupby("sb"))
+    # explicit user repartition on the block key BEFORE the cogroup:
+    # both shuffles are byte-tiny (MBs of arrays) but carry ALL the DP
+    # CPU, so AQE's byte-based coalescing would otherwise fuse the
+    # FlatMapCoGroupsInPandas input to ONE task and serialize the whole
+    # search (the CLAUDE.md _spread trap — measured: 1024 queries x
+    # 1500 series ran 188 s at local[8] AND local[2], wall independent
+    # of cores, single (0+1)/1 stage). A user-specified
+    # repartition(S, sb) satisfies the cogroup's required distribution,
+    # adds no extra exchange, and AQE neither folds nor coalesces it.
+    per_block = (ser_b.repartition(S, "sb").groupby("sb")
+                 .cogroup(qrep.repartition(S, "sb").groupby("sb"))
                  .applyInPandas(lambda s, q: block_fn(
                      s.drop(columns=["sb"]), q.drop(columns=["sb"])),
                      schema))

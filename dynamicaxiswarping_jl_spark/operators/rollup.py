@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["TIERS", "rollup_turns", "cascade", "assemble_series",
-           "apply_retention", "refresh_tier"]
+           "apply_retention", "refresh_tier", "quantile_rollup"]
 
 # tier name -> (window duration literal, seconds)
 TIERS = {
@@ -111,6 +111,37 @@ def assemble_series(tier_df: DataFrame, value_col: str = "turn_rate",
             F.expr(f"transform(pairs, p -> CAST(p.{value_col} AS DOUBLE))").alias("points"),
         )
     )
+    return out
+
+
+def quantile_rollup(tier_df: DataFrame, to_tier: str, qs,
+                    value_col: str = "n_turns", key: str = "conv_id",
+                    prefix: str = "q") -> DataFrame:
+    """Coarser-tier EXACT interpolated quantiles of a finer tier's values
+    (e.g. per-hour p50/p95 of the per-minute turn counts) — the
+    percentile continuous-aggregate view.
+
+    Pure JVM ``percentile`` aggregate (linear interpolation at
+    ``p*(n-1)``, the same continuous-quantile definition DuckDB's
+    ``quantile_cont`` uses, so the oracle matches at full precision for
+    integer inputs). One shuffle; exactness costs holding one group's
+    values, which is bounded by the tier ratio (60 minute-rows per hour
+    bucket, 24 hour-rows per day bucket) — NOT by data volume, so the
+    exact form is 100 TB-safe here. For unbounded groups use
+    ``approx_percentile`` instead (mergeable sketch, partial-aggregable).
+
+    Output: ``(key, bucket, {prefix}50, {prefix}95, ...)`` one column
+    per requested quantile, named by ``round(q*100)``.
+    """
+    dur, _ = TIERS[to_tier]
+    qs = list(qs)
+    arr = "array({})".format(",".join(f"{float(q)!r}D" for q in qs))
+    agg = F.expr(f"percentile({value_col}, {arr})").alias("_qs")
+    out = (tier_df.groupBy(F.col(key), F.window("bucket", dur).alias("w"))
+           .agg(agg)
+           .select(key, F.col("w.start").alias("bucket"),
+                   *[F.col("_qs").getItem(i).alias(f"{prefix}{round(q*100)}")
+                     for i, q in enumerate(qs)]))
     return out
 
 

@@ -10,7 +10,7 @@ from dynamicaxiswarping_jl_spark.kernels.lttb import lttb_indices, lttb
 from dynamicaxiswarping_jl_spark.kernels.smoothing import ewma
 from dynamicaxiswarping_jl_spark.operators import (
     asof_join, rolling_stats, lttb_downsample, ewma_smooth,
-    assemble_series)
+    assemble_series, quantile_rollup)
 
 
 def _mk_asof_frames(spark, seed=7, n_keys=4, n_left=60, n_right=25):
@@ -135,6 +135,29 @@ class TestRollingStats:
         df = spark.range(1)
         with pytest.raises(ValueError, match="n_rows"):
             rolling_stats(df, "id", n_rows=0)
+
+
+class TestQuantileRollup:
+    def test_matches_numpy_linear_interpolation(self, spark):
+        rng = np.random.default_rng(31)
+        pdf = pd.DataFrame({
+            "conv_id": np.repeat([str(i) for i in range(4)], 120),
+            "bucket": np.tile(
+                pd.Timestamp("2025-01-01")
+                + pd.to_timedelta(np.arange(120), unit="min"), 4),
+            "n_turns": rng.integers(0, 30, 480).astype(np.int64),
+        })
+        out = (quantile_rollup(spark.createDataFrame(pdf), "1h",
+                               (0.5, 0.95)).toPandas()
+               .sort_values(["conv_id", "bucket"]).reset_index(drop=True))
+        assert len(out) == 8  # 4 convs x 2 hours
+        pdf["hour"] = pdf["bucket"].dt.floor("h")
+        for r in out.itertuples(index=False):
+            vals = pdf[(pdf["conv_id"] == r.conv_id)
+                       & (pdf["hour"] == r.bucket)]["n_turns"].to_numpy()
+            # np.percentile 'linear' is the same p*(n-1) interpolation
+            assert r.q50 == np.percentile(vals, 50)
+            assert r.q95 == np.percentile(vals, 95)
 
 
 def _lttb_straightline(y, m):
