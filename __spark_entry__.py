@@ -39,6 +39,7 @@ from dynamicaxiswarping_jl_spark.operators import sessionize_events
 from dynamicaxiswarping_jl_spark.operators import (
     asof_join, rolling_stats, lttb_downsample, ewma_smooth)
 from dynamicaxiswarping_jl_spark.operators import quantile_rollup
+from dynamicaxiswarping_jl_spark.operators.rolling import delta_rate
 from dynamicaxiswarping_jl_spark.sources import transcripts_df
 
 
@@ -889,6 +890,15 @@ def q_quantiles_1h(spark, sf_dir):
                       _r("q50", 4).alias("q50"), _r("q95", 4).alias("q95"))
 
 
+def q_rate_1h(spark, sf_dir):
+    """Bucket-over-bucket delta + per-second rate over the SPARSE hourly
+    tier (operators/rolling.py:delta_rate) — the rate divides by the
+    actual inter-bucket gap, exercised here on non-adjacent buckets;
+    first row per user is NULL like SQL lag."""
+    t1h = q_rollup_1h_cascade(spark, sf_dir)
+    return delta_rate(t1h, "n_events", key="user_id", bucket_col="bucket")
+
+
 def q_ewma_1h(spark, sf_dir):
     """EWMA smoothing (alpha=0.25 — exact in binary, so the recurrence
     is bitwise reproducible) of the gap-filled hourly series
@@ -928,6 +938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_tier": q_asof_tier,
         "rolling_1h": q_rolling_1h,
         "quantiles_1h": q_quantiles_1h,
+        "rate_1h": q_rate_1h,
         # non-SQL-expressible (rows-only):
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
@@ -1320,6 +1331,20 @@ def oracle_sql() -> dict[str, str]:
                    b.bucket AS asof_bucket, b.busy_events
             FROM events e ASOF JOIN busy b
               ON e.user_id = b.user_id AND e.ts >= b.bucket
+        """,
+        "rate_1h": """
+            WITH t1h AS (
+              SELECT user_id, date_trunc('hour', ts) AS bucket,
+                     count(*) AS n_events
+              FROM events GROUP BY 1, 2)
+            SELECT user_id, bucket, n_events,
+                   n_events - lag(n_events) OVER w AS delta,
+                   CAST(n_events - lag(n_events) OVER w AS DOUBLE)
+                     / (CAST(epoch(bucket) AS DOUBLE)
+                        - CAST(epoch(lag(bucket) OVER w) AS DOUBLE))
+                     AS rate
+            FROM t1h
+            WINDOW w AS (PARTITION BY user_id ORDER BY bucket)
         """,
         "quantiles_1h": """
             WITH t1m AS (

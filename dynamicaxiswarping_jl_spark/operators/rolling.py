@@ -32,7 +32,35 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["rolling_stats"]
+__all__ = ["rolling_stats", "delta_rate"]
+
+
+def delta_rate(tier_df: DataFrame, value_col: str = "n_events",
+               key: str = "conv_id", bucket_col: str = "bucket",
+               prefix: str = "") -> DataFrame:
+    """Per-key bucket-over-bucket ``delta`` and per-second ``rate`` —
+    the counter-series view (PromQL ``delta``/``rate`` over a tier).
+
+    Pure JVM ``lag`` window, one shuffle on the key. ``delta`` is
+    ``v - lag(v)``; ``rate`` divides by the actual inter-bucket gap in
+    seconds (``bucket - lag(bucket)``), so it stays correct on sparse
+    (non-gap-filled) tiers where buckets are not adjacent. First row
+    per key → NULLs (no predecessor), mirroring SQL ``lag`` semantics.
+    FP contract: integer inputs give an exact integer delta and a
+    single double division for the rate — bitwise identical to the
+    DuckDB window oracle.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    w = Window.partitionBy(*keys).orderBy(F.col(bucket_col).asc())
+    v = F.col(value_col)
+    dv = v - F.lag(v).over(w)
+    # TIMESTAMP_NTZ has no direct double cast; go through TIMESTAMP
+    # (no-op for tz-aware buckets, session-UTC epoch for NTZ ones)
+    ep = F.col(bucket_col).cast("timestamp").cast("double")
+    dt = ep - F.lag(ep).over(w)
+    return (tier_df
+            .withColumn(prefix + "delta", dv)
+            .withColumn(prefix + "rate", dv.cast("double") / dt))
 
 
 def rolling_stats(tier_df: DataFrame, value_col: str = "n_events",

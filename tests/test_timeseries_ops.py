@@ -11,6 +11,7 @@ from dynamicaxiswarping_jl_spark.kernels.smoothing import ewma
 from dynamicaxiswarping_jl_spark.operators import (
     asof_join, rolling_stats, lttb_downsample, ewma_smooth,
     assemble_series, quantile_rollup)
+from dynamicaxiswarping_jl_spark.operators.rolling import delta_rate
 
 
 def _mk_asof_frames(spark, seed=7, n_keys=4, n_left=60, n_right=25):
@@ -135,6 +136,24 @@ class TestRollingStats:
         df = spark.range(1)
         with pytest.raises(ValueError, match="n_rows"):
             rolling_stats(df, "id", n_rows=0)
+
+    def test_delta_rate_sparse_buckets(self, spark):
+        # non-adjacent buckets: rate must divide by the REAL gap
+        base = pd.Timestamp("2025-01-01")
+        pdf = pd.DataFrame({
+            "conv_id": ["a"] * 3 + ["b"] * 2,
+            "bucket": [base, base + pd.Timedelta(hours=1),
+                       base + pd.Timedelta(hours=4),
+                       base, base + pd.Timedelta(hours=2)],
+            "n_events": np.array([10, 16, 4, 5, 11], dtype=np.int64),
+        })
+        out = (delta_rate(spark.createDataFrame(pdf)).toPandas()
+               .sort_values(["conv_id", "bucket"]).reset_index(drop=True))
+        assert out["delta"].tolist()[1:3] == [6, -12]
+        assert np.isnan(out["delta"].iloc[0]) or out["delta"].isna().iloc[0]
+        assert out["rate"].iloc[1] == 6 / 3600
+        assert out["rate"].iloc[2] == -12 / (3 * 3600)
+        assert out["rate"].iloc[4] == 6 / (2 * 3600)
 
 
 class TestQuantileRollup:
