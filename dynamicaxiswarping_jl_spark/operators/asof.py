@@ -10,10 +10,11 @@ is stamping raw events with the most recent completed rollup-tier row.
 
 Spark-first plan — the union-marker form, ONE shuffle, no range join:
 
-    union(left tagged 1, right tagged 0)
-      → window last(payload, ignorenulls) over
+    union(left tagged 1, right tagged 0; right rows carry their
+          payload packed into ONE struct)
+      → window last(struct, ignorenulls) over
           (PARTITION BY key ORDER BY ts, tag ROWS UNBOUNDED PRECEDING..CURRENT)
-      → filter tag = 1
+      → filter tag = 1 → unpack struct
 
 A naive implementation joins on key with a ``right_ts <= left_ts``
 range predicate and argmaxes per left row — that's a near-cross-join
@@ -23,16 +24,22 @@ union-marker plan is a single hash shuffle on the key plus a per-key
 sort, O(|L|+|R|) — the shape that survives 100 TB. Equal timestamps:
 the tag orders right rows BEFORE left rows, so ``right_ts == left_ts``
 matches (both directions), mirroring DuckDB/pandas ``merge_asof``
-inclusive semantics.
+inclusive semantics. The payload travels as one struct so a right row
+whose payload CELL is legitimately NULL still wins intact (per-column
+``last(ignorenulls)`` would fall through that cell to an older row).
 
-Skew posture: one window sort per key. Keys here are conv/user ids —
-fine-grained by construction; a monster key is bounded by calendar span
-once the right side is a tier table (same argument as gap-fill,
-PLANS.md). If the LEFT side is the skewed one, pre-aggregate or salt by
-time block exactly as ``operators/sessionize.py`` does — the window's
-running ``last()`` only needs the block boundary carried over, which is
-the same two-phase trick; not wired here because no current caller has
-an unbounded hot key.
+Skew posture: the plain plan sorts one partition per key, and the LEFT
+side is NOT calendar-bounded — a hot key with 10⁹ events lands in one
+task. ``salt_block_s`` engages the two-phase time-block plan (the
+``operators/sessionize.py`` trick adapted to running-last): phase 1
+windows within (key, time-block) partitions; phase 2 computes one
+summary row per (key, block) — the block's last right row — cascades
+it with a tiny per-key window over blocks, and joins the carry-in back
+so blocks without a local predecessor still match. Result-identical
+(pinned by ``test_salted_matches_plain``); per-partition work is
+bounded by events per block instead of events per key. A burst hot key
+inside ONE block still concentrates — pick ``salt_block_s`` at the
+granularity that bounds it, exactly like sessionize's block parameter.
 
 Determinism: requires the right side unique per ``(key, right_ts)``
 (tier tables are, by construction). With duplicates the surviving row
@@ -48,10 +55,17 @@ from pyspark.sql import functions as F
 __all__ = ["asof_join"]
 
 
+def _epoch(col):
+    """Epoch seconds as double; TIMESTAMP_NTZ has no direct double cast
+    so route through TIMESTAMP (no-op for tz-aware, session-UTC for NTZ)."""
+    return col.cast("timestamp").cast("double")
+
+
 def asof_join(left: DataFrame, right: DataFrame, key,
               left_ts: str = "ts", right_ts: str = "bucket",
               direction: str = "backward", tolerance_s: float | None = None,
-              how: str = "inner", matched_ts_col: str = "asof_ts") -> DataFrame:
+              how: str = "inner", matched_ts_col: str = "asof_ts",
+              salt_block_s: float | None = None) -> DataFrame:
     """As-of join ``left`` to ``right`` per ``key``.
 
     Returns all left columns plus ``matched_ts_col`` (the matched right
@@ -60,6 +74,8 @@ def asof_join(left: DataFrame, right: DataFrame, key,
     semantics); ``how='left'`` keeps them with nulls (``ASOF LEFT
     JOIN``). ``tolerance_s`` voids matches farther than that many
     seconds from the left timestamp (then inner/left applies).
+    ``salt_block_s`` switches to the skew-safe two-phase plan (see
+    module docstring) — results are identical.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
@@ -73,7 +89,8 @@ def asof_join(left: DataFrame, right: DataFrame, key,
                          " — rename before joining")
     if matched_ts_col in left.columns:
         raise ValueError(f"matched_ts_col {matched_ts_col!r} already in left")
-    reserved = {"_asof_t", "_asof_tag"}
+    reserved = {"_asof_t", "_asof_srt", "_asof_tag", "_asof_val",
+                "_asof_blk", "_asof_bval", "_asof_cval", "_asof_lval"}
     taken = reserved & (set(left.columns) | set(right.columns))
     if taken:
         raise ValueError(f"columns {sorted(taken)} are reserved by asof_join"
@@ -81,44 +98,77 @@ def asof_join(left: DataFrame, right: DataFrame, key,
 
     lcols = [c for c in left.columns if c not in keys and c != left_ts]
     l_schema = {f.name: f.dataType for f in left.schema.fields}
-    r_schema = {f.name: f.dataType for f in right.schema.fields}
+    carried_cols = [matched_ts_col] + payload
 
+    # right payload packed into one struct (null on left rows): the
+    # whole matched row survives or none of it does
+    r_val = F.struct(F.col(right_ts).alias(matched_ts_col),
+                     *[F.col(c) for c in payload])
     tagged_l = left.select(
         *keys,
         F.col(left_ts).alias("_asof_t"),
         F.lit(1).alias("_asof_tag"),
         *[F.col(c) for c in lcols],
-        F.lit(None).cast(r_schema[right_ts]).alias(matched_ts_col),
-        *[F.lit(None).cast(r_schema[c]).alias(c) for c in payload],
+        F.lit(None).cast(
+            right.select(r_val.alias("_asof_val")).schema[0].dataType
+        ).alias("_asof_val"),
     )
     tagged_r = right.select(
         *keys,
         F.col(right_ts).cast(l_schema[left_ts]).alias("_asof_t"),
         F.lit(0).alias("_asof_tag"),
         *[F.lit(None).cast(l_schema[c]).alias(c) for c in lcols],
-        F.col(right_ts).alias(matched_ts_col),
-        *[F.col(c) for c in payload],
+        r_val.alias("_asof_val"),
     )
-    asc = direction == "backward"
-    order = [F.col("_asof_t").asc() if asc else F.col("_asof_t").desc(),
-             F.col("_asof_tag").asc()]
-    w = (Window.partitionBy(*keys).orderBy(*order)
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    carried = [F.last(c, ignorenulls=True).over(w).alias(c)
-               for c in [matched_ts_col] + payload]
-    out = (tagged_l.unionByName(tagged_r)
-           .select(*keys, "_asof_t", "_asof_tag",
-                   *[F.col(c) for c in lcols], *carried)
-           .filter(F.col("_asof_tag") == 1))
+    # a direction-folded sort key: ascending in it == match-priority
+    # order for BOTH directions, so the block/carry logic is one code path
+    srt = (_epoch(F.col("_asof_t")) if direction == "backward"
+           else -_epoch(F.col("_asof_t")))
+    union = (tagged_l.unionByName(tagged_r)
+             .withColumn("_asof_srt", srt))
+
+    if salt_block_s is None:
+        w = (Window.partitionBy(*keys)
+             .orderBy(F.col("_asof_srt").asc(), F.col("_asof_tag").asc())
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        out = union.withColumn("_asof_val",
+                               F.last("_asof_val", ignorenulls=True).over(w))
+    else:
+        B = float(salt_block_s)
+        union = union.withColumn(
+            "_asof_blk", F.floor(F.col("_asof_srt") / F.lit(B)).cast("long"))
+        # phase 1: running last within (key, block) — partition size is
+        # bounded by events per block, not events per key
+        w1 = (Window.partitionBy(*keys, "_asof_blk")
+              .orderBy(F.col("_asof_srt").asc(), F.col("_asof_tag").asc())
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        union = union.withColumn(
+            "_asof_lval", F.last("_asof_val", ignorenulls=True).over(w1))
+        # phase 2: one row per (key, block) — the block's final right
+        # row — cascaded across blocks (tiny window: rows per key ==
+        # number of blocks), then joined back as each block's carry-in
+        rs = (union.filter(F.col("_asof_tag") == 0)
+              .groupBy(*keys, "_asof_blk")
+              .agg(F.expr("max_by(_asof_val, _asof_srt)").alias("_asof_bval")))
+        blks = union.select(*keys, "_asof_blk").distinct()
+        wc = (Window.partitionBy(*keys).orderBy(F.col("_asof_blk").asc())
+              .rowsBetween(Window.unboundedPreceding, -1))
+        carry = (blks.join(rs, keys + ["_asof_blk"], "left")
+                 .withColumn("_asof_cval",
+                             F.last("_asof_bval", ignorenulls=True).over(wc))
+                 .select(*keys, "_asof_blk", "_asof_cval"))
+        out = (union.join(carry, keys + ["_asof_blk"], "left")
+               .withColumn("_asof_val",
+                           F.coalesce("_asof_lval", "_asof_cval")))
+
+    out = out.filter(F.col("_asof_tag") == 1)
     if tolerance_s is not None:
-        gap = F.abs(F.col("_asof_t").cast("double")
-                    - F.col(matched_ts_col).cast("double"))
-        keep = gap <= F.lit(float(tolerance_s))
-        out = out.select(
-            *keys, "_asof_t", *[F.col(c) for c in lcols],
-            *[F.when(keep, F.col(c)).alias(c)
-              for c in [matched_ts_col] + payload])
+        gap = F.abs(_epoch(F.col("_asof_t"))
+                    - _epoch(F.col("_asof_val")[matched_ts_col]))
+        out = out.withColumn(
+            "_asof_val",
+            F.when(gap <= F.lit(float(tolerance_s)), F.col("_asof_val")))
     if how == "inner":
-        out = out.filter(F.col(matched_ts_col).isNotNull())
+        out = out.filter(F.col("_asof_val").isNotNull())
     return out.select(*keys, F.col("_asof_t").alias(left_ts), *lcols,
-                      matched_ts_col, *payload)
+                      *[F.col("_asof_val")[c].alias(c) for c in carried_cols])

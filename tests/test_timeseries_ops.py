@@ -98,6 +98,49 @@ class TestAsofJoin:
             asof_join(l.withColumnRenamed("lval", "_asof_tag"), r,
                       "k", "ts", "bucket")
 
+    def test_salted_matches_plain(self, spark):
+        # random frames + a HOT key with many rows, both directions,
+        # with and without tolerance — the two-phase time-block plan
+        # must be row-identical to the plain single-window plan
+        l, r, lp, rp = _mk_asof_frames(spark, seed=41, n_keys=3,
+                                       n_left=120, n_right=40)
+        hot = pd.DataFrame({
+            "k": "hot",
+            "ts": pd.Timestamp("2025-01-01")
+            + pd.to_timedelta(np.arange(0, 40_000, 37), unit="s"),
+            "lval": 1.0,
+        })
+        l = l.unionByName(spark.createDataFrame(hot))
+        for direction in ("backward", "forward"):
+            for tol in (None, 900):
+                plain = asof_join(l, r, "k", "ts", "bucket",
+                                  direction=direction, tolerance_s=tol,
+                                  how="left").toPandas()
+                salted = asof_join(l, r, "k", "ts", "bucket",
+                                   direction=direction, tolerance_s=tol,
+                                   how="left",
+                                   salt_block_s=3600).toPandas()
+                cols = sorted(plain.columns)
+                pd.testing.assert_frame_equal(
+                    plain[cols].sort_values(cols).reset_index(drop=True),
+                    salted[cols].sort_values(cols).reset_index(drop=True))
+
+    def test_null_payload_cell_survives(self, spark):
+        # the matched right row's legitimately-NULL cell must NOT fall
+        # through to an older row (struct carry, not per-column last)
+        t0 = pd.Timestamp("2025-01-01")
+        l = spark.createDataFrame(pd.DataFrame(
+            {"k": ["a"], "ts": [t0 + pd.Timedelta(minutes=90)], "lval": [0.0]}))
+        rp = pd.DataFrame({
+            "k": ["a", "a"],
+            "bucket": [t0, t0 + pd.Timedelta(hours=1)],
+            "rval": [7.0, None],
+        })
+        r = spark.createDataFrame(rp)
+        row = asof_join(l, r, "k", "ts", "bucket").collect()[0]
+        assert row["asof_ts"] == (t0 + pd.Timedelta(hours=1)).to_pydatetime()
+        assert row["rval"] is None
+
     def test_plan_single_shuffle_no_nested_loop(self, spark):
         l, r, _, _ = _mk_asof_frames(spark)
         plan = (asof_join(l, r, "k", "ts", "bucket")
