@@ -794,7 +794,7 @@ def q_distance_profile(spark, sf_dir):
     qvec = [float(v) for v in first["points"][:24]]
     queries = spark.createDataFrame([("q0", qvec)],
                                     "query_id string, q array<double>")
-    return (distance_profile_op(queries, series, radius=5)
+    return (distance_profile_op(queries, series, radius=5, n_queries=1)
             .select("query_id", "conv_id", "loc",
                     _r("dist", 4).alias("dist")))
 
@@ -911,6 +911,101 @@ def q_ewma_1h(spark, sf_dir):
                     _r("smoothed", 4).alias("smoothed")))
 
 
+# ---- merged driver keys ---------------------------------------------------
+# The external driver gate runs at most 50 queries() entries per round
+# (CORRECTNESS_r04 recorded exactly the first 50 of 59 keys; r01-r03
+# recorded all 47 of 47). To keep EVERY operator inside the gate, queries
+# with identical (or unifiable) schemas are unioned under one key with a
+# literal tag column; each part keeps its original q_* function and its
+# original oracle derivation (DuckDB SQL or golden parquet), and the merged
+# oracle is the same UNION ALL on the oracle side — so nothing about the
+# per-part check weakens, it just rides in one driver row.
+
+
+def _union_tagged(parts: list[tuple[str, DataFrame]], tag: str) -> DataFrame:
+    out = None
+    for name, df in parts:
+        tagged = df.select(F.lit(name).alias(tag), "*")
+        out = tagged if out is None else out.unionByName(tagged)
+    return out
+
+
+def q_dtw_pair_variants(spark, sf_dir):
+    """softdtw + fastdtw + gdtw pairwise costs (identical schemas) in one
+    driver row; each part golden-parquet-oracled (scripts/make_goldens.py)."""
+    return _union_tagged([
+        ("softdtw", q_softdtw_pairs(spark, sf_dir)),
+        ("fastdtw", q_fastdtw_pairs(spark, sf_dir)),
+        ("gdtw", q_gdtw_pairs(spark, sf_dir)),
+    ], "method")
+
+
+def q_ann_topk(spark, sf_dir):
+    """sign-LSH + IVF approximate-NN top-k (identical schemas) in one
+    driver row; both parts golden-parquet-oracled."""
+    return _union_tagged([
+        ("lsh", q_lsh_ann_topk(spark, sf_dir)),
+        ("ivf", q_ivf_ann_topk(spark, sf_dir)),
+    ], "method")
+
+
+def q_embedding_neardup_all(spark, sf_dir):
+    """Embedding near-dup, exact small-corpus path + sign-LSH scale path in
+    one driver row; the exact part keeps its independent DuckDB oracle
+    (UNION'd with the lsh golden in oracle_sql)."""
+    return _union_tagged([
+        ("exact", q_embedding_neardup(spark, sf_dir)),
+        ("lsh", q_embedding_neardup_lsh(spark, sf_dir)),
+    ], "mode")
+
+
+def q_simhash_family(spark, sf_dir):
+    """SimHash signatures + pigeonhole near-dup pairs in one driver row,
+    unified to (part, id_a, id_b, v) — all integers, exact compare."""
+    sig = (q_simhash(spark, sf_dir)
+           .select(F.col("doc_id").alias("id_a"),
+                   F.col("doc_id").alias("id_b"),
+                   F.col("simhash").cast("long").alias("v")))
+    pair = (q_simhash_neardup(spark, sf_dir)
+            .select("id_a", "id_b", F.col("hamming").cast("long").alias("v")))
+    return _union_tagged([("sig", sig), ("pair", pair)], "part")
+
+
+def q_downsample_smooth(spark, sf_dir):
+    """LTTB downsample + EWMA smoothing in one driver row, unified to
+    (part, conv_id, idx, bucket, v1, v2); the LTTB part duplicates its
+    value into v2 so no column is null."""
+    lttb = (q_lttb_downsample(spark, sf_dir)
+            .select("conv_id", F.col("sel_idx").alias("idx"), "bucket",
+                    F.col("value").alias("v1"), F.col("value").alias("v2")))
+    ewma = (q_ewma_1h(spark, sf_dir)
+            .select("conv_id", "idx", "bucket",
+                    F.col("raw").alias("v1"), F.col("smoothed").alias("v2")))
+    return _union_tagged([("lttb", lttb), ("ewma", ewma)], "part")
+
+
+def q_media_still_features(spark, sf_dir):
+    """All four still-image feature paths (fake pseudo-decode, real
+    BMP/PNG decode, bilinear resize pipeline, lossy JPEG decode) in one
+    driver row; the fake part keeps its DuckDB-SQL oracle and the three
+    real-codec parts their independent integer goldens."""
+    return _union_tagged([
+        ("fake", q_media_features(spark, sf_dir)),
+        ("image", q_media_image_features(spark, sf_dir)),
+        ("resized", q_media_resized_features(spark, sf_dir)),
+        ("jpeg", q_media_jpeg_features(spark, sf_dir)),
+    ], "part")
+
+
+def q_media_motion_features(spark, sf_dir):
+    """Animated-GIF frame sampling + MJPEG-AVI video decode (identical
+    schemas) in one driver row; both parts golden-parquet-oracled."""
+    return _union_tagged([
+        ("gif", q_media_frame_features(spark, sf_dir)),
+        ("avi", q_media_video_features(spark, sf_dir)),
+    ], "part")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m": q_rollup_1m,
@@ -939,40 +1034,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_1h": q_rolling_1h,
         "quantiles_1h": q_quantiles_1h,
         "rate_1h": q_rate_1h,
-        # non-SQL-expressible (rows-only):
+        # golden-parquet-oracled (DTW/DBA/LSH family):
         "minhash_pairs": q_minhash_pairs,
-        "simhash": q_simhash,
         "drift_1h_1d": q_drift_1h_1d,
         "dtwnn_series": q_dtwnn_series,
         "knn_series": q_knn_series,
         "dba_reps": q_dba_reps,
         "gorilla_roundtrip": q_gorilla_roundtrip,
         "transcripts_rollup": q_transcripts_rollup,
-        "softdtw_pairs": q_softdtw_pairs,
-        "fastdtw_pairs": q_fastdtw_pairs,
         "matrix_profile": q_matrix_profile,
         "distance_profile": q_distance_profile,
         "align_delays": q_align_delays,
-        "lsh_ann_topk": q_lsh_ann_topk,
         "ngram_jaccard": q_ngram_jaccard,
-        "embedding_neardup": q_embedding_neardup,
-        "media_metadata": q_media_metadata,
-        "media_features": q_media_features,
-        "media_image_features": q_media_image_features,
-        "media_audio_features": q_media_audio_features,
-        "media_frame_features": q_media_frame_features,
-        "media_resized_features": q_media_resized_features,
-        "media_jpeg_features": q_media_jpeg_features,
-        "media_video_features": q_media_video_features,
-        "ivf_ann_topk": q_ivf_ann_topk,
-        "gdtw_pairs": q_gdtw_pairs,
-        "dbaclust_assign": q_dbaclust_assign,
         "top_customer_revenue": q_top_customer_revenue,
+        "dbaclust_assign": q_dbaclust_assign,
         "neardup_keep": q_neardup_keep,
-        "simhash_neardup": q_simhash_neardup,
-        "embedding_neardup_lsh": q_embedding_neardup_lsh,
-        "lttb_downsample": q_lttb_downsample,
-        "ewma_1h": q_ewma_1h,
+        # merged driver keys (see _union_tagged — the external gate caps
+        # at 50 queries; these keep every operator inside it):
+        "dtw_pair_variants": q_dtw_pair_variants,
+        "ann_topk": q_ann_topk,
+        "embedding_neardup": q_embedding_neardup_all,
+        "simhash_neardup": q_simhash_family,
+        "downsample_smooth": q_downsample_smooth,
+        "media_metadata": q_media_metadata,
+        "media_still_features": q_media_still_features,
+        "media_audio_features": q_media_audio_features,
+        "media_motion_features": q_media_motion_features,
     }
 
 
@@ -1278,13 +1365,18 @@ def oracle_sql() -> dict[str, str]:
             cnt AS (SELECT text, count(*) AS n FROM fp GROUP BY text)
             SELECT n, count(*) AS n_fingerprints FROM cnt GROUP BY n
         """,
-        "embedding_neardup": """
+        # merged key: exact part computed by DuckDB (independent oracle),
+        # lsh scale path from its golden parquet
+        "embedding_neardup": f"""
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                        FROM embeddings)
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            SELECT 'exact' AS mode, a.vec_id AS id_a, b.vec_id AS id_b,
                    round(list_cosine_similarity(a.v, b.v), 4) AS sim
             FROM e a JOIN e b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+            UNION ALL
+            SELECT 'lsh' AS mode, id_a, id_b, sim
+            FROM read_parquet('{_GOLDEN_DIR}/embedding_neardup_lsh.parquet')
         """,
         "media_metadata": """
             SELECT doc_id AS media_id,
@@ -1293,7 +1385,10 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'application/octet-stream' END AS mime_sniffed
             FROM documents
         """,
-        "media_features": """
+        # merged key: the fake pseudo-decode part computed by DuckDB
+        # (independent oracle), the three real-codec parts from their
+        # independent integer goldens
+        "media_still_features": f"""
             WITH d AS (SELECT doc_id AS media_id, sha256(text) AS hx
                        FROM documents),
             g AS (SELECT media_id, j % 3 AS ch,
@@ -1301,10 +1396,61 @@ def oracle_sql() -> dict[str, str]:
                    + (strpos('0123456789abcdef', substr(hx, 2*(j%32)+2, 1)) - 1)) / 255.0 AS v
                   FROM d, generate_series(0, 191) s(j)),
             agg AS (SELECT media_id, ch, avg(v) AS m, stddev_pop(v) AS s
-                    FROM g GROUP BY 1, 2)
-            SELECT media_id, ch AS feat_idx, round(m, 4) AS v FROM agg
+                    FROM g GROUP BY 1, 2),
+            fake AS (
+              SELECT media_id, ch AS feat_idx, round(m, 4) AS v FROM agg
+              UNION ALL
+              SELECT media_id, ch + 3 AS feat_idx, round(s, 4) AS v FROM agg)
+            SELECT 'fake' AS part, media_id, feat_idx, v FROM fake
             UNION ALL
-            SELECT media_id, ch + 3 AS feat_idx, round(s, 4) AS v FROM agg
+            SELECT 'image', media_id, feat_idx, v
+            FROM read_parquet('{_GOLDEN_DIR}/media_image_features.parquet')
+            UNION ALL
+            SELECT 'resized', media_id, feat_idx, v
+            FROM read_parquet('{_GOLDEN_DIR}/media_resized_features.parquet')
+            UNION ALL
+            SELECT 'jpeg', media_id, feat_idx, v
+            FROM read_parquet('{_GOLDEN_DIR}/media_jpeg_features.parquet')
+        """,
+        "media_motion_features": f"""
+            SELECT 'gif' AS part, media_id, frame_idx, t_ms, feat_idx, v
+            FROM read_parquet('{_GOLDEN_DIR}/media_frame_features.parquet')
+            UNION ALL
+            SELECT 'avi', media_id, frame_idx, t_ms, feat_idx, v
+            FROM read_parquet('{_GOLDEN_DIR}/media_video_features.parquet')
+        """,
+        "dtw_pair_variants": f"""
+            SELECT 'softdtw' AS method, id_a, id_b, cost
+            FROM read_parquet('{_GOLDEN_DIR}/softdtw_pairs.parquet')
+            UNION ALL
+            SELECT 'fastdtw', id_a, id_b, cost
+            FROM read_parquet('{_GOLDEN_DIR}/fastdtw_pairs.parquet')
+            UNION ALL
+            SELECT 'gdtw', id_a, id_b, cost
+            FROM read_parquet('{_GOLDEN_DIR}/gdtw_pairs.parquet')
+        """,
+        "ann_topk": f"""
+            SELECT 'lsh' AS method, query_id, vec_id, sim, rk
+            FROM read_parquet('{_GOLDEN_DIR}/lsh_ann_topk.parquet')
+            UNION ALL
+            SELECT 'ivf', query_id, vec_id, sim, rk
+            FROM read_parquet('{_GOLDEN_DIR}/ivf_ann_topk.parquet')
+        """,
+        "simhash_neardup": f"""
+            SELECT 'sig' AS part, doc_id AS id_a, doc_id AS id_b,
+                   simhash AS v
+            FROM read_parquet('{_GOLDEN_DIR}/simhash.parquet')
+            UNION ALL
+            SELECT 'pair', id_a, id_b, CAST(hamming AS BIGINT)
+            FROM read_parquet('{_GOLDEN_DIR}/simhash_neardup.parquet')
+        """,
+        "downsample_smooth": f"""
+            SELECT 'lttb' AS part, conv_id, sel_idx AS idx, bucket,
+                   value AS v1, value AS v2
+            FROM read_parquet('{_GOLDEN_DIR}/lttb_downsample.parquet')
+            UNION ALL
+            SELECT 'ewma', conv_id, idx, bucket, raw, smoothed
+            FROM read_parquet('{_GOLDEN_DIR}/ewma_1h.parquet')
         """,
         "top_customer_revenue": """
             WITH rev AS (
@@ -1389,14 +1535,8 @@ def oracle_sql() -> dict[str, str]:
         # pattern the reference uses (test/runtests.jl:491-575).
         **{name: f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/{name}.parquet')"
            for name in (
-               "drift_1h_1d", "dtwnn_series", "knn_series", "softdtw_pairs",
-               "fastdtw_pairs", "gdtw_pairs", "matrix_profile",
+               "drift_1h_1d", "dtwnn_series", "knn_series", "matrix_profile",
                "distance_profile", "align_delays", "dba_reps",
                "dbaclust_assign", "gorilla_roundtrip", "transcripts_rollup",
-               "minhash_pairs", "neardup_keep", "simhash", "simhash_neardup",
-               "embedding_neardup_lsh", "lsh_ann_topk", "ivf_ann_topk",
-               "media_image_features", "media_audio_features",
-               "media_frame_features", "media_resized_features",
-               "media_jpeg_features", "media_video_features",
-               "lttb_downsample", "ewma_1h")},
+               "minhash_pairs", "neardup_keep", "media_audio_features")},
     }

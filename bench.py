@@ -74,8 +74,10 @@ def run_headline(spark: SparkSession, sf_dir: str):
         # round-4 additions — timed and reported per-query, but excluded
         # from the suite-wall "value" so that number stays comparable
         # across rounds (see EXTRA below / main())
-        "asof_tier", "rolling_1h", "lttb_downsample",
-        "ewma_1h", "quantiles_1h", "rate_1h",
+        # (r05: lttb_downsample + ewma_1h merged into downsample_smooth —
+        # one driver key, same two part pipelines)
+        "asof_tier", "rolling_1h", "downsample_smooth",
+        "quantiles_1h", "rate_1h",
     ]
     # best-of-2 per query: this VM carries external load with 2-7× wall
     # spikes (CLAUDE.md); a single-shot sample records host noise as an
@@ -260,8 +262,8 @@ def main():
     # suite wall: the r03-comparable 15-query set (dtwnn_batch is the NN
     # throughput probe; the r04 query additions are reported per-query
     # and in value_with_r04_adds, not folded into the historic metric)
-    _extra = {"dtwnn_batch", "asof_tier", "rolling_1h", "lttb_downsample",
-              "ewma_1h", "quantiles_1h", "rate_1h"}
+    _extra = {"dtwnn_batch", "asof_tier", "rolling_1h", "downsample_smooth",
+              "quantiles_1h", "rate_1h"}
     out["value"] = round(sum(v for k, v in timings.items()
                              if k not in _extra), 3)
     out["value_with_r04_adds"] = round(sum(

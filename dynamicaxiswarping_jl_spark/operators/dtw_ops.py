@@ -374,36 +374,103 @@ def dtw_pairs(pairs: DataFrame, dist: str = "sqeuclidean",
     return _spread(pairs).mapInPandas(run, schema)
 
 
+def _profile_frames(sdf_rows, qlist, radius, dist, key):
+    """Shared per-task profile loop for both distance_profile_op paths —
+    one definition so closure and blocked plans are trivially identical
+    (the dtwnn _combine_task_winners precedent)."""
+    from ..kernels import distance_profile
+
+    frames = []
+    for row in sdf_rows:
+        y = np.asarray(row.points, dtype=np.float64)
+        for qid, q in qlist:
+            if len(y) < len(q):
+                continue
+            prof = distance_profile(q, y, dist, radius)
+            frames.append(pd.DataFrame({
+                "query_id": qid, key: getattr(row, key),
+                "loc": np.arange(1, len(prof) + 1, dtype=np.int32),
+                "dist": prof}))
+    return frames
+
+
+def _distance_profile_blocked(queries: DataFrame, series: DataFrame,
+                              radius: int, dist: str, key: str,
+                              partitions: Optional[int],
+                              schema: T.StructType) -> DataFrame:
+    """Large-query-set distance profile: the query set never rides the
+    driver (VERDICT r04 #2 — same shape as _dtwnn_search_blocked, minus
+    bsf/seeding, which a dense profile has no use for: every window's
+    distance is reported, nothing prunes globally). Series hash into S
+    blocks; queries replicate to every block through one shuffle; each
+    cogroup task emits its (series block x all queries) profile rows.
+    No reduce stage — (query, series) cells are disjoint across blocks."""
+    spark = series.sparkSession
+    S = int(partitions or spark.sparkContext.defaultParallelism * 2)
+    blocks = spark.range(S).select(F.col("id").cast("int").alias("sb"))
+    qrep = queries.select("query_id", "q").crossJoin(F.broadcast(blocks))
+    ser_b = (series.select(F.col(key), "points")
+             .withColumn("sb", F.pmod(F.xxhash64(key),
+                                      F.lit(S)).cast("int")))
+    out_cols = [f.name for f in schema.fields]
+
+    def block_fn(sdf: pd.DataFrame, qdf: pd.DataFrame) -> pd.DataFrame:
+        if sdf.empty or qdf.empty:
+            return pd.DataFrame(columns=out_cols)
+        qlist = [(r.query_id, np.asarray(r.q, dtype=np.float64))
+                 for r in qdf.itertuples(index=False)]
+        frames = _profile_frames(sdf.itertuples(index=False), qlist,
+                                 radius, dist, key)
+        if not frames:
+            return pd.DataFrame(columns=out_cols)
+        return pd.concat(frames, ignore_index=True)[out_cols]
+
+    # explicit repartition(S, sb) on BOTH cogroup inputs: the shuffles are
+    # byte-tiny but CPU-heavy, and AQE's byte-based coalescing would fuse
+    # the cogroup input to one task otherwise (the CLAUDE.md trap)
+    return (ser_b.repartition(S, "sb").groupby("sb")
+            .cogroup(qrep.repartition(S, "sb").groupby("sb"))
+            .applyInPandas(lambda s, q: block_fn(
+                s.drop(columns=["sb"]), q.drop(columns=["sb"])), schema))
+
+
 def distance_profile_op(queries: DataFrame, series: DataFrame,
                         radius: int = 5, dist: str = "sqeuclidean",
-                        key: str = "conv_id") -> DataFrame:
+                        key: str = "conv_id",
+                        partitions: Optional[int] = None,
+                        max_closure_queries: int = 512,
+                        n_queries: Optional[int] = None) -> DataFrame:
     """Dense DTW distance profile of each query against every window of
     each series (reference src/distance_interface.jl:103-110), exploded to
-    (query_id, key, loc, dist) rows — loc 1-based."""
-    qlist = [(r["query_id"], np.asarray(r["q"], dtype=np.float64))
-             for r in queries.select("query_id", "q").collect()]
+    (query_id, key, loc, dist) rows — loc 1-based.
+
+    Path selection mirrors dtwnn_search: small query sets (bounded by
+    ``n_queries`` hint, Catalyst maxRows, or a count) ship in the UDF
+    closure so each series crosses Arrow once; larger sets take the
+    blocked cogroup plan (queries stay distributed, series hash-blocked,
+    both cogroup inputs explicitly repartitioned past AQE coalescing)."""
     schema = T.StructType([
         T.StructField("query_id", T.StringType()),
         T.StructField(key, T.StringType()),
         T.StructField("loc", T.IntegerType()),
         T.StructField("dist", T.DoubleType()),
     ])
+    if n_queries is not None:
+        bound = int(n_queries)
+    else:
+        bound = _known_max_rows(queries)
+        if bound is None or bound > max_closure_queries:
+            bound = queries.count()
+    if bound > max_closure_queries:
+        return _distance_profile_blocked(queries, series, radius, dist,
+                                         key, partitions, schema)
+    qlist = [(r["query_id"], np.asarray(r["q"], dtype=np.float64))
+             for r in queries.select("query_id", "q").collect()]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..kernels import distance_profile
-
         for pdf in batches:
-            frames = []
-            for row in pdf.itertuples(index=False):
-                y = np.asarray(row.points, dtype=np.float64)
-                for qid, q in qlist:
-                    if len(y) < len(q):
-                        continue
-                    prof = distance_profile(q, y, dist, radius)
-                    frames.append(pd.DataFrame({
-                        "query_id": qid, key: getattr(row, key),
-                        "loc": np.arange(1, len(prof) + 1, dtype=np.int32),
-                        "dist": prof}))
+            frames = _profile_frames(pdf.itertuples(index=False), qlist,
+                                     radius, dist, key)
             if frames:
                 yield pd.concat(frames, ignore_index=True)
 

@@ -196,19 +196,35 @@ def ivf_cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
         T.StructType([T.StructField("_id", emb.schema["_id"].dataType),
                       T.StructField("centroid", T.IntegerType())]))
 
-    # query → its nprobe nearest centroid ids (queries are small: driver-side)
-    qrows = queries.select(qid_col, qvec_col).collect()
-    probe_rows = []
-    for r in qrows:
-        qv = np.asarray(r[qvec_col], dtype=np.float64)
-        qv = qv / max(np.linalg.norm(qv), 1e-12)
-        order = np.argsort(-(C @ qv))[:nprobe]
-        probe_rows += [(r[qid_col], int(c)) for c in order]
-    probes = spark.createDataFrame(
-        probe_rows,
-        T.StructType([T.StructField(qid_col,
-                                    queries.schema[qid_col].dataType),
-                      T.StructField("centroid", T.IntegerType())]))
+    # query → its nprobe nearest centroid ids, assigned DISTRIBUTED
+    # (VERDICT r04 #3): a mapInPandas over the query DataFrame with the
+    # broadcast centroid matrix — the same shape as the corpus assigner
+    # above — so a training-pipeline-sized query set (10⁶+) never
+    # serializes through a driver collect. Row-wise np.argsort with the
+    # default kind matches the previous per-query loop (and the golden
+    # mirror in scripts/make_goldens.py) permutation-for-permutation.
+    nprobe_eff = min(int(nprobe), n_centroids)
+    probe_schema = T.StructType([
+        T.StructField(qid_col, queries.schema[qid_col].dataType),
+        T.StructField("centroid", T.IntegerType()),
+    ])
+
+    def probe_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Cb = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf[qvec_col]])
+            Vn = V / np.maximum(
+                np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            order = np.argsort(-(Vn @ Cb.T), axis=1)[:, :nprobe_eff]
+            yield pd.DataFrame({
+                qid_col: np.repeat(pdf[qid_col].to_numpy(), nprobe_eff),
+                "centroid": order.reshape(-1).astype(np.int32)})
+
+    probes = (queries.select(qid_col, qvec_col)
+              .mapInPandas(probe_fn, probe_schema))
 
     # distinct(): candidate multiplicity must not compound with corpus
     # multiplicity in the id-keyed rerank join below — duplicate id_col

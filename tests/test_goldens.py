@@ -82,12 +82,16 @@ class TestSignatureParity:
 
 class TestGoldenFilesFresh:
     def test_golden_dir_complete(self):
+        # every parquet path any oracle SQL references (merged keys read
+        # several per-part goldens) must exist at sf0.01
+        import re
+
         import __spark_entry__ as E
-        gdir = os.path.join(os.path.dirname(__file__), "..", "golden",
-                            "sf0.01")
-        missing = [n for n, sql in E.oracle_sql().items()
-                   if "read_parquet" in sql and not os.path.exists(
-                       os.path.join(gdir, f"{n}.parquet"))]
+        missing = []
+        for n, sql in E.oracle_sql().items():
+            for path in re.findall(r"read_parquet\('([^']+)'\)", sql):
+                if not os.path.exists(path):
+                    missing.append((n, os.path.basename(path)))
         assert not missing, f"regenerate goldens: {missing}"
 
     def test_rounding_matches_entry(self):

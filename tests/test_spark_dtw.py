@@ -629,3 +629,52 @@ class TestMatrixProfileTiled:
         plan = df._jdf.queryExecution().executedPlan().toString()
         # short corpus keeps the shuffle-free single-pass plan
         assert "explode" not in plan.lower()
+
+
+class TestDistanceProfilePaths:
+    def test_blocked_matches_closure(self, spark, series):
+        """VERDICT r04 #2: past max_closure_queries the distance-profile
+        query set must never ride the driver. Force the blocked cogroup
+        path and assert every (query, series, loc, dist) row identical
+        to the closure plan — including queries longer than some series
+        (dropped on both paths)."""
+        from dynamicaxiswarping_jl_spark.operators import distance_profile_op
+        pdf = series.toPandas()
+        rng = np.random.default_rng(5)
+        qrows = []
+        for i in range(9):
+            src = pdf.points[int(rng.integers(0, len(pdf)))]
+            a = int(rng.integers(0, 25))
+            m = int(rng.integers(5, 14))
+            q = [float(v) + (0.1 if i % 3 == 0 else 0.0)
+                 for v in src[a:a + m]]
+            qrows.append((f"q{i}", q))
+        qrows.append(("qlong", [0.0] * 60))  # longer than every series
+        queries = spark.createDataFrame(qrows,
+                                        "query_id string, q array<double>")
+        cols = ["query_id", "conv_id", "loc", "dist"]
+        closure = (distance_profile_op(queries, series, radius=3)
+                   .select(*cols).toPandas().sort_values(cols[:3])
+                   .reset_index(drop=True))
+        blocked = (distance_profile_op(queries, series, radius=3,
+                                       max_closure_queries=0)
+                   .select(*cols).toPandas().sort_values(cols[:3])
+                   .reset_index(drop=True))
+        pd.testing.assert_frame_equal(closure, blocked)
+
+    def test_n_queries_hint_routes_without_probe(self, spark, series):
+        from dynamicaxiswarping_jl_spark.operators import distance_profile_op
+        pdf = series.toPandas()
+        q = [float(v) for v in pdf.points[0][:8]]
+        queries = spark.createDataFrame([("q0", q)],
+                                        "query_id string, q array<double>")
+        cols = ["query_id", "conv_id", "loc", "dist"]
+        via_closure = (distance_profile_op(queries, series, radius=3,
+                                           n_queries=1)
+                       .select(*cols).toPandas().sort_values(cols[:3])
+                       .reset_index(drop=True))
+        via_blocked = (distance_profile_op(queries, series, radius=3,
+                                           n_queries=10_000)
+                       .select(*cols).toPandas().sort_values(cols[:3])
+                       .reset_index(drop=True))
+        pd.testing.assert_frame_equal(via_closure, via_blocked)
