@@ -6,7 +6,8 @@ reference file:line it matches. All kernels are vectorized NumPy — inside
 Spark they run within pandas/Arrow UDFs (no per-row Python in hot paths).
 """
 
-from .distances import SqEuclidean, Euclidean, Cityblock, Chebyshev, get_dist
+from .distances import (SqEuclidean, Euclidean, Cityblock, Chebyshev,
+                        CustomDist, get_dist)
 from .dtw import (
     dtw,
     dtw_cost_matrix,
@@ -33,7 +34,8 @@ from .dtw import dtw_cost_batch, dtw_cost_batch_indexed
 from .evaluate import dtw_dist, DTW, SoftDTW, FastDTW, GDTW
 
 __all__ = [
-    "SqEuclidean", "Euclidean", "Cityblock", "Chebyshev", "get_dist",
+    "SqEuclidean", "Euclidean", "Cityblock", "Chebyshev", "CustomDist",
+    "get_dist",
     "dtw", "dtw_cost_matrix", "banded_dtw_cost_matrix", "trackback",
     "dtw_cost", "radiuslimits",
     "softmin", "soft_dtw_cost_matrix", "soft_dtw_cost",

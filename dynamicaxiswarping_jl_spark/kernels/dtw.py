@@ -147,7 +147,11 @@ def banded_dtw_cost_matrix(seq1, seq2, dist=None, i2min=None, i2max=None,
     D = np.full((m, n), _INF)
     top = int(i2max[0])
     widths = i2max - i2min + 1
-    if seq1.ndim == 1 and widths.max() <= 64:
+    # the scalar path's dv computation assumes the built-in family ((x-y)^2
+    # or |x-y| on scalars); custom metrics take the generic pairwise sweep
+    if (seq1.ndim == 1 and widths.max() <= 64
+            and d.name in ("sqeuclidean", "euclidean",
+                           "cityblock", "chebyshev")):
         # Narrow band: scalar DP over per-column band segments only — a
         # 1000-col band of width 21 is ~21k python float ops, far cheaper
         # than thousands of numpy dispatches. One numpy write per column
@@ -316,25 +320,26 @@ def _slice_profile(d, a, i: int, b, lo: int, hi: int) -> np.ndarray:
     a = np.asarray(a)
     b = np.asarray(b)
     if a.ndim == 1:
-        seg = b[lo:hi + 1] - a[i]
         nm = d.name
         if nm == "sqeuclidean":
+            seg = b[lo:hi + 1] - a[i]
             return seg * seg
         if nm in ("euclidean", "cityblock", "chebyshev"):
-            return np.abs(seg)
-        raise TypeError(f"unsupported dist {nm}")
+            return np.abs(b[lo:hi + 1] - a[i])
+        # custom metric: one pairwise call on (length-1 slice, segment)
+        return d.pairwise(a[i:i + 1], b[lo:hi + 1])[0]
     # multichannel: time last axis
-    diff = b[:, lo:hi + 1] - a[:, i][:, None]
     nm = d.name
+    if nm not in ("sqeuclidean", "euclidean", "cityblock", "chebyshev"):
+        return d.pairwise(a[:, i:i + 1], b[:, lo:hi + 1])[0]
+    diff = b[:, lo:hi + 1] - a[:, i][:, None]
     if nm == "sqeuclidean":
         return np.einsum("cj,cj->j", diff, diff)
     if nm == "euclidean":
         return np.sqrt(np.einsum("cj,cj->j", diff, diff))
     if nm == "cityblock":
         return np.abs(diff).sum(axis=0)
-    if nm == "chebyshev":
-        return np.abs(diff).max(axis=0)
-    raise TypeError(f"unsupported dist {nm}")
+    return np.abs(diff).max(axis=0)  # chebyshev
 
 
 def _dtw_cost_scalar(a: np.ndarray, b: np.ndarray, r: int,

@@ -236,6 +236,15 @@ def dtwnn(q, y, dist=None, rad: int = 5, normalizer: Optional[str] = None, *,
         # empty band's scratch out of bounds where the NumPy path raises
         raise ValueError(f"radius must be >= 0, got {rad}")
     d = get_dist(dist)
+    if d.name not in ("sqeuclidean", "euclidean", "cityblock", "chebyshev"):
+        # the LB cascade's _elem_dist and envelope bounds assume the
+        # built-in scalar family — a custom metric would silently get
+        # |x-y| bounds that may over-prune; reject loudly (the reference
+        # carries the matching validity caveat at src/dtwnn.jl:125).
+        # Custom metrics are supported in dtw/dtw_cost_matrix/dtw_cost/
+        # soft_dtw_cost/dtw_pairs (see distances.CustomDist).
+        raise ValueError(
+            f"dtwnn supports built-in metrics only, got {d.name!r}")
     # dtype=np.float32 runs the whole cascade in reduced precision
     # (reference README.md:148: "up to twice as fast"); default float64
     q = np.asarray(q, dtype=dtype)

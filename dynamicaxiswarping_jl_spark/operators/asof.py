@@ -61,6 +61,47 @@ def _epoch(col):
     return col.cast("timestamp").cast("double")
 
 
+def _tz_is_fixed_offset(tz: str) -> bool:
+    """True when the session timezone has one constant UTC offset (no
+    DST) — the condition under which NTZ→TIMESTAMP is order-preserving."""
+    t = str(tz).strip()
+    if t.upper() in ("UTC", "GMT", "Z") or t.startswith(("+", "-")):
+        return True
+    if t.upper().startswith(("UTC+", "UTC-", "GMT+", "GMT-")):
+        return True
+    try:
+        import datetime as _dt
+        from zoneinfo import ZoneInfo
+        z = ZoneInfo(t)
+        return len({z.utcoffset(_dt.datetime(y, m, 1))
+                    for y in (2021, 2022) for m in (1, 4, 7, 10)}) == 1
+    except Exception:
+        return False
+
+
+def assert_ntz_session_tz_safe(df: DataFrame, col_name: str, op: str):
+    """Guard the NTZ epoch route (ADVICE r04): casting TIMESTAMP_NTZ to
+    TIMESTAMP interprets the wall clock in the session timezone, so
+    ordering and gap arithmetic are only monotonic under a DST-free
+    zone. A DST-capable session tz silently mis-orders rows across the
+    fall-back hour — reject it loudly with the fix in the message."""
+    from pyspark.sql import types as T
+    try:
+        dt = df.schema[col_name].dataType
+    except Exception:
+        return
+    if not isinstance(dt, T.TimestampNTZType):
+        return
+    tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+    if not _tz_is_fixed_offset(tz):
+        raise ValueError(
+            f"{op}: column {col_name!r} is TIMESTAMP_NTZ and the session "
+            f"timezone {tz!r} has DST — the NTZ epoch route would not be "
+            "monotonic across the fall-back hour. Set "
+            "spark.sql.session.timeZone=UTC (or any fixed-offset zone), "
+            "or cast the column to TIMESTAMP yourself.")
+
+
 def asof_join(left: DataFrame, right: DataFrame, key,
               left_ts: str = "ts", right_ts: str = "bucket",
               direction: str = "backward", tolerance_s: float | None = None,
@@ -81,6 +122,8 @@ def asof_join(left: DataFrame, right: DataFrame, key,
         raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    assert_ntz_session_tz_safe(left, left_ts, "asof_join")
+    assert_ntz_session_tz_safe(right, right_ts, "asof_join")
     keys = [key] if isinstance(key, str) else list(key)
     payload = [c for c in right.columns if c not in keys and c != right_ts]
     clash = set(payload) & set(left.columns)

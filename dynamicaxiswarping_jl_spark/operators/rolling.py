@@ -50,12 +50,15 @@ def delta_rate(tier_df: DataFrame, value_col: str = "n_events",
     single double division for the rate — bitwise identical to the
     DuckDB window oracle.
     """
+    from .asof import assert_ntz_session_tz_safe
+    assert_ntz_session_tz_safe(tier_df, bucket_col, "delta_rate")
     keys = [key] if isinstance(key, str) else list(key)
     w = Window.partitionBy(*keys).orderBy(F.col(bucket_col).asc())
     v = F.col(value_col)
     dv = v - F.lag(v).over(w)
     # TIMESTAMP_NTZ has no direct double cast; go through TIMESTAMP
-    # (no-op for tz-aware buckets, session-UTC epoch for NTZ ones)
+    # (no-op for tz-aware buckets, session-UTC epoch for NTZ ones; a
+    # DST-capable session tz is rejected by the guard above)
     ep = F.col(bucket_col).cast("timestamp").cast("double")
     dt = ep - F.lag(ep).over(w)
     return (tier_df

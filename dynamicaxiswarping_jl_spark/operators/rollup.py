@@ -136,7 +136,11 @@ def quantile_rollup(tier_df: DataFrame, to_tier: str, qs,
     dur, _ = TIERS[to_tier]
     qs = list(qs)
     arr = "array({})".format(",".join(f"{float(q)!r}D" for q in qs))
-    agg = F.expr(f"percentile({value_col}, {arr})").alias("_qs")
+    # backtick-quote the interpolated identifier (ADVICE r04): a column
+    # name with spaces/dots/hyphens must parse, and embedded backticks
+    # escape by doubling per the SQL ident rules
+    qcol = "`" + str(value_col).replace("`", "``") + "`"
+    agg = F.expr(f"percentile({qcol}, {arr})").alias("_qs")
     out = (tier_df.groupBy(F.col(key), F.window("bucket", dur).alias("w"))
            .agg(agg)
            .select(key, F.col("w.start").alias("bucket"),

@@ -108,3 +108,127 @@ class TestStepwiseApi:
         data = prepare_gdtw(a, b, max_iters=1)
         costs = [iterative_gdtw(data, 1) for _ in range(4)]
         assert all(c2 <= c1 + 1e-12 for c1, c2 in zip(costs, costs[1:]))
+
+
+class TestGraphOracle:
+    """Alternative-implementation equivalence (reference
+    test/test_gdtw.jl:6-36 + test/gdtw_graph_implementation.jl:1-110,
+    SURVEY §5.4): the single-pass GDTW DP must equal generic shortest-path
+    algorithms run over the explicitly materialized doubled-vertex graph.
+    The reference uses LightGraphs' dijkstra/desopo-pape/bellman-ford; here
+    the same graph is built edge-by-edge and solved with two independent
+    pure-Python algorithms (heapq Dijkstra and Bellman-Ford over the
+    layered DAG) sharing no code with the kernel's vectorized DP."""
+
+    @staticmethod
+    def _build_graph(data):
+        """Edges ((k,s-1) -> (j,s), weight edge+node[j,s]) mirroring the
+        reference's node_weight/edge_weight split, node weight folded into
+        every incoming edge (the doubled-vertex trick collapsed)."""
+        from dynamicaxiswarping_jl_spark.kernels.gdtw import _initial_bounds
+        M = data["M"]
+        t, dt = data["t"], data["dt"]
+        N = len(t)
+        l, u = data["l"], data["u"]
+        j_frac = (np.arange(M) / (M - 1))[:, None]
+        tau = l[None, :] + j_frac * (u[None, :] - l[None, :])
+        x, y, metric = data["x"], data["y"], data["metric"]
+        symmetric = data["symmetric"]
+        lam_cum, lam_inst = data["lambda_cum"], data["lambda_inst"]
+        smin, smax = data["smin"], data["smax"]
+        yval = (2 * t[None, :] - tau if symmetric
+                else np.broadcast_to(t, tau.shape))
+        node = metric(x(tau), y(yval)) + lam_cum * (tau - t[None, :]) ** 2
+        node = node * np.concatenate((dt, [0.0]))[None, :]
+        node[:, -1] = 0.0
+        edges = {}  # (k, s-1, j, s) -> weight
+        # reference-faithful: ALL (k, s-1) -> (j, s) edges exist
+        # (gdtw_graph_implementation.jl make_graph); nodes (k != 0, s=0)
+        # are simply unreachable from the single source, so the DP's
+        # s==1 special case is REPRODUCED by the graph, not copied in
+        for s in range(1, N):
+            for k in range(M):
+                for j in range(M):
+                    dphi = (tau[j, s] - tau[k, s - 1]) / dt[s - 1]
+                    ok = smin <= dphi <= smax
+                    if symmetric:
+                        ok = ok and (smin <= 2 - dphi <= smax)
+                    if not ok:
+                        continue
+                    w = dt[s - 1] * lam_inst * (dphi - 1.0) ** 2
+                    edges[(k, s - 1, j, s)] = w + node[j, s]
+        return tau, node, edges, N, M
+
+    @staticmethod
+    def _dijkstra(node, edges, N, M):
+        import heapq
+        dist = {(0, 0): float(node[0, 0])}
+        prev = {}
+        pq = [(dist[(0, 0)], (0, 0))]
+        adj = {}
+        for (k, s0, j, s1), w in edges.items():
+            adj.setdefault((k, s0), []).append(((j, s1), w))
+        seen = set()
+        while pq:
+            d, v = heapq.heappop(pq)
+            if v in seen:
+                continue
+            seen.add(v)
+            for nv, w in adj.get(v, ()):
+                nd = d + w
+                if nd < dist.get(nv, float("inf")):
+                    dist[nv] = nd
+                    prev[nv] = v
+                    heapq.heappush(pq, (nd, nv))
+        return dist, prev
+
+    @staticmethod
+    def _bellman_ford(node, edges, N, M):
+        dist = {(0, 0): float(node[0, 0])}
+        prev = {}
+        elist = [((k, s0), (j, s1), w)
+                 for (k, s0, j, s1), w in edges.items()]
+        for _ in range(N):
+            changed = False
+            for src, dst, w in elist:
+                if src in dist and dist[src] + w < dist.get(
+                        dst, float("inf")):
+                    dist[dst] = dist[src] + w
+                    prev[dst] = src
+                    changed = True
+            if not changed:
+                break
+        return dist, prev
+
+    @pytest.mark.parametrize("symmetric", [True, False])
+    @pytest.mark.parametrize("metric_name", ["abs", "sq"])
+    def test_dp_equals_graph_shortest_path(self, symmetric, metric_name):
+        from dynamicaxiswarping_jl_spark.kernels.gdtw import (
+            prepare_gdtw, iterative_gdtw)
+        x, y, _ = make_signals()
+        metric = ((lambda a, b: np.abs(a - b)) if metric_name == "abs"
+                  else (lambda a, b: (a - b) ** 2))
+        M, N = 14, 18
+        data = prepare_gdtw(x, y, M=M, N=N, symmetric=symmetric,
+                            metric=metric)
+        cost = iterative_gdtw(data, max_iters=1)
+        warp = data["warp"].copy()
+        tau, node, edges, N_, M_ = self._build_graph(
+            prepare_gdtw(x, y, M=M, N=N, symmetric=symmetric,
+                         metric=metric))
+        for algo in (self._dijkstra, self._bellman_ford):
+            dist, prev = algo(node, edges, N_, M_)
+            sink = (M_ - 1, N_ - 1)
+            assert sink in dist, "graph infeasible but DP found a path"
+            assert dist[sink] == pytest.approx(cost, rel=1e-10), algo
+            # reconstruct the warp from the predecessor chain
+            gw = np.empty(N_)
+            v = sink
+            while True:
+                j, s = v
+                gw[s] = tau[j, s]
+                if v == (0, 0):
+                    break
+                v = prev[v]
+            gw[0] = tau[0, 0]
+            np.testing.assert_allclose(gw[1:], warp[1:], atol=1e-10)

@@ -342,3 +342,48 @@ class TestLTTB:
             np.testing.assert_array_equal(
                 g["bucket"].to_numpy(),
                 pdf["bucket"].to_numpy()[idx])
+
+
+class TestAdviceR04Fixes:
+    def test_quantile_rollup_quoted_identifier(self, spark):
+        """ADVICE r04: a value column needing backticks (spaces) must
+        parse and resolve — the percentile expr quotes the identifier."""
+        from dynamicaxiswarping_jl_spark.operators import quantile_rollup
+        rows = [("a", f"2024-01-01 00:{m:02d}:00", float(m)) for m in range(10)]
+        df = (spark.createDataFrame(rows, "conv_id string, b string, `n ev-ents` double")
+              .withColumn("bucket", F.col("b").cast("timestamp")).drop("b"))
+        out = quantile_rollup(df, "1h", (0.5,), value_col="n ev-ents",
+                              key="conv_id").collect()
+        assert len(out) == 1
+        assert out[0]["q50"] == 4.5  # interpolated median of 0..9
+
+    def test_ntz_dst_session_tz_rejected(self, spark):
+        """ADVICE r04: NTZ timestamps under a DST session timezone must
+        be rejected loudly by asof_join and delta_rate, and accepted
+        under UTC."""
+        from dynamicaxiswarping_jl_spark.operators import asof_join
+        from dynamicaxiswarping_jl_spark.operators.rolling import delta_rate
+        left = spark.createDataFrame(
+            [("a", "2024-01-01 00:00:00", 1)],
+            "k string, ts_s string, v int").select(
+            "k", F.col("ts_s").cast("timestamp_ntz").alias("ts"), "v")
+        right = spark.createDataFrame(
+            [("a", "2024-01-01 00:00:00", 7)],
+            "k string, ts_s string, busy int").select(
+            "k", F.col("ts_s").cast("timestamp_ntz").alias("bucket"), "busy")
+        old = spark.conf.get("spark.sql.session.timeZone")
+        try:
+            spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+            with pytest.raises(ValueError, match="DST"):
+                asof_join(left, right, "k", left_ts="ts",
+                          right_ts="bucket")
+            with pytest.raises(ValueError, match="DST"):
+                delta_rate(right, "busy", key="k", bucket_col="bucket")
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", old)
+        # UTC: NTZ is fine on both operators
+        got = asof_join(left, right, "k", left_ts="ts",
+                        right_ts="bucket").collect()
+        assert len(got) == 1 and got[0]["busy"] == 7
+        assert delta_rate(right, "busy", key="k",
+                          bucket_col="bucket").count() == 1
