@@ -1292,7 +1292,8 @@ class TestSessionizeEvents:
         df = spark.createDataFrame(rows, "user_id string, ts timestamp")
         from dynamicaxiswarping_jl_spark.operators import sessionize_events
         got = {r.user_id: (r.n_sessions, r.n_events)
-               for r in sessionize_events(df, gap_s=1800).collect()}
+               for r in sessionize_events(df, gap_s=1800,
+                                          plan="blocked").collect()}
         want = self._naive(rows, 1800)
         assert got == want
         # u1's boundary gap == gap_s stayed one session
@@ -1311,10 +1312,35 @@ class TestSessionizeEvents:
         df = spark.createDataFrame(
             [("u", base + dt.timedelta(minutes=i)) for i in range(10)],
             "user_id string, ts timestamp")
-        plan = (sessionize_events(df)._jdf.queryExecution()
+        plan = (sessionize_events(df, plan="blocked")._jdf.queryExecution()
                 .executedPlan().toString())
         assert "_blk" in plan  # block salt present in the window spec
         # the per-event window runs under hashpartitioning(key, _blk)
         assert any("user_id" in ln and "_blk" in ln
                    and "hashpartitioning" in ln
                    for ln in plan.splitlines())
+        # a hot-key hint above the threshold routes auto to the same
+        # blocked shape without any probe job
+        plan_auto = (sessionize_events(df, max_rows_per_key=10**7)
+                     ._jdf.queryExecution().executedPlan().toString())
+        assert "_blk" in plan_auto
+
+    def test_auto_plan_picks_single_when_no_hot_key(self, spark):
+        """VERDICT r04 #7: the common no-hot-key workload gets the
+        one-window plan (no _blk salt) — via the hint and via the
+        memoized probe — and both plans agree with the naive oracle."""
+        import datetime as dt
+        from dynamicaxiswarping_jl_spark.operators import sessionize_events
+        base = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+        rows = [("u%d" % (i % 3), base + dt.timedelta(minutes=7 * i))
+                for i in range(60)]
+        df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+        for kw in ({"max_rows_per_key": 100}, {}):
+            p = (sessionize_events(df, **kw)._jdf.queryExecution()
+                 .executedPlan().toString())
+            assert "_blk" not in p, kw
+        a = {r.user_id: (r.n_sessions, r.n_events)
+             for r in sessionize_events(df).collect()}
+        b = {r.user_id: (r.n_sessions, r.n_events)
+             for r in sessionize_events(df, plan="blocked").collect()}
+        assert a == b == self._naive(rows, 1800)
