@@ -73,6 +73,10 @@ def main(argv=None) -> int:
                    help="also run the closure path and assert equal "
                         "results (feasible only for moderate sizes; "
                         "0 = skip)")
+    p.add_argument("--op", choices=("nn", "profile"), default="nn",
+                   help="nn = dtwnn_search; profile = distance_profile_op "
+                        "(VERDICT r04 #2 — dense output, so size the "
+                        "query/series counts accordingly)")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -87,7 +91,8 @@ def main(argv=None) -> int:
              .config("spark.sql.adaptive.enabled", "true")
              .getOrCreate())
 
-    from dynamicaxiswarping_jl_spark.operators.dtw_ops import dtwnn_search
+    from dynamicaxiswarping_jl_spark.operators.dtw_ops import (
+        distance_profile_op, dtwnn_search)
     from dynamicaxiswarping_jl_spark.plans import warm_python_workers
 
     warm_python_workers(spark)
@@ -96,13 +101,14 @@ def main(argv=None) -> int:
     series = series.localCheckpoint(eager=True)
     queries = queries.localCheckpoint(eager=True)
 
+    op = (dtwnn_search if args.op == "nn" else distance_profile_op)
     t0 = time.time()
-    out = dtwnn_search(queries, series, radius=args.radius)
+    out = op(queries, series, radius=args.radius)
     n_out = out.count()
     wall = time.time() - t0
 
     report = {
-        "job": "dtwnn_query_scale_probe",
+        "job": f"{args.op}_query_scale_probe",
         "n_queries": args.n_queries,
         "n_series": args.n_series,
         "series_len": args.series_len,
@@ -114,17 +120,18 @@ def main(argv=None) -> int:
     }
     if args.compare:
         sq = queries.limit(args.compare).localCheckpoint(eager=True)
-        a = (dtwnn_search(sq, series, radius=args.radius,
-                          max_closure_queries=0)
-             .select("query_id", "cost", "conv_id", "loc").toPandas()
-             .sort_values("query_id").reset_index(drop=True))
+        cols = (["query_id", "cost", "conv_id", "loc"] if args.op == "nn"
+                else ["query_id", "conv_id", "loc", "dist"])
+        a = (op(sq, series, radius=args.radius, max_closure_queries=0)
+             .select(*cols).toPandas()
+             .sort_values(cols[:3]).reset_index(drop=True))
         # pin frame b to the CLOSURE path explicitly: auto-routing would
         # silently take the blocked path too for --compare > 512 and the
         # parity check would compare the blocked path against itself
-        b = (dtwnn_search(sq, series, radius=args.radius,
-                          max_closure_queries=args.compare)
-             .select("query_id", "cost", "conv_id", "loc").toPandas()
-             .sort_values("query_id").reset_index(drop=True))
+        b = (op(sq, series, radius=args.radius,
+                max_closure_queries=args.compare)
+             .select(*cols).toPandas()
+             .sort_values(cols[:3]).reset_index(drop=True))
         import pandas as pd
         pd.testing.assert_frame_equal(a, b)
         report["compare_queries"] = args.compare
