@@ -166,7 +166,15 @@ class CustomDist(_Dist):
     def pairwise(self, s1, s2):
         s1 = np.asarray(s1, dtype=np.float64)
         s2 = np.asarray(s2, dtype=np.float64)
-        out = np.asarray(self._fn(s1, s2), dtype=np.float64)
+        # fresh C-contiguous copy, never a view of the callable's result:
+        # dtw_cost_matrix runs its DP IN PLACE on this array, so handing
+        # back user-owned memory (a memoized buffer, a broadcast view, a
+        # read-only array) would corrupt the user's cache or crash —
+        # built-in metrics always allocate, custom callables may not.
+        # C order also pins the reduction-association layout (CLAUDE.md
+        # memory-order note).
+        out = np.array(self._fn(s1, s2), dtype=np.float64, order="C",
+                       copy=True)
         want = (s1.shape[-1], s2.shape[-1])
         if out.shape != want:
             raise ValueError(

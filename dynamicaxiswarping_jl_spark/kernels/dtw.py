@@ -32,7 +32,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .distances import get_dist
+from .distances import BUILTIN_NAMES, get_dist
 
 __all__ = [
     "dtw",
@@ -150,8 +150,7 @@ def banded_dtw_cost_matrix(seq1, seq2, dist=None, i2min=None, i2max=None,
     # the scalar path's dv computation assumes the built-in family ((x-y)^2
     # or |x-y| on scalars); custom metrics take the generic pairwise sweep
     if (seq1.ndim == 1 and widths.max() <= 64
-            and d.name in ("sqeuclidean", "euclidean",
-                           "cityblock", "chebyshev")):
+            and d.name in BUILTIN_NAMES):
         # Narrow band: scalar DP over per-column band segments only — a
         # 1000-col band of width 21 is ~21k python float ops, far cheaper
         # than thousands of numpy dispatches. One numpy write per column
@@ -330,7 +329,7 @@ def _slice_profile(d, a, i: int, b, lo: int, hi: int) -> np.ndarray:
         return d.pairwise(a[i:i + 1], b[lo:hi + 1])[0]
     # multichannel: time last axis
     nm = d.name
-    if nm not in ("sqeuclidean", "euclidean", "cityblock", "chebyshev"):
+    if nm not in BUILTIN_NAMES:
         return d.pairwise(a[:, i:i + 1], b[:, lo:hi + 1])[0]
     diff = b[:, lo:hi + 1] - a[:, i][:, None]
     if nm == "sqeuclidean":

@@ -28,7 +28,7 @@ from typing import Optional
 
 import numpy as np
 
-from .distances import get_dist
+from .distances import BUILTIN_NAMES, get_dist
 from .dtw import dtw_cost
 from .normalizers import znorm, sliding_znorm_stats, lower_upper_envs
 
@@ -236,7 +236,7 @@ def dtwnn(q, y, dist=None, rad: int = 5, normalizer: Optional[str] = None, *,
         # empty band's scratch out of bounds where the NumPy path raises
         raise ValueError(f"radius must be >= 0, got {rad}")
     d = get_dist(dist)
-    if d.name not in ("sqeuclidean", "euclidean", "cityblock", "chebyshev"):
+    if d.name not in BUILTIN_NAMES:
         # the LB cascade's _elem_dist and envelope bounds assume the
         # built-in scalar family — a custom metric would silently get
         # |x-y| bounds that may over-prune; reject loudly (the reference
@@ -509,6 +509,13 @@ def sparse_distmat(series, k: int, dist=None, rad: int = 5,
     import heapq
 
     d = get_dist(dist)
+    if d.name not in BUILTIN_NAMES:
+        # same soundness boundary as dtwnn: lb_endpoints and the
+        # best-so-far early abandon are lower bounds only for the
+        # nonnegative built-in scalar family — a custom metric would
+        # silently over-prune the heap frontier
+        raise ValueError(
+            f"sparse_distmat supports built-in metrics only, got {d.name!r}")
     ys = [np.asarray(s, dtype=np.float64) for s in series]
     N = len(ys)
     DISTS = np.zeros((N, k))

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .asof import assert_ntz_session_tz_safe
+
 __all__ = ["sessionize_events"]
 
 # (applicationId, analyzed-plan semanticHash, key) -> probed max rows/key.
@@ -34,7 +36,10 @@ __all__ = ["sessionize_events"]
 # exact), so memoizing it per input relation is safe: a stale entry for a
 # table appended in place can only pick the slower-but-correct plan shape
 # for the new data. Same statistics-reuse idea as CBO table stats.
+# Bounded FIFO (dict preserves insertion order) so a long-lived driver
+# sessionizing many distinct relations can't grow it without limit.
 _PROBE_CACHE: dict = {}
+_PROBE_CACHE_MAX = 256
 
 
 def _probed_max_rows_per_key(df: DataFrame, key: str) -> int:
@@ -46,10 +51,22 @@ def _probed_max_rows_per_key(df: DataFrame, key: str) -> int:
         h = None
     if h is not None and h in _PROBE_CACHE:
         return _PROBE_CACHE[h]
+    # Catalyst's static maxRows bound (local relations, limits) answers
+    # "no key can be hot" without running a job — total rows <= K
+    # implies rows-per-key <= K. Only fall through to the count probe
+    # (which executes the full input lineage once) when unbounded.
+    try:
+        mr = df._jdf.queryExecution().optimizedPlan().maxRows()
+        if not mr.isEmpty():
+            return int(mr.get())
+    except Exception:
+        pass
     row = (df.groupBy(key).agg(F.count(F.lit(1)).alias("_n"))
            .agg(F.max("_n").alias("_m")).first())
     n = int(row["_m"] or 0)
     if h is not None:
+        if len(_PROBE_CACHE) >= _PROBE_CACHE_MAX:
+            _PROBE_CACHE.pop(next(iter(_PROBE_CACHE)))
         _PROBE_CACHE[h] = n
     return n
 
@@ -95,6 +112,13 @@ def sessionize_events(df: DataFrame, key: str = "user_id",
     """
     if plan not in ("auto", "single", "blocked"):
         raise ValueError(f"plan must be auto|single|blocked, got {plan!r}")
+    assert_ntz_session_tz_safe(df, ts_col, "sessionize_events")
+    # A null timestamp has no position in any gap sequence; drop such
+    # rows up front so both plans agree (the single-window form would
+    # otherwise count every null-ts row as its own session via the
+    # lag().isNull() test, while the blocked form's collect_list drops
+    # nulls — the one input on which the two exact plans diverged).
+    df = df.filter(F.col(ts_col).isNotNull())
     gap_us = int(gap_s) * 1_000_000
     if plan == "single":
         return _sessionize_single(df, key, ts_col, gap_us)

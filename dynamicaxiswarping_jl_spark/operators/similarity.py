@@ -23,6 +23,11 @@ from pyspark.sql import types as T
 from ..functions.series import arr_dot as _dot, arr_norm as _norm
 from .topk import topk_per_key
 
+# Salt fan-out for the IVF candidate join's non-broadcast shape: the
+# (centroid, salt) key space is n_centroids * _IVF_SALTS, so per-task
+# corpus share is one inverted list / _IVF_SALTS.
+_IVF_SALTS = 64
+
 __all__ = ["cosine_topk", "lsh_cosine_topk", "ivf_cosine_topk"]
 
 
@@ -114,7 +119,7 @@ def ivf_cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
                     train_sample: int = 2048, kmeans_iters: int = 10,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     qid_col: str = "query_id", qvec_col: str = "q",
-                    seed: int = 42) -> DataFrame:
+                    seed: int = 42, probe_join: str = "auto") -> DataFrame:
     """Approximate cosine top-k via an IVF (inverted-file) index.
 
     Scale path for ANN when the corpus doesn't fit a crossJoin:
@@ -200,9 +205,13 @@ def ivf_cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     # (VERDICT r04 #3): a mapInPandas over the query DataFrame with the
     # broadcast centroid matrix — the same shape as the corpus assigner
     # above — so a training-pipeline-sized query set (10⁶+) never
-    # serializes through a driver collect. Row-wise np.argsort with the
-    # default kind matches the previous per-query loop (and the golden
-    # mirror in scripts/make_goldens.py) permutation-for-permutation.
+    # serializes through a driver collect. Per-ROW dgemv (Cb @ qv), not
+    # a batched gemm: BLAS gemm and gemv accumulate dot products in
+    # different block orders, and a ~1-ulp similarity difference at the
+    # nprobe boundary would select a different centroid set than the
+    # per-query golden mirror (make_goldens g_ivf_ann_topk) — the same
+    # reassociation-flips-rounding class CLAUDE.md documents for
+    # memory-order reductions.
     nprobe_eff = min(int(nprobe), n_centroids)
     probe_schema = T.StructType([
         T.StructField(qid_col, queries.schema[qid_col].dataType),
@@ -214,17 +223,39 @@ def ivf_cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            V = np.stack([np.asarray(v, dtype=np.float64)
-                          for v in pdf[qvec_col]])
-            Vn = V / np.maximum(
-                np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
-            order = np.argsort(-(Vn @ Cb.T), axis=1)[:, :nprobe_eff]
+            cents = np.empty((len(pdf), nprobe_eff), dtype=np.int32)
+            for i, v in enumerate(pdf[qvec_col]):
+                qv = np.asarray(v, dtype=np.float64)
+                qv = qv / max(np.linalg.norm(qv), 1e-12)
+                cents[i] = np.argsort(-(Cb @ qv))[:nprobe_eff]
             yield pd.DataFrame({
                 qid_col: np.repeat(pdf[qid_col].to_numpy(), nprobe_eff),
-                "centroid": order.reshape(-1).astype(np.int32)})
+                "centroid": cents.reshape(-1)})
 
     probes = (queries.select(qid_col, qvec_col)
               .mapInPandas(probe_fn, probe_schema))
+
+    # Candidate join plan. The join key `centroid` has only n_centroids
+    # distinct values, so the two viable shapes are:
+    #   broadcast — probes ship to every corpus task; the corpus never
+    #     shuffles. Right for bounded query sets, but F.broadcast
+    #     funnels ALL |Q|·nprobe probe rows through the driver — the
+    #     very axis the distributed probe assignment above freed.
+    #   salted — probes replicated across _IVF_SALTS salt values, corpus
+    #     rows hashed to one salt, join on (centroid, salt): the key
+    #     space widens to n_centroids·_IVF_SALTS so no task holds a
+    #     whole inverted list, and nothing rides the driver.
+    # 'auto' broadcasts only when Catalyst's static maxRows bound proves
+    # the query set small (no count job); otherwise salts.
+    if probe_join not in ("auto", "broadcast", "salted"):
+        raise ValueError("probe_join must be auto|broadcast|salted, "
+                         f"got {probe_join!r}")
+    choice = probe_join
+    if choice == "auto":
+        from .dtw_ops import _known_max_rows
+        bound = _known_max_rows(queries)
+        choice = ("broadcast" if bound is not None and bound <= 65536
+                  else "salted")
 
     # distinct(): candidate multiplicity must not compound with corpus
     # multiplicity in the id-keyed rerank join below — duplicate id_col
@@ -232,13 +263,29 @@ def ivf_cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     # 2 corpus rows = 4). A no-op shuffle-wise for unique-id corpora
     # beyond the narrow 2-column exchange (the rerank join shuffles the
     # same rows plus vectors right after).
-    cands = (F.broadcast(probes)
-             .join(e_assign.withColumnRenamed("_id", id_col), "centroid")
-             .select(qid_col, id_col)
-             .distinct())
+    e_lists = e_assign.withColumnRenamed("_id", id_col)
+    if choice == "broadcast":
+        cands = (F.broadcast(probes)
+                 .join(e_lists, "centroid")
+                 .select(qid_col, id_col)
+                 .distinct())
+        qside = F.broadcast(queries.select(qid_col, qvec_col))
+    else:
+        cands = (probes
+                 .withColumn("_salt", F.explode(F.sequence(
+                     F.lit(0), F.lit(_IVF_SALTS - 1))))
+                 .join(e_lists.withColumn(
+                     "_salt", F.pmod(F.xxhash64(F.col(id_col)),
+                                     F.lit(_IVF_SALTS)).cast("int")),
+                     ["centroid", "_salt"])
+                 .select(qid_col, id_col)
+                 .distinct())
+        # no broadcast hint on the rerank side either: at unbounded |Q|
+        # the query relation must shuffle-join like any other table
+        qside = queries.select(qid_col, qvec_col)
     joined = (cands
               .join(embeddings.select(id_col, vec_col), id_col)
-              .join(F.broadcast(queries.select(qid_col, qvec_col)), qid_col))
+              .join(qside, qid_col))
     sim = (_dot(vec_col, qvec_col) /
            (_norm(vec_col) * _norm(qvec_col))).alias("sim")
     return topk_per_key(joined.select(qid_col, id_col, sim),

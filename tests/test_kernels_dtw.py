@@ -620,6 +620,44 @@ class TestCustomMetric:
         with pytest.raises(ValueError, match="built-in"):
             dtwnn(np.zeros(4), np.zeros(10), self._metric_fn, 2)
 
+    def test_sparse_distmat_rejects_custom(self):
+        """Same LB-soundness boundary as dtwnn: the k-NN heap frontier
+        prescreens with lb_endpoints and early-abandons dtw_cost, both
+        valid only for the nonnegative built-in family."""
+        from dynamicaxiswarping_jl_spark.kernels import sparse_distmat
+        with pytest.raises(ValueError, match="built-in"):
+            sparse_distmat([np.zeros(5)] * 3, 1, self._metric_fn)
+
+    def test_custom_metric_result_buffer_not_mutated(self):
+        """The DP runs in place on the pairwise matrix; a metric that
+        memoizes (or returns a read-only view of) its own buffer must
+        not have it corrupted — CustomDist.pairwise hands the engine a
+        fresh copy."""
+        from dynamicaxiswarping_jl_spark.kernels import dtw
+
+        cache: dict = {}
+
+        def memo_fn(s1, s2):
+            key = (s1.shape[-1], s2.shape[-1])
+            if key not in cache:
+                cache[key] = np.abs(s1[..., :, None] - s2[..., None, :])
+            return cache[key]
+
+        a = np.array([0.0, 1.0, 3.0, 6.0])
+        b = np.array([0.0, 2.0, 5.0])
+        c1, _, _ = dtw(a, b, memo_fn)
+        snapshot = {k: v.copy() for k, v in cache.items()}
+        c2, _, _ = dtw(a, b, memo_fn)  # second call hits the memo
+        assert c1 == c2
+        for k in cache:
+            np.testing.assert_array_equal(cache[k], snapshot[k])
+
+        def readonly_fn(s1, s2):
+            return np.broadcast_to(1.0, (s1.shape[-1], s2.shape[-1]))
+
+        cost, _, _ = dtw(a, b, readonly_fn)  # must not crash writing
+        assert cost == float(max(len(a), len(b)))
+
     def test_custom_dist_validation(self):
         from dynamicaxiswarping_jl_spark.kernels import CustomDist
         with pytest.raises(ValueError, match="shadow"):

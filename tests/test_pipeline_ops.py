@@ -1111,6 +1111,30 @@ class TestIvfAndNearDup:
         np.testing.assert_allclose(np.sort(full.sim), np.sort(exact.sim),
                                    rtol=1e-9)
 
+    def test_ivf_salted_probe_join_matches_broadcast(self, spark, emb):
+        """probe_join='salted' (the unbounded-query-set shape: no probe
+        rows through the driver, (centroid, salt) join keys) must return
+        the identical frame as the broadcast shape, and 'auto' must pick
+        one of them without error on a maxRows-bounded query set."""
+        from dynamicaxiswarping_jl_spark.operators import ivf_cosine_topk
+        sub = emb.limit(200).cache()
+        pdf = sub.toPandas()
+        queries = spark.createDataFrame(
+            [("q0", [float(x) for x in pdf.embedding[3]]),
+             ("q1", [float(x) for x in pdf.embedding[11]])],
+            "query_id string, q array<double>")
+        kw = dict(k=5, n_centroids=8, nprobe=3)
+        a = (ivf_cosine_topk(sub, queries, probe_join="broadcast", **kw)
+             .orderBy("query_id", "rk").toPandas())
+        b = (ivf_cosine_topk(sub, queries, probe_join="salted", **kw)
+             .orderBy("query_id", "rk").toPandas())
+        pd.testing.assert_frame_equal(a, b)
+        c = (ivf_cosine_topk(sub, queries, probe_join="auto", **kw)
+             .orderBy("query_id", "rk").toPandas())
+        pd.testing.assert_frame_equal(a, c)
+        with pytest.raises(ValueError, match="probe_join"):
+            ivf_cosine_topk(sub, queries, probe_join="bogus", **kw)
+
     def test_ivf_partial_probe_recall(self, spark, emb):
         from dynamicaxiswarping_jl_spark.operators import (
             ivf_cosine_topk, cosine_topk)
@@ -1344,3 +1368,39 @@ class TestSessionizeEvents:
         b = {r.user_id: (r.n_sessions, r.n_events)
              for r in sessionize_events(df, plan="blocked").collect()}
         assert a == b == self._naive(rows, 1800)
+
+    def test_null_ts_rows_dropped_by_both_plans(self, spark):
+        """A null timestamp has no position in any gap sequence, so both
+        plans drop such rows identically. (They previously diverged: the
+        single-window lag().isNull() test counted every null-ts row as
+        its own session while the blocked collect_list silently dropped
+        them — making plan='auto' routing result-visible.)"""
+        import datetime as dt
+        from dynamicaxiswarping_jl_spark.operators import sessionize_events
+        base = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+        rows = [("u", None), ("u", None), ("u", base),
+                ("u", base + dt.timedelta(hours=2)), ("w", None)]
+        df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+        for plan in ("single", "blocked"):
+            got = {r.user_id: (r.n_sessions, r.n_events)
+                   for r in sessionize_events(df, plan=plan).collect()}
+            # "w" had only null-ts rows -> no output row at all
+            assert got == {"u": (2, 2)}, plan
+
+    def test_ntz_dst_session_tz_rejected(self, spark):
+        """sessionize gap arithmetic rides the same NTZ->TIMESTAMP epoch
+        route as asof_join; the DST session-timezone guard applies."""
+        from dynamicaxiswarping_jl_spark.operators import sessionize_events
+        df = spark.createDataFrame(
+            [("u", "2024-01-01 00:00:00")],
+            "user_id string, ts_s string").select(
+            "user_id", F.col("ts_s").cast("timestamp_ntz").alias("ts"))
+        old = spark.conf.get("spark.sql.session.timeZone")
+        try:
+            spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+            with pytest.raises(ValueError, match="DST"):
+                sessionize_events(df)
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", old)
+        got = sessionize_events(df).collect()  # UTC: NTZ is fine
+        assert len(got) == 1 and got[0]["n_sessions"] == 1
