@@ -116,6 +116,20 @@ def run_streaming(spark, args, turns):
     }
 
 
+def auto_shuffle_partitions(est_turns: int, parallelism: int,
+                            turns_per_partition: int = 1_500_000) -> int:
+    """Reduce partitions that keep per-partition sort memory-resident.
+
+    The pipeline's widest shuffles are row-proportional to the turn
+    count (1m tier ≈ 0.34×, gap-filled ≈ 0.73×), so ~1.5M turns per
+    partition bounds any reduce partition at low single-digit millions
+    of narrow rows. Floor of 2× parallelism keeps every core busy at
+    small inputs; cap 65536 bounds scheduler overhead at the 10¹²-turn
+    design point (where the PLANS.md sizing model takes over)."""
+    want = -(-int(est_turns) // int(turns_per_partition))
+    return max(2 * int(parallelism), min(65536, want))
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--input", default=None,
@@ -133,6 +147,13 @@ def main(argv=None):
                         "distributed = each group's iterations run as "
                         "cluster-wide jobs (dba_reps_distributed) — the "
                         "shape for groups too large for one task")
+    p.add_argument("--shuffle-partitions", default="auto",
+                   help="reduce-side partition sizing: 'auto' (default) "
+                        "sets spark.sql.shuffle.partitions from the "
+                        "estimated turn count (~1.5M turns/partition — "
+                        "keeps per-partition sort memory-resident; AQE "
+                        "coalesces the smaller stages back down), 'keep' "
+                        "leaves the session conf untouched, or an integer")
     p.add_argument("--streaming", action="store_true",
                    help="ingest the turns through Structured Streaming "
                         "(file source → watermarked 1m agg → catalog MERGE "
@@ -175,9 +196,25 @@ def main(argv=None):
     if args.input:
         turns = spark.read.parquet(args.input)
         lineage = {"input": args.input}
+        est_turns = turns.count()  # parquet footer count — no data scan
     else:
         turns = transcripts_df(spark, args.n_conv, seed=args.seed)
         lineage = {"generator": {"n_conv": args.n_conv, "seed": args.seed}}
+        # generator turn count is lognormal(log 40, 1) clipped → mean ~66
+        # per conversation; an estimate is all sizing needs
+        est_turns = args.n_conv * 66
+
+    # Explicit reduce-side sizing (north rule): the default 200-partition
+    # shuffle spills past ~10⁹ turns (measured at 1.6B: the 1h-tier
+    # Gorilla grouping fell 4.6× to sorter spill; 1024 partitions ran
+    # spill-free). AQE coalesces byte-small stages back down, so auto
+    # only ever errs harmlessly high.
+    if args.shuffle_partitions != "keep":
+        n_shuf = (auto_shuffle_partitions(
+                      est_turns, spark.sparkContext.defaultParallelism)
+                  if args.shuffle_partitions == "auto"
+                  else int(args.shuffle_partitions))
+        spark.conf.set("spark.sql.shuffle.partitions", str(n_shuf))
 
     if args.streaming:
         summary = run_streaming(spark, args, turns)

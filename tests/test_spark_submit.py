@@ -13,6 +13,20 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SPARK_SUBMIT = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
 
 
+def test_auto_shuffle_partitions_sizing():
+    """~1.5M turns/partition with a 2×parallelism floor and a 65536 cap:
+    default-200 spilled at 1.6B turns (chunks_1h 140.7 → 30.8 s at 1024
+    partitions, measured r05); the auto rule lands above the spill-free
+    point at every measured size."""
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from run_pipeline import auto_shuffle_partitions
+    assert auto_shuffle_partitions(66_000, 32) == 64        # floor
+    assert auto_shuffle_partitions(200_134_326, 32) == 134
+    assert auto_shuffle_partitions(1_601_541_779, 32) == 1068
+    assert auto_shuffle_partitions(10**12, 32) == 65536     # cap
+    assert auto_shuffle_partitions(0, 4) == 8
+
+
 @pytest.mark.skipif(not os.path.exists(SPARK_SUBMIT),
                     reason="spark-submit not available")
 class TestSparkSubmit:
