@@ -68,6 +68,13 @@ class CheckpointManager:
         m = self.manifest(stage)
         if m is not None and m.get("lineage_digest") == ldigest:
             return self.spark.read.parquet(data)
+        if m is not None:
+            # lineage changed: invalidate the OLD manifest before the
+            # data dir is overwritten — a crash mid-write must not leave
+            # a stale manifest pointing at the new lineage's (possibly
+            # partial) data, which a later run with the old lineage
+            # would silently resume from
+            os.remove(mpath)
         t0 = time.time()
         df = fn()
         w = df.write.mode("overwrite")

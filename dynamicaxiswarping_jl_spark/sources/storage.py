@@ -127,12 +127,22 @@ class TableCatalog:
                 break
             except FileExistsError:
                 try:
-                    age = time.time() - os.path.getmtime(lock)
+                    mtime = os.path.getmtime(lock)
                 except OSError:
-                    continue  # holder just released — retry immediately
-                if age > self.lock_stale:
+                    mtime = None  # holder just released — retry below
+                if mtime is not None and time.time() - mtime > self.lock_stale:
+                    # presumed crashed. Narrow the break/re-acquire race:
+                    # re-stat immediately before unlink and only remove
+                    # the lock if it is still the SAME stale file we
+                    # examined (a fresh lock from a concurrent breaker's
+                    # re-create has a newer mtime and is left alone).
+                    # lock_stale must exceed the longest held commit
+                    # (merge holds across read-compute-write) — a live
+                    # slow holder past it is indistinguishable from a
+                    # crash by design.
                     try:
-                        os.unlink(lock)
+                        if os.path.getmtime(lock) == mtime:
+                            os.unlink(lock)
                     except OSError:
                         pass
                     continue
@@ -140,6 +150,8 @@ class TableCatalog:
                     raise CatalogCommitTimeout(
                         f"commit lock for table {name!r} held for "
                         f">{self.lock_timeout}s by a concurrent writer")
+                # sleep + deadline run on EVERY iteration (a persistent
+                # stat error must not become an unbreakable busy-spin)
                 time.sleep(delay)
                 delay = min(delay * 2, 0.2)
         try:
@@ -248,16 +260,25 @@ class TableCatalog:
         """
         with self._commit_lock(name):
             snaps = self.snapshots(name)
+            spec = (snaps[-1].get("partition_spec") or None) if snaps else None
             if snaps:
                 cur = self.spark.read.parquet(*snaps[-1]["data_dirs"])
+                # drop the materialized hidden partition columns before
+                # aligning with the caller's frame (which has only the
+                # logical schema); _write_data re-derives them below
+                pcols = [c for c in cur.columns if c.startswith("_p_")]
+                if pcols:
+                    cur = cur.drop(*pcols)
                 merged = (cur.join(df.select(*keys).distinct(),
                                    list(keys), "left_anti")
                           .unionByName(df))
             else:
                 merged = df
             data_dir, rows, schema = self._write_data(
-                name, merged, None, None)
-            # inline _commit_snapshot's body (the lock is already held)
+                name, merged, None, spec)
+            # inline _commit_snapshot's body (the lock is already held);
+            # the parent's partition_spec carries forward so hidden
+            # partitioning (and partition_filter) survives the MERGE
             snaps = self.snapshots(name)
             rec = {
                 "snapshot_id": uuid.uuid4().hex[:16],
@@ -268,6 +289,8 @@ class TableCatalog:
                 "committed_at": time.strftime(
                     "%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             }
+            if spec:
+                rec["partition_spec"] = spec
             snaps.append(rec)
             self._publish(name, snaps)
         return rec
@@ -287,9 +310,12 @@ class TableCatalog:
             keep, drop = snaps[-keep_last:], snaps[:-keep_last]
             live = {d for s in keep for d in s["data_dirs"]}
             dead = {d for s in drop for d in s["data_dirs"]} - live
+            # publish the pruned log FIRST: a crash between the two steps
+            # then leaves harmless orphan dirs (re-collectable) instead
+            # of a log whose snapshots reference deleted data
+            self._publish(name, keep)
             for d in dead:
                 shutil.rmtree(d, ignore_errors=True)
-            self._publish(name, keep)
         return {"expired": len(drop), "data_dirs_removed": len(dead)}
 
     def compact(self, name: str) -> dict:
@@ -303,8 +329,16 @@ class TableCatalog:
             snaps = self.snapshots(name)
             if not snaps:
                 raise FileNotFoundError(f"table {name!r} has no snapshots")
+            spec = snaps[-1].get("partition_spec") or None
             cur = self.spark.read.parquet(*snaps[-1]["data_dirs"])
-            data_dir, rows, schema = self._write_data(name, cur, None, None)
+            # strip the materialized _p_* columns so the rewrite doesn't
+            # freeze them into the logical schema; _write_data re-derives
+            # them from the carried-forward spec, keeping directory
+            # pruning and partition_filter alive across the compaction
+            pcols = [c for c in cur.columns if c.startswith("_p_")]
+            if pcols:
+                cur = cur.drop(*pcols)
+            data_dir, rows, schema = self._write_data(name, cur, None, spec)
             rec = {
                 "snapshot_id": uuid.uuid4().hex[:16],
                 "mode": "compact",
@@ -314,6 +348,8 @@ class TableCatalog:
                 "committed_at": time.strftime(
                     "%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             }
+            if spec:
+                rec["partition_spec"] = spec
             snaps.append(rec)
             self._publish(name, snaps)
         return rec
@@ -362,8 +398,20 @@ class TableCatalog:
         if tname == "bucket" and op != "=":
             raise ValueError("bucket transform prunes only equality")
         # apply the SAME transform to the literal; a foldable expression,
-        # so Catalyst constant-folds it and the scan still prunes
-        lit = _apply_transform(tname, n, F.lit(value))
+        # so Catalyst constant-folds it and the scan still prunes. The
+        # literal is first cast to the SOURCE column's stored type:
+        # xxhash64 is type-sensitive (int 42 and long 42 hash to
+        # different values), so an uncast Python literal against e.g. a
+        # LongType id column would compute a different bucket and
+        # silently prune away the matching partition.
+        lit = F.lit(value)
+        try:
+            from pyspark.sql.types import _parse_datatype_string
+            src_t = _parse_datatype_string(rec["schema"])[col].dataType
+            lit = lit.cast(src_t)
+        except Exception:
+            pass  # unknown schema: fall back to the raw literal
+        lit = _apply_transform(tname, n, lit)
         ops = {"=": hidden.__eq__, "<": hidden.__le__, "<=": hidden.__le__,
                ">": hidden.__ge__, ">=": hidden.__ge__}
         if op not in ops:

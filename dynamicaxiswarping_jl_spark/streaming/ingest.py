@@ -101,22 +101,28 @@ def start_chunk_compress(spark: SparkSession, tier_dir: str, catalog,
     stream = spark.readStream.schema(tier_schema).parquet(tier_dir)
 
     def upsert(batch_df: DataFrame, batch_id: int):
+        # cache: isEmpty() and the broadcast join below would otherwise
+        # each re-run the distinct aggregation over the batch source
         touched = (batch_df
                    .select("conv_id",
                            F.window("bucket", chunk)["start"]
                            .alias("_chunk_start"))
-                   .distinct())
-        if touched.isEmpty():
-            return
-        tier_rows = (catalog.read(source_table) if source_table is not None
-                     else spark.read.parquet(tier_dir))
-        full = (tier_rows
-                .withColumn("_chunk_start",
-                            F.window("bucket", chunk)["start"])
-                .join(F.broadcast(touched), ["conv_id", "_chunk_start"])
-                .drop("_chunk_start"))
-        chunks = compress_chunks(full, tier, value_col, chunk=chunk)
-        catalog.merge(table, chunks, ["conv_id", "tier", "chunk_start"])
+                   .distinct()).cache()
+        try:
+            if touched.isEmpty():
+                return
+            tier_rows = (catalog.read(source_table)
+                         if source_table is not None
+                         else spark.read.parquet(tier_dir))
+            full = (tier_rows
+                    .withColumn("_chunk_start",
+                                F.window("bucket", chunk)["start"])
+                    .join(F.broadcast(touched), ["conv_id", "_chunk_start"])
+                    .drop("_chunk_start"))
+            chunks = compress_chunks(full, tier, value_col, chunk=chunk)
+            catalog.merge(table, chunks, ["conv_id", "tier", "chunk_start"])
+        finally:
+            touched.unpersist()
 
     return (stream.writeStream
             .option("checkpointLocation", checkpoint_dir)
@@ -170,9 +176,15 @@ def stateful_sessionize(stream: DataFrame, gap_minutes: int = 30,
         start_us, last_us, n = (state.get if state.exists
                                 else (None, None, 0))
         closed = []
-        for pdf in pdfs:
-            ts_us = (pd.to_datetime(pdf[ts_col]).astype("int64")
-                     // 1000).sort_values().to_numpy()
+        # ONE sort across every Arrow chunk of this group's micro-batch:
+        # a >maxRecordsPerBatch group arrives as several pdfs in arbitrary
+        # order, and a per-chunk sort would misread intra-batch disorder
+        # as cross-batch late data (spurious singleton sessions)
+        chunks = [(pd.to_datetime(pdf[ts_col]).astype("int64") // 1000)
+                  .to_numpy() for pdf in pdfs]
+        if chunks:
+            import numpy as _np
+            ts_us = _np.sort(_np.concatenate(chunks))
             for t in ts_us:
                 t = int(t)
                 if start_us is None:

@@ -32,6 +32,33 @@ class TestCheckpoints:
         cm.run_stage("s1", build, lineage={"input": "range100", "v": 2})
         assert calls["n"] == 2
 
+    def test_lineage_change_invalidates_manifest_before_recompute(
+            self, spark, tmp_path):
+        """A recompute under new lineage must remove the OLD manifest
+        before touching the data dir: dying mid-recompute must not leave
+        a stale manifest that a later run with the old lineage would
+        silently resume from (it would serve the new lineage's partial
+        data as the old checkpoint)."""
+        cm = CheckpointManager(spark, str(tmp_path))
+        cm.run_stage("s", lambda: spark.range(5), lineage={"v": 1})
+        assert cm.manifest("s") is not None
+
+        def boom():
+            raise RuntimeError("simulated mid-recompute crash")
+
+        with pytest.raises(RuntimeError, match="simulated"):
+            cm.run_stage("s", boom, lineage={"v": 2})
+        assert cm.manifest("s") is None  # old manifest no longer resumable
+        # and the v1 run now recomputes rather than resuming
+        calls = {"n": 0}
+
+        def build():
+            calls["n"] += 1
+            return spark.range(5)
+
+        cm.run_stage("s", build, lineage={"v": 1})
+        assert calls["n"] == 1
+
     def test_manifest_contents(self, spark, tmp_path):
         cm = CheckpointManager(spark, str(tmp_path))
         cm.run_stage("roll", lambda: spark.range(10),

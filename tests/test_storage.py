@@ -348,6 +348,50 @@ class TestHiddenPartitioning:
         with pytest.raises(ValueError):          # range can't prune bucket
             cat.partition_filter("t", "id", "<", 7)
 
+    def test_partition_filter_bucket_long_column_int_literal(
+            self, spark, tmp_path):
+        """xxhash64 is type-sensitive (int 42 and long 42 hash
+        differently): the rewrite must cast the literal to the stored
+        column type or equality pruning silently drops the matching
+        partition for LongType id columns."""
+        cat = TableCatalog(spark, str(tmp_path))
+        df = spark.createDataFrame([(i,) for i in range(30)], "id long")
+        cat.write("t", df, partition_spec={"b": "bucket(4, id)"})
+        pred = cat.partition_filter("t", "id", "=", 7)
+        got = cat.read("t", where=pred).filter(F.col("id") == 7)
+        assert [r.id for r in got.collect()] == [7]
+
+    def test_merge_and_compact_preserve_hidden_partitioning(
+            self, spark, tmp_path):
+        """MERGE into (and compaction of) a hidden-partitioned table must
+        align schemas past the materialized _p_* columns and carry the
+        partition_spec forward, keeping partition_filter working."""
+        import datetime
+        import os
+        spec = {"day": "days(ts)", "b": "bucket(4, id)"}
+        cat = TableCatalog(spark, str(tmp_path))
+        cat.write("t", self._fixture(spark), partition_spec=spec)
+        up = spark.createDataFrame(
+            [(7, datetime.datetime(2025, 1, 2, 3, 0), "doc-new")],
+            "id int, ts timestamp, name string")
+        rec = cat.merge("t", up, ["id"])
+        assert rec["partition_spec"] == spec
+        got = cat.read("t")
+        assert got.columns == ["id", "ts", "name"]
+        assert got.count() == 30
+        assert got.filter(F.col("id") == 7).first()["name"] == "doc-new"
+        assert any(x.startswith("_p_day=")
+                   for x in os.listdir(rec["data_dirs"][0]))
+        pred = cat.partition_filter("t", "id", "=", 7)
+        assert (cat.read("t", where=pred)
+                .filter(F.col("id") == 7).count()) == 1
+        rec2 = cat.compact("t")
+        assert rec2["partition_spec"] == spec
+        assert cat.read("t").columns == ["id", "ts", "name"]
+        pred2 = cat.partition_filter("t", "id", "=", 7)
+        assert (cat.read("t", where=pred2)
+                .filter(F.col("id") == 7).count()) == 1
+
     def test_partition_filter_truncate_and_errors(self, spark, tmp_path):
         cat = TableCatalog(spark, str(tmp_path))
         cat.write("t", self._fixture(spark),

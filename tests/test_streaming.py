@@ -178,6 +178,52 @@ class TestStatefulSessionize:
         assert (t0, t0 + dt.timedelta(minutes=1), 2) in got
 
 
+    def test_multi_chunk_group_sorted_across_chunks(self, spark, tmp_path):
+        """A group larger than one Arrow batch arrives as several pandas
+        chunks in arbitrary order; the fold must sort ONCE across all of
+        them — a per-chunk sort misreads intra-batch disorder as late
+        data and emits spurious singleton sessions."""
+        import datetime as dt
+        from dynamicaxiswarping_jl_spark.streaming import stateful_sessionize
+
+        src = str(tmp_path / "src")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        t0 = dt.datetime(2024, 1, 1, 9, 0, 0)
+        schema = "conv_id string, ts timestamp"
+        # descending timestamps so ANY chunk split puts later times in an
+        # earlier chunk; one >gap break → exactly two sessions expected
+        rows = [("c9", t0 + dt.timedelta(hours=3, minutes=m))
+                for m in range(9, -1, -1)]
+        rows += [("c9", t0 + dt.timedelta(minutes=m))
+                 for m in range(9, -1, -1)]
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite").parquet(src)
+        old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch",
+                             None)
+        try:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                           "3")
+            stream = spark.readStream.schema(schema).parquet(src)
+            sess = stateful_sessionize(stream, gap_minutes=30,
+                                       watermark="1 minute")
+            q = (sess.writeStream.outputMode("append")
+                 .option("checkpointLocation", ckpt)
+                 .format("parquet").option("path", out)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+        finally:
+            if old is not None:
+                spark.conf.set(
+                    "spark.sql.execution.arrow.maxRecordsPerBatch", old)
+        got = {(r["session_start"], r["session_end"], r["n_turns"])
+               for r in spark.read.parquet(out).collect()}
+        # the earlier 10-turn burst closed in-batch by the 3h break; no
+        # bogus singletons
+        assert (t0, t0 + dt.timedelta(minutes=9), 10) in got
+        assert all(c > 1 for _, _, c in got)
+
+
 class TestLateEventsWithinWatermark:
     def test_late_event_does_not_shrink_session(self, spark, tmp_path):
         """A cross-batch late event (within watermark) that falls INSIDE
