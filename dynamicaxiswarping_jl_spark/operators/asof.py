@@ -73,8 +73,13 @@ def _tz_is_fixed_offset(tz: str) -> bool:
         import datetime as _dt
         from zoneinfo import ZoneInfo
         z = ZoneInfo(t)
+        # sample a WIDE year range: rule changes post-date any fixed pair
+        # of years (Africa/Cairo re-adopted DST in 2023, Asia/Almaty
+        # changed base offset in 2024) — future years extrapolate the
+        # current rules, which is exactly what the cast will apply
         return len({z.utcoffset(_dt.datetime(y, m, 1))
-                    for y in (2021, 2022) for m in (1, 4, 7, 10)}) == 1
+                    for y in range(2020, 2031)
+                    for m in (1, 4, 7, 10)}) == 1
     except Exception:
         return False
 
@@ -132,6 +137,12 @@ def asof_join(left: DataFrame, right: DataFrame, key,
                          " — rename before joining")
     if matched_ts_col in left.columns:
         raise ValueError(f"matched_ts_col {matched_ts_col!r} already in left")
+    if matched_ts_col in payload:
+        # would build a duplicate-field struct and fail (or mis-extract)
+        # at the final select — reject as cleanly as the other clashes
+        raise ValueError(
+            f"matched_ts_col {matched_ts_col!r} collides with a right "
+            "payload column — rename one of them")
     reserved = {"_asof_t", "_asof_srt", "_asof_tag", "_asof_val",
                 "_asof_blk", "_asof_bval", "_asof_cval", "_asof_lval"}
     taken = reserved & (set(left.columns) | set(right.columns))

@@ -72,20 +72,6 @@ class _BitWriter:
         return bytes(self.buf)
 
 
-class _BitReader:
-    def __init__(self, data: bytes):
-        self.data = data
-        self.pos = 0  # bit position
-
-    def read(self, bits: int) -> int:
-        out = 0
-        for _ in range(bits):
-            byte = self.data[self.pos >> 3]
-            out = (out << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
-            self.pos += 1
-        return out
-
-
 def _zigzag(v: int) -> int:
     return (v << 1) ^ (v >> 63)
 
@@ -285,7 +271,13 @@ def compress_chunks(tier_df: DataFrame, tier: str, value_col: str = "turn_rate",
     points but encodes in ~0.3 ms). The explicit hash repartition pins
     the Python fan-out: AQE coalesces this byte-tiny shuffle and would
     serialize the encoder onto a couple of tasks.
+
+    ``decompress_chunks`` reconstructs ``bucket`` as TIMESTAMP (epoch
+    seconds) — NTZ inputs come back as the tz-aware type, and the epoch
+    sort below requires a DST-free session tz for NTZ, guarded here.
     """
+    from .asof import assert_ntz_session_tz_safe
+    assert_ntz_session_tz_safe(tier_df, "bucket", "compress_chunks")
     sc = tier_df.sparkSession.sparkContext
     src = (tier_df.select(
         F.col(key).alias("conv_id"),

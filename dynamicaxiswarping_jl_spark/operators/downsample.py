@@ -41,8 +41,11 @@ def lttb_downsample(series: DataFrame, m: int, key: str = "conv_id") -> DataFram
     """
     if m < 3:
         raise ValueError(f"m must be >= 3, got {m}")
+    # key keeps its INPUT type (integer conv ids are legal), and rows are
+    # read positionally below — itertuples would mangle non-identifier
+    # column names like "conv id"
     schema = T.StructType([
-        T.StructField(key, T.StringType()),
+        T.StructField(key, series.schema[key].dataType),
         T.StructField("sel_idx", T.IntegerType()),
         T.StructField("bucket", T.TimestampType()),
         T.StructField("value", T.DoubleType()),
@@ -53,13 +56,14 @@ def lttb_downsample(series: DataFrame, m: int, key: str = "conv_id") -> DataFram
 
         for pdf in batches:
             frames = []
-            for row in pdf.itertuples(index=False):
-                y = np.ascontiguousarray(row.points, dtype=np.float64)
+            for k, t0, step_s, pts in zip(pdf[key], pdf["t0"],
+                                          pdf["step_s"], pdf["points"]):
+                y = np.ascontiguousarray(pts, dtype=np.float64)
                 idx = lttb_indices(y, m)
-                t0 = pd.Timestamp(row.t0)
-                step = pd.to_timedelta(int(row.step_s), unit="s")
+                t0 = pd.Timestamp(t0)
+                step = pd.to_timedelta(int(step_s), unit="s")
                 frames.append(pd.DataFrame({
-                    key: getattr(row, key),
+                    key: k,
                     "sel_idx": idx.astype(np.int32),
                     "bucket": t0 + idx * step,
                     "value": y[idx],
@@ -83,8 +87,9 @@ def ewma_smooth(series: DataFrame, alpha: float, key: str = "conv_id") -> DataFr
     under the task floor; series are bounded by ``assemble_series``'s
     ``window=`` argument, never by turn volume.
     """
+    # key type/name handling as in lttb_downsample above
     schema = T.StructType([
-        T.StructField(key, T.StringType()),
+        T.StructField(key, series.schema[key].dataType),
         T.StructField("idx", T.IntegerType()),
         T.StructField("bucket", T.TimestampType()),
         T.StructField("raw", T.DoubleType()),
@@ -96,14 +101,15 @@ def ewma_smooth(series: DataFrame, alpha: float, key: str = "conv_id") -> DataFr
 
         for pdf in batches:
             frames = []
-            for row in pdf.itertuples(index=False):
-                y = np.ascontiguousarray(row.points, dtype=np.float64)
+            for k, t0, step_s, pts in zip(pdf[key], pdf["t0"],
+                                          pdf["step_s"], pdf["points"]):
+                y = np.ascontiguousarray(pts, dtype=np.float64)
                 s = ewma(y, alpha)
-                t0 = pd.Timestamp(row.t0)
-                step = pd.to_timedelta(int(row.step_s), unit="s")
+                t0 = pd.Timestamp(t0)
+                step = pd.to_timedelta(int(step_s), unit="s")
                 idx = np.arange(len(y), dtype=np.int32)
                 frames.append(pd.DataFrame({
-                    key: getattr(row, key), "idx": idx,
+                    key: k, "idx": idx,
                     "bucket": t0 + idx * step, "raw": y, "smoothed": s,
                 }))
             if frames:

@@ -35,6 +35,12 @@ def gapfill(tier_df: DataFrame, step_s: int = 60, key: str = "conv_id",
     """Densify ``(key, bucket, *value_cols)`` to a regular grid per key."""
     if policy not in ("zero", "locf", "interp"):
         raise ValueError(f"unknown gap-fill policy {policy!r}")
+    if policy == "interp":
+        # the interpolation ratio is computed in epoch seconds via the
+        # NTZ->TIMESTAMP cast — same DST-safety precondition as
+        # asof_join/delta_rate/sessionize
+        from .asof import assert_ntz_session_tz_safe
+        assert_ntz_session_tz_safe(tier_df, "bucket", "gapfill(interp)")
 
     w = Window.partitionBy(key).orderBy("bucket")
     nxt = F.lead("bucket").over(w)

@@ -89,6 +89,11 @@ def rolling_stats(tier_df: DataFrame, value_col: str = "n_events",
     # then fuses all six into ONE Window node (an inline v*v forces an
     # intermediate projection and a second window pass over the sort)
     sq = "__" + prefix + "sq"
+    if sq in tier_df.columns:
+        # withColumn would silently REPLACE (and the final drop erase) a
+        # caller column of this name — reject like asof_join's reserved set
+        raise ValueError(f"column {sq!r} is reserved by rolling_stats"
+                         " — rename it before calling")
     tier_df = tier_df.withColumn(sq, v * v)
     ss = F.sum(F.col(sq)).over(w)
     out = (tier_df

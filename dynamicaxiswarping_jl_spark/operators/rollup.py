@@ -108,7 +108,10 @@ def assemble_series(tier_df: DataFrame, value_col: str = "turn_rate",
         )
         .select(
             key, "t0", F.lit(step_s).alias("step_s"),
-            F.expr(f"transform(pairs, p -> CAST(p.{value_col} AS DOUBLE))").alias("points"),
+            # backtick-quoted like quantile_rollup below (ADVICE r04):
+            # a value_col with dots/spaces/hyphens must parse as one field
+            F.expr("transform(pairs, p -> CAST(p.`{}` AS DOUBLE))".format(
+                str(value_col).replace("`", "``"))).alias("points"),
         )
     )
     return out

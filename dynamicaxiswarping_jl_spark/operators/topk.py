@@ -29,9 +29,24 @@ def topk_per_key(df: DataFrame, key, order_col: str, k: int,
             .filter(F.col(rank_col) <= k))
 
 
-def argmin_per_key(df: DataFrame, key, order_col: str, payload_cols) -> DataFrame:
-    """k=1 fast path: min_by per payload column — one hash agg, no sort."""
+def argmin_per_key(df: DataFrame, key, order_col: str, payload_cols,
+                   tie_col: str | None = None) -> DataFrame:
+    """k=1 fast path: min_by per payload column — one hash agg, no sort.
+
+    Without ``tie_col``, exact ties on ``order_col`` are broken by
+    partition/merge order: nondeterministic across runs AND potentially
+    incoherent across payload columns (each min_by picks its own tied
+    row). Pass ``tie_col`` for oracle-fed/golden-checked results — the
+    struct-min then picks one deterministic row for every column (the
+    same trap dtw_ops._nn_reduce documents)."""
     keys = [key] if isinstance(key, str) else list(key)
+
+    def bt(c):
+        return "`" + str(c).replace("`", "``") + "`"
+
+    ob = (bt(order_col) if tie_col is None
+          else f"struct({bt(order_col)}, {bt(tie_col)})")
     aggs = [F.min(order_col).alias(order_col)]
-    aggs += [F.expr(f"min_by({c}, {order_col})").alias(c) for c in payload_cols]
+    aggs += [F.expr(f"min_by({bt(c)}, {ob})").alias(c)
+             for c in payload_cols]
     return df.groupBy(*keys).agg(*aggs)

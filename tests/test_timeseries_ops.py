@@ -387,3 +387,71 @@ class TestAdviceR04Fixes:
         assert len(got) == 1 and got[0]["busy"] == 7
         assert delta_rate(right, "busy", key="k",
                           bucket_col="bucket").count() == 1
+
+
+class TestReviewR05Fixes:
+    def test_tz_probe_catches_post_2022_rule_changes(self):
+        """The fixed-offset probe must sample a wide year range: Cairo
+        re-adopted DST in 2023 and Almaty changed base offset in 2024 —
+        a 2021/2022-only sample declared both DST-free."""
+        from dynamicaxiswarping_jl_spark.operators.asof import \
+            _tz_is_fixed_offset
+        assert _tz_is_fixed_offset("UTC")
+        assert _tz_is_fixed_offset("+05:30")
+        assert not _tz_is_fixed_offset("America/New_York")
+        assert not _tz_is_fixed_offset("Africa/Cairo")
+        assert not _tz_is_fixed_offset("Asia/Almaty")
+
+    def test_argmin_per_key_tie_col_and_quoted_identifiers(self, spark):
+        from dynamicaxiswarping_jl_spark.operators.topk import argmin_per_key
+        df = spark.createDataFrame(
+            [("k", 1.0, "b", 10), ("k", 1.0, "a", 20), ("k", 2.0, "c", 30)],
+            "k string, cost double, `my-id` string, payload int")
+        # tie on cost=1.0: struct-min with tie_col picks 'a' for BOTH
+        # payload columns (row-coherent), and the hyphenated identifier
+        # parses because every interpolated name is backtick-quoted
+        row = argmin_per_key(df, "k", "cost", ["my-id", "payload"],
+                             tie_col="my-id").first()
+        assert row["cost"] == 1.0
+        assert row["my-id"] == "a" and row["payload"] == 20
+
+    def test_rolling_stats_reserved_temp_column_rejected(self, spark):
+        import datetime as dt
+        from dynamicaxiswarping_jl_spark.operators import rolling_stats
+        base = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+        df = spark.createDataFrame(
+            [("k", base, 1.0, 9.0)],
+            "conv_id string, bucket timestamp, turn_rate double, "
+            "`__roll_sq` double")
+        with pytest.raises(ValueError, match="reserved"):
+            rolling_stats(df, n_rows=3)
+
+    def test_asof_matched_ts_col_payload_collision_rejected(self, spark):
+        import datetime as dt
+        from dynamicaxiswarping_jl_spark.operators import asof_join
+        base = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+        left = spark.createDataFrame([("k", base)],
+                                     "k string, ts timestamp")
+        right = spark.createDataFrame(
+            [("k", base, 1.0)],
+            "k string, bucket timestamp, asof_ts double")
+        with pytest.raises(ValueError, match="matched_ts_col"):
+            asof_join(left, right, "k", left_ts="ts", right_ts="bucket")
+
+    def test_gapfill_interp_ntz_dst_guard(self, spark):
+        from dynamicaxiswarping_jl_spark.operators import gapfill
+        df = spark.createDataFrame(
+            [("c", "2024-01-01 00:00:00", 1.0)],
+            "conv_id string, b string, turn_rate double").select(
+            "conv_id",
+            F.col("b").cast("timestamp_ntz").alias("bucket"), "turn_rate")
+        old = spark.conf.get("spark.sql.session.timeZone")
+        try:
+            spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+            with pytest.raises(ValueError, match="DST"):
+                gapfill(df, 60, value_cols=("turn_rate",), policy="interp")
+            # zero/locf stay in the NTZ domain — no epoch route, no guard
+            assert gapfill(df, 60, value_cols=("turn_rate",),
+                           policy="zero").count() == 1
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", old)
